@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named engine capability: a Spark DataFrame pipeline over the
+  * testdata tables plus (when SQL-expressible) a DuckDB oracle twin the
+  * driver hash-compares against (Verify.scala → CORRECTNESS_r{N}.json).
+  *
+  * Determinism rules every QueryDef obeys:
+  *  - output column names identical between Spark plan and oracle SQL
+  *    (the driver sorts columns by name, then hashes values);
+  *  - a total ORDER BY over a unique column set in both engines;
+  *  - no raw floating aggregates: double SUMs go through DECIMAL so the
+  *    result is independent of accumulation order (Spark partial aggs
+  *    vs DuckDB's single-node order), then surface as DOUBLE.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Order-independent sum of a 2-dec money double: route through an
+    * exact decimal so Spark's partial/final aggregation tree and
+    * DuckDB's sequential sum produce the identical value, then cast
+    * back to double (deterministic IEEE nearest). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** SQL twin of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+}

@@ -1,0 +1,11 @@
+package graft.queries
+
+/** All engine capabilities, in one list. SparkEntry derives the driver
+  * maps from this; ScalaTest iterates it for smoke coverage. */
+object Registry {
+  def all: Seq[QueryDef] =
+    Relational.defs ++ Scalars.defs ++ TextOps.defs
+
+  def queries = all.map(q => q.name -> q.build).toMap
+  def oracles = all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+}

@@ -1,0 +1,466 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Upsert, Ids}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import QueryDef.{dsum, dsumSql}
+
+/** The reference's relational query surface (SURVEY.md §2) transposed to
+  * the testdata star schema. Each entry cites the reference operator ids
+  * it reproduces (§2.x tags) and the ui.py/Transform.py behavior it
+  * mirrors.
+  *
+  * Scale notes baked into every plan:
+  *  - dims (region/nation/supplier/part/customer at small SF) join via
+  *    broadcast hints — at 100 TB the fact side streams, no shuffle of
+  *    the big side for dim joins;
+  *  - aggregations are plain groupBy → Catalyst plans partial (map-side)
+  *    + final hash aggregation, one shuffle on the group keys;
+  *  - top-k = orderBy+limit → TakeOrderedAndProject (no global sort
+  *    materialization).
+  */
+object Relational {
+
+  def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+
+  /** Flagship (SURVEY §7.2): top-k revenue customers.
+    * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
+    * (ui.py:76-94's "top scorers" shape). */
+  val q01 = QueryDef(
+    "q01_topk_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .filter(col("revenue") > 0)
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT c.c_custkey, c.c_name,
+             ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name
+      HAVING ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} > 0
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10"""))
+
+  /** Pricing summary (TPC-H Q1 shape). Ops: A1/A2 multi-col grouped sums,
+    * A8 means, P-filters; exercises partial aggregation + pushdown. */
+  val q02 = QueryDef(
+    "q02_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+             ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+             ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+             sum(l_quantity) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Orders per nation. Ops: A3 COUNT DISTINCT, A4 COALESCE-over-agg,
+    * left joins down a dim chain (ui.py:117-129 matches-played shape). */
+  val q03 = QueryDef(
+    "q03_orders_per_nation",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(n("n_name"))
+        .agg(
+          coalesce(countDistinct(o("o_orderkey")), lit(0)).as("n_orders"),
+          coalesce(countDistinct(c("c_custkey")), lit(0)).as("n_customers"))
+        .orderBy(n("n_name"))
+    },
+    Some("""
+      SELECT n.n_name,
+             coalesce(count(DISTINCT o.o_orderkey), 0) AS n_orders,
+             coalesce(count(DISTINCT c.c_custkey), 0) AS n_customers
+      FROM nation n
+      LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name"""))
+
+  /** Conditional-aggregation pivot. Ops: A5 (ui.py:199-216 home/away
+    * points via SUM(CASE WHEN)). */
+  val q04 = QueryDef(
+    "q04_event_pivot",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2)))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("purchase_value"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Part demand top-20. Ops: A1+A6+O3 with broadcast dim join. */
+  val q05 = QueryDef(
+    "q05_part_demand",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p  = Tables.part(s, d)
+      li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("demand"))
+        .filter(col("demand") > 0)
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select(col("l_partkey"), col("p_name"), col("demand"))
+        .orderBy(col("demand").desc, col("l_partkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT l_partkey, p_name, sum(l_quantity) AS demand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_partkey, p_name
+      HAVING sum(l_quantity) > 0
+      ORDER BY demand DESC, l_partkey
+      LIMIT 20"""))
+
+  /** Goals-conceded-per-match analog. Ops: A7 ratio of aggregates, F11
+    * ROUND/CAST/NULLIF division (ui.py:227,245,263). */
+  val q06 = QueryDef(
+    "q06_supplier_ratio",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      li.groupBy(col("l_suppkey"))
+        .agg(
+          sum(col("l_quantity")).as("total_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .select(
+          col("l_suppkey"), col("s_name"),
+          round(col("total_qty").cast("double") /
+            nullif(col("n_orders"), lit(0)).cast("double"), 2).as("qty_per_order"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""
+      SELECT l_suppkey, s_name,
+             round(CAST(sum(l_quantity) AS DOUBLE) / CAST(nullif(count(DISTINCT l_orderkey), 0) AS DOUBLE), 2) AS qty_per_order
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY l_suppkey, s_name
+      ORDER BY l_suppkey"""))
+
+  /** Recent-form per entity. Ops: W3 per-key top-N window (generalizes
+    * ui.py:272-292 "last 5 matches of one team" to every key). */
+  val q07 = QueryDef(
+    "q07_recent_orders",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      WHERE rn <= 5
+      ORDER BY o_custkey, rn"""))
+
+  /** League-standings rank. Ops: W1 rank over aggregated points
+    * (Transform.py:779-785 stores it; we compute it). */
+  val q08 = QueryDef(
+    "q08_nation_rank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      rev.withColumn("rnk", rank().over(Window.orderBy(col("revenue").desc, col("n_name"))))
+        .orderBy(col("rnk"), col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name, revenue, rank() OVER (ORDER BY revenue DESC, n_name) AS rnk
+      FROM (
+        SELECT n.n_name, ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name)
+      ORDER BY rnk, n_name"""))
+
+  /** Surrogate-id assignment. Ops: W2+O5 (Transform.py:116-119 sorted
+    * sequential ids; see graft.ops.Ids for the scale strategies). */
+  val q09 = QueryDef(
+    "q09_sequential_ids",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      Ids.sequential(p.select(col("p_name")).distinct(), Seq(col("p_name")), "part_id")
+        .select(col("part_id"), col("p_name"))
+        .orderBy(col("part_id"))
+    },
+    Some("""
+      SELECT row_number() OVER (ORDER BY p_name) AS part_id, p_name
+      FROM (SELECT DISTINCT p_name FROM part)
+      ORDER BY part_id"""))
+
+  /** Rolling form string. Ops: W4 frame-spec window — the scraped
+    * "WWDLD" Recent_Form (Extract.py:166-174) computed instead of stored:
+    * last-5 event initials per user. */
+  val q10 = QueryDef(
+    "q10_rolling_form",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))   // full ns precision, like DuckDB's ORDER BY ts
+        .rowsBetween(-4, 0)
+      e.withColumn("form", concat_ws("", collect_list(substring(col("event_type"), 1, 1)).over(w)))
+        .select(col("user_id"), col("event_id"), col("form"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             string_agg(substr(event_type, 1, 1), '')
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS form
+      FROM events
+      ORDER BY user_id, event_id"""))
+
+  /** Priority-ordered keyed dedup. Ops: U3/U4 keep-first
+    * (Transform.py:110,346 — survivor chosen by explicit order, not
+    * pandas row position). */
+  val q11 = QueryDef(
+    "q11_dedup_first_order",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      Dedup.keepFirst(o, Seq("o_custkey"), Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+          col("o_orderdate").cast("date").as("first_date"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey AS first_orderkey, CAST(o_orderdate AS DATE) AS first_date
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders)
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  /** DISTINCT dimension values. Ops: U6 (ui.py:135). */
+  val q12 = QueryDef(
+    "q12_distinct_segments",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  /** Schema-aligned union with null padding. Ops: U1 (Transform.py:104-107
+    * season-stats ∪ match-stats players with NA-padded born). */
+  val q13 = QueryDef(
+    "q13_union_entities",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"),
+          lit("customer").as("entity_type"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          col("s_nationkey").as("nationkey"), lit(null: String).as("mktsegment"),
+          lit("supplier").as("entity_type"))
+      c.unionByName(su).orderBy(col("entity_type"), col("name"))
+    },
+    Some("""
+      SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+             c_mktsegment AS mktsegment, 'customer' AS entity_type
+      FROM customer
+      UNION ALL
+      SELECT s_name, s_acctbal, s_nationkey, NULL, 'supplier' FROM supplier
+      ORDER BY entity_type, name"""))
+
+  /** Anti join. Ops: J8 (Extract.py:285-291 incremental-merge key
+    * exclusion). */
+  val q14 = QueryDef(
+    "q14_customers_no_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      ORDER BY c_custkey"""))
+
+  /** Update-wins upsert. Ops: S9/U7 (Load.py:79-89 ON CONFLICT DO
+    * UPDATE; Extract.py:262-303). "New" = open orders repriced; new rows
+    * replace old on the PK. */
+  val q15 = QueryDef(
+    "q15_upsert_update_wins",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val incoming = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      Upsert.updateWins(old, incoming, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      incoming AS (
+        SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders
+        WHERE o_orderstatus = 'O')
+      SELECT o_orderkey, o_totalprice FROM incoming
+      UNION ALL
+      SELECT o.o_orderkey, o.o_totalprice FROM old o
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = o.o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** Insert-only upsert. Ops: S10/U8 (Load.py:276-284 ON CONFLICT DO
+    * NOTHING — old rows win). */
+  val q16 = QueryDef(
+    "q16_upsert_ignore_new",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val incoming = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      Upsert.ignoreNew(old, incoming, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      incoming AS (
+        SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice FROM orders
+        WHERE o_orderstatus = 'O')
+      SELECT o_orderkey, o_totalprice FROM old
+      UNION ALL
+      SELECT i.o_orderkey, i.o_totalprice FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.o_orderkey = i.o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** Role-playing dim joined twice. Ops: J3/J7 (ui.py:284-285 dim_team
+    * as team AND opponent): nation as customer-nation and
+    * supplier-nation. */
+  val q17 = QueryDef(
+    "q17_nation_roleplay",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val cn = Tables.nation(s, d).select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sn = Tables.nation(s, d).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("cust_nation"), col("supp_nation"))
+    },
+    Some(s"""
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             count(*) AS n_lines,
+             ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+      ORDER BY cust_nation, supp_nation"""))
+
+  /** Parameterized dashboard drill-down. Ops: J6 multiway join + P7
+    * equality param filter (ui.py:65-94, season/team filters). The
+    * region literal plays ui.py's `%s` bind. */
+  val q18 = QueryDef(
+    "q18_region_dashboard",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "EUROPE")
+        .groupBy(n("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""
+      SELECT n.n_name, ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, n_name"""))
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Normalize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import QueryDef.{dsum, dsumSql}
+
+/** Scalar-function and filter surface (SURVEY.md §2.2 P-ops, §2.8 F-ops).
+  * The reference's cleaning functions operate on scraped football
+  * strings; here they run over equivalent shapes synthesized from
+  * testdata columns so the DuckDB oracle can pin exact semantics.
+  * All expressions are Catalyst built-ins → whole-stage codegen.
+  */
+object Scalars {
+
+  def defs: Seq[QueryDef] = Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27)
+
+  /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
+    * both sides before merging). */
+  val q19 = QueryDef(
+    "q19_normalized_key_join",
+    (s, d) => {
+      val messy = Tables.customer(s, d).select(
+        concat(lit("  "), upper(col("c_name")), lit("  ")).as("messy_name"),
+        col("c_acctbal"))
+      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      messy.join(clean, Normalize.normKey(col("messy_name")) === Normalize.normKey(col("c_name")))
+        .select(col("c_custkey"), col("messy_name"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT b.c_custkey, a.messy_name, b.c_name, a.c_acctbal
+      FROM (SELECT concat('  ', upper(c_name), '  ') AS messy_name, c_acctbal, c_custkey AS k FROM customer) a
+      JOIN customer b ON lower(trim(a.messy_name)) = lower(trim(b.c_name))
+      ORDER BY b.c_custkey"""))
+
+  /** Club-name suffix scrub. Ops: F2/F3 (Transform.py:235-242 ordered
+    * "f.c."/"fc"/"afc" removal + trailing-dot strip). */
+  val q20 = QueryDef(
+    "q20_club_name_scrub",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val club = when(col("p_partkey") % 3 === 0, concat(col("p_name"), lit(" F.C.")))
+        .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit(" AFC")))
+        .otherwise(concat(col("p_name"), lit(" fc ")))
+      p.select(col("p_partkey"), club.as("club"),
+          Normalize.cleanClubName(club).as("clean_name"))
+        .orderBy(col("p_partkey"))
+    },
+    // Same ordered literal-replace chain on the lowercased string, then
+    // trailing [ .]+ strip, then dangling " a."/" a" drop, then trim.
+    Some("""
+      SELECT p_partkey, club,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(replace(replace(replace(replace(replace(lower(club),
+                   'a.f.c.', ''), 'a.f.c', ''), 'f.c.', ''), 'f.c', ''), 'afc', ''), 'fc', ''),
+                 '[ .]+$', ''),
+               ' a\.?$', '')) AS clean_name
+      FROM (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 3 = 0 THEN concat(p_name, ' F.C.')
+                    WHEN p_partkey % 3 = 1 THEN concat(p_name, ' AFC')
+                    ELSE concat(p_name, ' fc ') END AS club
+        FROM part)
+      ORDER BY p_partkey"""))
+
+  /** Composite-string parsing battery. Ops: F4 Q-strip, F5 "GF:GA"
+    * split, F7 round-label zfill, F8 rank clean, F9 season conversion
+    * (Transform.py:260-264,788-792,482,779-785,711-725). */
+  val q21 = QueryDef(
+    "q21_scalar_composites",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val qid    = concat(lit("Q"), col("o_orderkey"))
+      val pair   = concat(col("o_orderkey"), lit(":"), col("o_custkey"))
+      val rlabel = concat(lit("Matchweek "), (col("o_orderkey") % 38) + 1)
+      val rnk    = concat((col("o_custkey") % 20) + 1, lit("."))
+      val season = concat(lit(1990) + col("o_orderkey") % 30, lit("-"),
+        lit(1991) + col("o_orderkey") % 30)
+      val (gf, ga) = Normalize.splitPair(pair)
+      o.select(
+          col("o_orderkey"),
+          Normalize.stripQ(qid).as("q_stripped"),
+          gf.as("pair_left"), ga.as("pair_right"),
+          Normalize.roundLabel(rlabel).as("round_label"),
+          Normalize.rankClean(rnk).as("rank_val"),
+          Normalize.convertSeason(season).as("season_code"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             TRY_CAST(replace('Q' || o_orderkey, 'Q', '') AS INT) AS q_stripped,
+             TRY_CAST(split_part(o_orderkey || ':' || o_custkey, ':', 1) AS INT) AS pair_left,
+             TRY_CAST(split_part(o_orderkey || ':' || o_custkey, ':', 2) AS INT) AS pair_right,
+             lpad(split_part('Matchweek ' || CAST(o_orderkey % 38 + 1 AS VARCHAR), ' ', 2), 2, '0') AS round_label,
+             TRY_CAST(split_part(CAST(o_custkey % 20 + 1 AS VARCHAR) || '.', '.', 1) AS INT) AS rank_val,
+             TRY_CAST(right(CAST(1990 + o_orderkey % 30 AS VARCHAR), 2) ||
+                      right(CAST(1991 + o_orderkey % 30 AS VARCHAR), 2) AS INT) AS season_code
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** Date parts + monthly rollup. Ops: F6 date extraction
+    * (Transform.py:358-359), A1 over calendar keys. */
+  val q22 = QueryDef(
+    "q22_monthly_orders",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupBy(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("total_value"))
+        .orderBy(col("order_year"), col("order_month"))
+    },
+    Some(s"""
+      SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+             count(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS total_value
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY order_year, order_month"""))
+
+  /** Null-tolerant coercion. Ops: F10 (pd.to_numeric(errors='coerce') —
+    * garbage → null, digits parse; ANSI-safe via try_cast). */
+  val q23 = QueryDef(
+    "q23_try_coercion",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(
+          col("c_custkey"),
+          Normalize.tryInt(col("c_name")).as("bad_parse"),
+          Normalize.tryLong(substring(col("c_name"), 10, 9)).as("good_parse"),
+          Normalize.tryInt(col("c_name")).isNull.as("is_unparseable"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             TRY_CAST(c_name AS INT) AS bad_parse,
+             TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS good_parse,
+             TRY_CAST(c_name AS INT) IS NULL AS is_unparseable
+      FROM customer
+      ORDER BY c_custkey"""))
+
+  /** Two-stage null filtering. Ops: P3/P5/P9 (Transform.py:387-388,502 —
+    * stage-1 key-null drop keeps unplayed rows, stage-2 result-null drop;
+    * placement changes row counts, so it is pinned here). */
+  val q24 = QueryDef(
+    "q24_two_stage_null_filter",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val staged = li
+        .withColumn("disc_key", nullif(col("l_discount"), lit(0.0)))
+        .withColumn("tax_key", nullif(col("l_tax"), lit(0.0)))
+        .na.drop(Seq("disc_key"))                     // stage 1: key nulls out
+      val counted = staged.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_discounted"),
+          count(col("tax_key")).as("n_also_taxed"))  // stage 2: result nulls ignored
+      counted.orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n_discounted,
+             count(nullif(l_tax, 0.0)) AS n_also_taxed
+      FROM lineitem
+      WHERE nullif(l_discount, 0.0) IS NOT NULL
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Case-normalized membership filter. Ops: P6/P8 (ui.py:153,211
+    * LOWER(col) IN ('home','away')). */
+  val q25 = QueryDef(
+    "q25_case_insensitive_filter",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(lower(col("event_type")).isin("click", "view"))
+        .filter(lower(col("event_type")) =!= "error")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events
+      FROM events
+      WHERE lower(event_type) IN ('click', 'view') AND lower(event_type) <> 'error'
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Tumbling-window rollup (batch twin of the Structured Streaming
+    * hourly aggregation; graft.streaming runs the same logic with
+    * watermarks). */
+  val q26 = QueryDef(
+    "q26_hourly_windows",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY window_start"""))
+
+  /** Semi-structured extraction: JSON props column (events.props is
+    * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
+    * values on this shape. */
+  val q27 = QueryDef(
+    "q27_json_extract",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_count"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS k_sum,
+             count(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS k_count
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+}

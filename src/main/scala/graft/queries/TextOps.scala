@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + document-dedup operators for the LLM-training-data
+  * pipeline surface (builder brief): token counting, quality scoring,
+  * language-ID heuristic, fingerprinting, exact dedup, and n-gram
+  * Jaccard near-dedup via an inverted shingle index.
+  *
+  * Scale design: everything here is groupBy/join on high-cardinality
+  * keys (doc_id, shingle). The near-dup candidate join caps shingle
+  * document-frequency (df ≤ 20) before self-joining — the standard
+  * trick that keeps the candidate-pair explosion bounded at 100 TB
+  * (a stop-shingle appearing in 10^6 docs would otherwise create
+  * 10^12 pairs). Jaccard is computed over the df-filtered shingle
+  * space, consistently on both sides of the oracle.
+  */
+object TextOps {
+
+  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, d01, d02)
+
+  private val tokens = split(lower(trim(col("text"))), "\\s+")
+
+  /** Token counting: whitespace tokenizer + char counts. */
+  val t01 = QueryDef(
+    "t01_token_stats",
+    (s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          length(regexp_replace(col("text"), "\\s+", "")).as("len_no_space"),
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            size(tokens).cast("double"), 4).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS len_chars,
+             length(regexp_replace(text, '\s+', '', 'g')) AS len_no_space,
+             round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 4) AS avg_token_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio, punctuation ratio, length prior —
+    * the usual cheap pre-training filters. */
+  val t02 = QueryDef(
+    "t02_quality_score",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and", "in", "to")
+      val nTok = size(tokens).cast("double")
+      val nStop = size(filter(tokens, t => t.isin(stop.map(x => x: Any): _*))).cast("double")
+      val nPunct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+      val stopRatio = round(nStop / nTok, 4)
+      val punctRatio = round(nPunct / length(col("text")).cast("double"), 4)
+      val lenPrior = least(lit(1.0), nTok / lit(100.0))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          stopRatio.as("stop_ratio"),
+          punctRatio.as("punct_ratio"),
+          round(lit(0.4) * stopRatio + lit(0.3) * lenPrior +
+            lit(0.3) * (lit(1.0) - punctRatio), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct
+        FROM documents)
+      SELECT doc_id,
+             round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in','to'))) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
+             round(n_punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+             round(0.4 * round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in','to'))) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4)
+                 + 0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - round(n_punct / CAST(length(text) AS DOUBLE), 4)), 4) AS quality
+      FROM t
+      ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: marker-token vote with deterministic
+    * priority order (en > de > fr > es > unknown). */
+  val t03 = QueryDef(
+    "t03_lang_guess",
+    (s, d) => {
+      def cnt(words: Seq[String]) =
+        size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
+      val nEn = cnt(Seq("the", "and", "of"))
+      val nDe = cnt(Seq("der", "die", "und"))
+      val nFr = cnt(Seq("le", "la", "et"))
+      val nEs = cnt(Seq("el", "los", "y"))
+      val guess = when(nEn >= nDe && nEn >= nFr && nEn >= nEs && nEn > 0, "en")
+        .when(nDe >= nFr && nDe >= nEs && nDe > 0, "de")
+        .when(nFr >= nEs && nFr > 0, "fr")
+        .when(nEs > 0, "es")
+        .otherwise("unknown")
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          nEn.as("n_en"), nDe.as("n_de"), nFr.as("n_fr"), nEs.as("n_es"),
+          guess.as("lang_guess"),
+          (guess === col("lang")).as("is_match"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang,
+               len(list_filter(w, x -> x IN ('the','and','of'))) AS n_en,
+               len(list_filter(w, x -> x IN ('der','die','und'))) AS n_de,
+               len(list_filter(w, x -> x IN ('le','la','et'))) AS n_fr,
+               len(list_filter(w, x -> x IN ('el','los','y'))) AS n_es
+        FROM t)
+      SELECT doc_id, lang, n_en, n_de, n_fr, n_es,
+             CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+                  WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+                  WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+                  WHEN n_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS lang_guess,
+             (CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+                  WHEN n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+                  WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+                  WHEN n_es > 0 THEN 'es'
+                  ELSE 'unknown' END) = lang AS is_match
+      FROM c
+      ORDER BY doc_id"""))
+
+  /** Document fingerprinting: md5 over whitespace-normalized text. */
+  val t04 = QueryDef(
+    "t04_fingerprint",
+    (s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(norm).as("fingerprint"),
+          length(norm).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+             length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Exact dedup: hash-groupBy on the normalized fingerprint; canonical
+    * row = min doc_id (deterministic survivor, cf. ops.Dedup). */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    (s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(norm).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+    Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+             min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY canonical_id"""))
+
+  /** Near-dup detection: word-3-gram shingles → inverted index →
+    * df-capped candidate self-join → Jaccard. The df cap (2 ≤ df ≤ 20)
+    * bounds the pair blowup; Jaccard is over the df-filtered shingle
+    * space on both engines. */
+  val d02 = QueryDef(
+    "d02_ngram_jaccard",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w"))
+        .filter(size(col("w")) >= 3)
+      val sh = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
+        .distinct()
+      val kept = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 20)
+        .select("shingle")
+      val sh2 = sh.join(kept, "shingle")
+      val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh2.select(col("doc_id").as("doc_b"), col("shingle"))
+      val pairs = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val ca = cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+      val cb = cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+      pairs.join(ca, Seq("doc_a")).join(cb, Seq("doc_b"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+          FROM big)),
+      kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+      sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
+        SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               round(CAST(p.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.n_common AS DOUBLE), 4) AS jaccard
+        FROM pairs p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id)
+      WHERE jaccard >= 0.05
+      ORDER BY doc_a, doc_b"""))
+}
