@@ -1,0 +1,36 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+/** Decoded media metadata row (multimodal pipeline). */
+final case class MediaMeta(
+    doc_id: Long, n_bytes: Int, sha256: String,
+    width: Int, height: Int, format: String)
+
+/** Media decoding for binary columns.
+  *
+  * ==== STUB ====
+  * A real implementation would hand `bytes` to an image/audio codec
+  * (javax.imageio / ffmpeg-JNI). Those libraries are not in this
+  * container, so `decodeStub` fabricates deterministic metadata from
+  * the payload's sha-256 — same signature, same batch shape, fully
+  * reproducible, and replayable in the SQL oracle. Swap the body for
+  * the codec call to go live; nothing upstream changes.
+  */
+object MediaDecode {
+
+  private def sha256Hex(bytes: Array[Byte]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val sha = sha256Hex(bytes)
+    val width  = 64 + (java.lang.Long.parseLong(sha.substring(0, 8), 16) % 960).toInt
+    val height = 64 + (java.lang.Long.parseLong(sha.substring(8, 16), 16) % 960).toInt
+    val format = (java.lang.Long.parseLong(sha.substring(16, 17), 16) % 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    MediaMeta(id, bytes.length, sha, width, height, format)
+  }
+}

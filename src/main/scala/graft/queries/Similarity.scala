@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + hash-based near-dedup over embeddings/documents —
+  * the LLM-training-pipeline operator family (builder brief).
+  *
+  * Engine-portable hashing: every hash here is derived from md5 hex
+  * (identical in Spark and DuckDB) rather than engine-native hash
+  * functions (xxhash64 vs duckdb hash are incompatible), so the oracle
+  * can replay the exact pipeline.
+  *
+  * Scale design notes:
+  *  - brute-force cosine is the *baseline* (quadratic): it exists to
+  *    calibrate the bucketed variants, and the query-side is a small
+  *    sampled set so the pair count is |Q|·N, not N².
+  *  - minhash-LSH: shingle→minhash→band→bucket-join. Candidate pairs
+  *    come from equality joins on band signatures (shuffle on the
+  *    signature, even distribution), never from a cross join. This is
+  *    the 100 TB path: cost is O(docs · shingles · K) + bucket joins.
+  *  - simhash: one 16-bit signature per doc from token-hash bit votes;
+  *    equal-signature grouping gives O(n) candidate generation.
+  */
+object Similarity {
+
+  def defs: Seq[QueryDef] = Seq(s01, s02, d03, d04, d05)
+
+  /** Portable 60-bit hash: first 15 hex chars of md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val tokens = split(lower(trim(col("text"))), "\\s+")
+
+  private def docVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: exact baseline for ANN. Sampled query
+    * set (vec_id % 50 == 0) against all candidates; per-query top-5. */
+  val s01 = QueryDef(
+    "s01_cosine_topk",
+    (s, d) => {
+      val e = docVectors(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      val cosine = dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).crossJoin(c)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", cosine)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      p AS (SELECT query_id, neighbor_id,
+              list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+            FROM q, c WHERE neighbor_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM p)
+      SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+
+  /** IVF-style bucketed ANN — the scale path for [[s01]]: coarse cells
+    * (label as the stand-in for k-means cells), element-wise mean
+    * centroids, nprobe=2 cell probing, exact rerank inside probed
+    * cells. Cost: |Q|·|cells| centroid scoring (centroids broadcast)
+    * + |Q|·(2/|cells|)·N rerank instead of |Q|·N. Approximate →
+    * no SQL oracle; recall vs the exact baseline is asserted in
+    * SimilaritySpec. */
+  val s02 = QueryDef(
+    "s02_cosine_topk_ivf",
+    (s, d) => {
+      val e = docVectors(s, d)
+      val cents = e.select(col("label"), posexplode(col("v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centv"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("qv"), col("centv")) / (norm(col("qv")) * norm(col("centv"))))
+        .withColumn("prn", row_number().over(wq)).filter(col("prn") <= 2)
+        .select(col("query_id"), col("qv"), col("label"))
+      val cand = e.select(col("label"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probes.join(cand, Seq("label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    None)
+
+  /** MinHash + LSH banding near-dedup: word-3-gram shingles → K=16
+    * portable minhashes → 8 bands of 2 → candidates share a band
+    * signature → exact Jaccard verification on candidates only. */
+  val d03 = QueryDef(
+    "d03_minhash_lsh",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
+      val sh = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
+        .distinct()
+      val hashes = sh
+        .withColumn("i", explode(sequence(lit(0), lit(15))))
+        .withColumn("h", h60(concat(col("i"), lit(":"), col("shingle"))))
+      val minh = hashes.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+      val bands = minh
+        .withColumn("band", expr("i div 2"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => concat(x.getField("i"), lit(":"), x.getField("mh")))).as("sig"))
+      val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      val cand = ba.join(bb, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // exact-Jaccard verification on the candidate set only
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = sa.join(sb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      cand.join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0, Seq("n_common"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+          FROM big)),
+      hashes AS (
+        SELECT doc_id, i, CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 15)) AS BIGINT) AS h
+        FROM sh, (SELECT unnest(range(0, 16)) AS i)),
+      minh AS (SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
+        FROM minh GROUP BY doc_id, i // 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, coalesce(i.n_common, 0) AS n_common,
+             round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+                   CAST(ca.n_sh + cb.n_sh - coalesce(i.n_common, 0) AS DOUBLE), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      ORDER BY c.doc_a, c.doc_b"""))
+
+  /** SimHash document signatures: 16-bit portable simhash from token
+    * md5 bit-votes (with multiplicity). Equal signatures → dup groups. */
+  val d04 = QueryDef(
+    "d04_simhash",
+    (s, d) => {
+      val toksd = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+      val votes = toksd
+        .withColumn("j", explode(sequence(lit(0), lit(15))))
+        .withColumn("vote", when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
+      val bits = votes.groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("vote")).as("balance"))
+        .withColumn("bit", when(col("balance") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(lit(0L)))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(col("bit")).as("simhash16"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toksd AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+              FROM documents)),
+      votes AS (
+        SELECT doc_id, j,
+               CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM toksd, (SELECT unnest(range(0, 16)) AS j)),
+      bits AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(vote) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        FROM votes GROUP BY doc_id, j)
+      SELECT doc_id, sum(bit) AS simhash16
+      FROM bits GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** Embedding-cosine near-dup, label-blocked (IVF-style): pairs are
+    * generated only within a coarse partition (label), never globally —
+    * the blocking pattern that survives 100 TB. */
+  val d05 = QueryDef(
+    "d05_embedding_neardup",
+    (s, d) => {
+      val e = docVectors(s, d)
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      val cosine = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(cosine, 6))
+        .filter(col("cosine") >= 0.35)
+        .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy(col("label"), col("vec_a"), col("vec_b"))
+    },
+    Some("""
+      WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT label, vec_a, vec_b, cosine
+      FROM p WHERE cosine >= 0.35
+      ORDER BY label, vec_a, vec_b"""))
+}
