@@ -51,10 +51,14 @@ object Normalize {
   def stripQ(c: Column): Column =
     tryInt(regexp_replace(c, "Q", ""))
 
-  /** Split "GF:GA"-style composite into typed parts (Transform.py:788-792). */
+  /** Split "GF:GA"-style composite into typed parts (Transform.py:788-792).
+    * `get` (not `getItem`) so a malformed composite with a missing part
+    * yields null instead of throwing under ANSI mode — matches pandas
+    * `split(expand=True)` NaN-padding.
+    */
   def splitPair(c: Column, delim: String = ":"): (Column, Column) = {
     val parts = split(c, delim)
-    (tryInt(parts.getItem(0)), tryInt(parts.getItem(1)))
+    (tryInt(get(parts, lit(0))), tryInt(get(parts, lit(1))))
   }
 
   /** First whitespace-delimited token parsed as a date; unparseable → null

@@ -78,34 +78,46 @@ object Similarity {
       FROM r WHERE rn <= 5
       ORDER BY query_id, rn"""))
 
-  /** IVF-style bucketed ANN — the scale path for [[s01]]: coarse cells
-    * (label as the stand-in for k-means cells), element-wise mean
-    * centroids, nprobe=2 cell probing, exact rerank inside probed
-    * cells. Cost: |Q|·|cells| centroid scoring (centroids broadcast)
-    * + |Q|·(2/|cells|)·N rerank instead of |Q|·N. Approximate →
-    * no SQL oracle; recall vs the exact baseline is asserted in
-    * SimilaritySpec. */
+  /** Bucketed ANN — the scale path for [[s01]]: multi-probe
+    * random-hyperplane LSH. Every vector gets a B-bit signature (sign of
+    * B fixed Gaussian projections); a query probes its own bucket plus
+    * the P-1 buckets reached by flipping its least-confident bits
+    * (smallest |projection|), then exact-reranks only those candidates.
+    *
+    * Cost vs brute force: candidates ≈ (P/2^B)·N per query (~25% at
+    * B=4,P=4) with recall ≈ 1.5–2× the scanned fraction — the honest
+    * ANN trade on isotropic data; clustered real-world embeddings do
+    * far better. Candidate generation is an equi-join on the signature
+    * (shuffle on sig, never a cross join) → linear at 100 TB.
+    * (Label-based IVF was rejected: testdata labels are uncorrelated
+    * with embedding geometry — within-label mean cosine ≈ 0.)
+    *
+    * Approximate → no SQL oracle; recall vs exact baseline is asserted
+    * in SimilaritySpec. */
   val s02 = QueryDef(
     "s02_cosine_topk_ivf",
     (s, d) => {
+      val B = 4; val P = 4; val dim = 64
+      val rnd = new java.util.Random(7)
+      val planes = Seq.fill(B)(Seq.fill(dim)(rnd.nextGaussian()))
       val e = docVectors(s, d)
-      val cents = e.select(col("label"), posexplode(col("v")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("centv"))
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("label"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("qv"), col("centv")) / (norm(col("qv")) * norm(col("centv"))))
-        .withColumn("prn", row_number().over(wq)).filter(col("prn") <= 2)
-        .select(col("query_id"), col("qv"), col("label"))
-      val cand = e.select(col("label"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val projed = e.select(
+        (col("vec_id") +: col("v") +:
+          planes.zipWithIndex.map { case (p, j) => dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
+      val sigd = projed
+        .withColumn("sig", (0 until B).map(j =>
+          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+        .withColumn("margins", array((0 until B).map(j =>
+          struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
+      val cand = sigd.select(col("sig"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val probes = sigd.filter(col("vec_id") % 50 === 0)
+        .withColumn("flips", slice(array_sort(col("margins")), 1, P - 1))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(concat(array(col("sig")),
+            transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
-      probes.join(cand, Seq("label"))
+      broadcast(probes).join(cand, Seq("sig"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
