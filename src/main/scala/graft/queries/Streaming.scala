@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-surface queries over `events` (SURVEY.md §2.9 extension).
+  *
+  * st01 executes a REAL Structured Streaming job (file source replayed
+  * with AvailableNow) whose complete-mode result is batch-equal, so the
+  * DuckDB oracle can check a streaming pipeline. st02 is the batch twin
+  * of the stateful sessionizer in [[graft.streaming.Streams.sessionize]]
+  * (same session boundaries; the streaming variant is spec-tested with
+  * MemoryStream since an oracle can't drive micro-batches).
+  */
+object Streaming {
+
+  def defs: Seq[QueryDef] = Seq(st01, st02)
+
+  /** Watermarked tumbling-window aggregation, streamed to completion. */
+  val st01 = QueryDef(
+    "st01_stream_hourly",
+    (s, d) => graft.streaming.Streams.hourlyTypeCounts(s, s"$d/events.parquet")
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""))
+
+  /** Gap-based sessionization (30-min inactivity), batch form: the
+    * lag + cumulative-sum pattern. Works at 100 TB: both windows
+    * shuffle once on user_id; no self-join, no driver loops. */
+  val st02 = QueryDef(
+    "st02_sessionize",
+    (s, d) => {
+      val wu  = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wcum = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      e.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wu))
+        .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wcum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          timestamp_micros(min(col("ts_us"))).cast("timestamp_ntz").as("session_start"),
+          timestamp_micros(max(col("ts_us"))).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      g AS (
+        SELECT user_id, ts_us,
+               ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        FROM e),
+      s AS (
+        SELECT user_id, ts_us,
+               sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, session_id,
+             make_timestamp(min(ts_us)) AS session_start,
+             make_timestamp(max(ts_us)) AS session_end,
+             count(*) AS n_events
+      FROM s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+}

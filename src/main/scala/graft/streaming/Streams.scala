@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only (SURVEY.md §2.9), so this is the
+  * engine's forward-looking streaming entry point: the same event
+  * aggregations, expressed as an unbounded plan with watermarks.
+  *
+  * Scale notes:
+  *  - the file source is replayed with Trigger.AvailableNow — identical
+  *    code against Kafka in production, only `format` changes;
+  *  - tumbling aggregation state is bounded by watermark eviction;
+  *  - sessionization keeps ONE small state object per active user key
+  *    (flatMapGroupsWithState), evicted by event-time timeout — state
+  *    size is O(active users), not O(events).
+  */
+object Streams {
+
+  /** Streaming tumbling-window aggregation, run to completion on the
+    * finite events directory and returned as a batch DataFrame.
+    *
+    * Complete output mode makes the final in-memory table exactly equal
+    * to the batch aggregation over the same files — which is what the
+    * DuckDB oracle checks. (Append mode would withhold windows newer
+    * than the final watermark — correct unbounded behavior, but not
+    * batch-replayable.)
+    */
+  def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    // watermarks require TIMESTAMP (not NTZ); with session TZ=UTC the
+    // LTZ wall-clock equals the NTZ value, restored by the final cast
+    // The file stream source requires a directory; testdata ships
+    // events.parquet as a bare file, so expose it through a temp dir
+    // symlink. (Production streams point at directories/Kafka already.)
+    val srcDir = {
+      val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+      if (java.nio.file.Files.isDirectory(p)) eventsDir
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toString
+      }
+    }
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+    val name = s"graft_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  // ---- stateful sessionization ----
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Int)
+  final case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Event-time sessionization with a gap timeout: emits a session once
+    * it is CLOSED — either by a later event from the same user beyond
+    * the gap, or by event-time timeout once the watermark passes
+    * last+gap. State per user is one [[OpenSession]].
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

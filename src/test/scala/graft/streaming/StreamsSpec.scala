@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Stateful streaming sessionization driven batch-by-batch through
+  * MemoryStream: sessions close on gap or on event-time timeout once
+  * the watermark passes. */
+class StreamsSpec extends SparkSpec {
+  import Streams._
+
+  // offset well past the epoch: rows AT the initial watermark (0) are
+  // filtered as late by stateful operators
+  private val base = 1700000000000L
+  private def ts(minute: Int) = new Timestamp(base + minute * 60000L)
+
+  private def runBatches(batches: Seq[Seq[Ev]]): Seq[Session] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val out = sessionize(input.toDS(), gapMinutes = 30)
+    val name = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[Session].collect().toSeq
+  }
+
+  test("a gap inside one batch closes the earlier session immediately") {
+    val out = runBatches(Seq(Seq(
+      Ev(1, ts(0)), Ev(1, ts(10)), Ev(1, ts(100)) // 90-min gap → close [0,10]
+    )))
+    assert(out.map(s => (s.user_id, s.session_start, s.session_end, s.n_events)) ===
+      Seq((1L, ts(0), ts(10), 2)))
+  }
+
+  test("watermark passing last+gap times out the open session") {
+    val out = runBatches(Seq(
+      Seq(Ev(1, ts(0)), Ev(1, ts(10))),
+      // other-user event at t=120 pushes watermark to 110 (10-min delay),
+      // past user 1's timeout at 10+30=40 → session [0,10] emitted
+      Seq(Ev(2, ts(120)))
+    ))
+    assert(out.map(s => (s.user_id, (s.session_start.getTime - base) / 60000, s.n_events)) ===
+      Seq((1L, 0L, 2)))
+  }
+
+  test("events within the gap extend the open session across batches") {
+    val out = runBatches(Seq(
+      Seq(Ev(1, ts(0))),
+      Seq(Ev(1, ts(20)), Ev(1, ts(40))), // gaps 20 min — same session
+      Seq(Ev(2, ts(300)))                // watermark → times user 1 out
+    ))
+    assert(out.map(s => (s.user_id, s.session_start, s.session_end, s.n_events)) ===
+      Seq((1L, ts(0), ts(40), 3)))
+  }
+
+  test("streaming hourlyTypeCounts equals the batch aggregation (events table)") {
+    val streamed = hourlyTypeCounts(spark, s"$sfDir/events.parquet")
+    val expected = graft.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("window_start"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+    assert(streamed.count() === expected.count())
+    assert(streamed.selectExpr("sum(n_events)").collect()(0).getLong(0) === 1000L)
+  }
+}
