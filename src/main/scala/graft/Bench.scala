@@ -10,11 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Steady-state methodology: one untimed warmup pass (codegen, JIT,
+    // parquet reader paths), then drop every cached/persisted dataset so
+    // the timed pass recomputes all data — only JVM warmth carries over.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

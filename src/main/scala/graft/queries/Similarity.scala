@@ -34,9 +34,15 @@ object Similarity {
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
+  /** Vectors with their norm computed ONCE per vector: pairwise ops
+    * must never recompute norms per pair (that triples the
+    * higher-order-function work on the hot path). The cosine formula
+    * stays dot/(n_a·n_b) — the identical arithmetic DAG the oracle
+    * evaluates, so results are IEEE-exact matches. */
   private def docVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+      .withColumn("n", norm(col("v")))
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -50,9 +56,9 @@ object Similarity {
     (s, d) => {
       val e = docVectors(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-      val cosine = dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"))
+      val cosine = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       broadcast(q).crossJoin(c)
@@ -102,24 +108,25 @@ object Similarity {
       val planes = Seq.fill(B)(Seq.fill(dim)(rnd.nextGaussian()))
       val e = docVectors(s, d)
       val projed = e.select(
-        (col("vec_id") +: col("v") +:
+        (col("vec_id") +: col("v") +: col("n") +:
           planes.zipWithIndex.map { case (p, j) => dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
       val sigd = projed
         .withColumn("sig", (0 until B).map(j =>
           when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
         .withColumn("margins", array((0 until B).map(j =>
           struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
-      val cand = sigd.select(col("sig"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      val cand = sigd.select(col("sig"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("n").as("cn"))
       val probes = sigd.filter(col("vec_id") % 50 === 0)
         .withColumn("flips", slice(array_sort(col("margins")), 1, P - 1))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
           explode(concat(array(col("sig")),
             transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       broadcast(probes).join(cand, Seq("sig"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+        .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -127,35 +134,71 @@ object Similarity {
     },
     None)
 
+  /** K and banding for [[d03]]: 16 minhashes → 4 bands of 4 rows
+    * (r=4, b=4 ⇒ P[candidate] = 1−(1−J⁴)⁴: 0.03 at J=0.3, 0.67 at
+    * J=0.7 — selective for near-dups; r=2 banding passed half of all
+    * moderately-overlapping pairs and drowned verification). The K
+    * universal hashes derive from ONE md5 base hash per shingle
+    * (h_i = (a_i·h + b_i) mod p, p = 2^61−1): 16× fewer digest
+    * computations than hashing K salted copies, same independence
+    * class, and replayable verbatim in the SQL oracle (constants are
+    * interpolated into both plans from the same seed). */
+  private val MINHASH_K = 16
+  private val MINHASH_P = 2305843009213693951L // 2^61 - 1
+  private val (minhashA, minhashB) = {
+    val rnd = new java.util.Random(2024)
+    (Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong),
+      Seq.fill(MINHASH_K)(rnd.nextInt(1 << 30).toLong))
+  }
+
   /** MinHash + LSH banding near-dedup: word-3-gram shingles → K=16
-    * portable minhashes → 8 bands of 2 → candidates share a band
-    * signature → exact Jaccard verification on candidates only. */
+    * portable minhashes → 4 bands of 4 → candidates share a band
+    * signature → exact Jaccard verification on candidates only.
+    *
+    * Shuffle budget (the 100 TB view): one shuffle to min-aggregate
+    * signatures per doc (16 aggregate columns — no 16× row explosion),
+    * one for the band-bucket equality join, and a verification join
+    * restricted by semi-join to candidate docs only (without that
+    * restriction the verify step IS the quadratic join LSH exists to
+    * avoid). */
   val d03 = QueryDef(
     "d03_minhash_lsh",
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
+      // sh feeds both the signature path and the verification path;
+      // cand is referenced three times downstream. Persist both —
+      // without it Spark re-derives the full shingling lineage per use
+      // (at 100 TB these would be materialized to parquet instead).
       val sh = toks.select(col("doc_id"),
           explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
         .distinct()
-      val hashes = sh
-        .withColumn("i", explode(sequence(lit(0), lit(15))))
-        .withColumn("h", h60(concat(col("i"), lit(":"), col("shingle"))))
-      val minh = hashes.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-      val bands = minh
-        .withColumn("band", expr("i div 2"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => concat(x.getField("i"), lit(":"), x.getField("mh")))).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val h32 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+      val hashed = sh.withColumn("hs",
+        zip_with(typedlit(minhashA), typedlit(minhashB),
+          (a, b) => pmod(a * h32 + b, lit(MINHASH_P))))
+      val minAggs = (0 until MINHASH_K).map(i =>
+        min(element_at(col("hs"), i + 1)).as(s"mh$i"))
+      val minh = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val bands = minh.select(col("doc_id"), explode(array((0 until MINHASH_K / 4).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*).as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       val cand = ba.join(bb, Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      // exact-Jaccard verification on the candidate set only
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact-Jaccard verification, shingle sets restricted to candidate
+      // docs via semi-joins BEFORE the shingle equality join
+      val docsAll = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shc = sh.join(broadcast(docsAll), Seq("doc_id"), "left_semi")
+      val cnt = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
+      val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
       val inter = sa.join(sb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
         .join(cand, Seq("doc_a", "doc_b"), "left_semi")
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
@@ -168,23 +211,30 @@ object Similarity {
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""
+    Some {
+      val aList = minhashA.mkString("[", ",", "]")
+      val bList = minhashB.mkString("[", ",", "]")
+      val minCols = (0 until MINHASH_K).map(i => s"min(hs[${i + 1}]) AS mh$i").mkString(", ")
+      val bandSelects = (0 until MINHASH_K / 4).map { b =>
+        val sig = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM minh"
+      }.mkString(" UNION ALL ")
+      s"""
       WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
       big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
       sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
           FROM big)),
-      hashes AS (
-        SELECT doc_id, i, CAST(concat('0x', substr(md5(i || ':' || shingle), 1, 15)) AS BIGINT) AS h
-        FROM sh, (SELECT unnest(range(0, 16)) AS i)),
-      minh AS (SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i),
-      bands AS (
-        SELECT doc_id, i // 2 AS band,
-               string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
-        FROM minh GROUP BY doc_id, i // 2),
+      hashed AS (
+        SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
+                 i -> ($aList[i] * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                       + $bList[i]) % $MINHASH_P) AS hs
+        FROM sh),
+      minh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
+      bands AS ($bandSelects),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -201,7 +251,8 @@ object Similarity {
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
       JOIN cnt ca ON ca.doc_id = c.doc_a
       JOIN cnt cb ON cb.doc_id = c.doc_b
-      ORDER BY c.doc_a, c.doc_b"""))
+      ORDER BY c.doc_a, c.doc_b"""
+    })
 
   /** SimHash document signatures: 16-bit portable simhash from token
     * md5 bit-votes (with multiplicity). Equal signatures → dup groups. */
@@ -245,9 +296,9 @@ object Similarity {
     "d05_embedding_neardup",
     (s, d) => {
       val e = docVectors(s, d)
-      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
-      val cosine = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
+      val cosine = dot(col("va"), col("vb")) / (col("na") * col("nb"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cosine", round(cosine, 6))

@@ -183,7 +183,10 @@ object TextOps {
       val kept = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 20)
         .select("shingle")
+      // referenced by cnt and both join sides — persist or the whole
+      // shingling lineage re-executes three times
       val sh2 = sh.join(kept, "shingle")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = sh2.select(col("doc_id").as("doc_b"), col("shingle"))
