@@ -25,7 +25,7 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -463,4 +463,28 @@ object Relational {
       WHERE r.r_name = 'EUROPE'
       GROUP BY n.n_name
       ORDER BY revenue DESC, n_name"""))
+
+  /** SQL-text entry point. Ops: S11 (ui.py's pd.read_sql surface —
+    * SQL strings executed against registered views, ui.py:47-314) +
+    * A8 ungrouped mean (ui.py:697-698 quadrant averages). The mean is
+    * computed as decimal-sum/count, not avg(double), so the value is
+    * independent of partial-aggregation order. */
+  val q28 = QueryDef(
+    "q28_sql_source",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+               count(DISTINCT c.c_nationkey) AS n_nations
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'""")
+    },
+    Some("""
+      SELECT count(*) AS n_orders,
+             round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+             count(DISTINCT c.c_nationkey) AS n_nations
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus = 'F'"""))
 }
