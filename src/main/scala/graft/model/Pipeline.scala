@@ -1,0 +1,83 @@
+package graft.model
+
+import graft.ops.Upsert
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's end-to-end ETL composition
+  * (Extract → Transform → Load, docker-compose.yml:38-41 /
+  * dags/football_etl_dag.py:142-166) as ONE lazy Spark program.
+  *
+  * Where the reference runs three OS processes exchanging CSVs on a
+  * shared volume, here each output table is a single logical plan
+  * (scan → clean → join → write) optimized whole by Catalyst; the
+  * dims-before-facts ordering survives as dataframe dependencies, not
+  * process scheduling.
+  *
+  * Load semantics (scr/Load.py): dims upsert update-wins, facts
+  * insert-only — both as set-based anti-join merges, both idempotent
+  * (re-running a load is a no-op; see PipelineSpec).
+  */
+object Pipeline {
+
+  final case class RawInputs(
+      playerSeasonStats: DataFrame,
+      playerMatchStats: DataFrame,
+      teamMatch: DataFrame,
+      teamPoint: DataFrame,
+      teamSeed: DataFrame,
+      stadiumSeed: DataFrame)
+
+  /** Transform stage: raw tier → full star schema (5 dims + 2 facts). */
+  def buildStar(spark: SparkSession, raw: RawInputs): Map[String, DataFrame] = {
+    val dimPlayer  = Dims.player(raw.playerSeasonStats, raw.playerMatchStats)
+    val dimTeam    = Dims.team(raw.teamSeed)
+    val dimStadium = Dims.stadium(raw.stadiumSeed)
+    val dimMatch   = Dims.matchDim(raw.teamMatch)
+    val dimSeason  = Dims.season(spark)
+    Map(
+      "dim_player"  -> dimPlayer,
+      "dim_team"    -> dimTeam,
+      "dim_stadium" -> dimStadium,
+      "dim_match"   -> dimMatch,
+      "dim_season"  -> dimSeason,
+      "fact_team_match"  -> Facts.teamMatch(raw.teamMatch, dimTeam, dimMatch, dimPlayer),
+      "fact_team_point"  -> Facts.teamPoint(raw.teamPoint, dimTeam))
+  }
+
+  /** Primary keys per table (scr/Load.py DDL). */
+  val keys: Map[String, Seq[String]] = Map(
+    "dim_player"  -> Seq("player_id"),
+    "dim_team"    -> Seq("team_id"),
+    "dim_stadium" -> Seq("stadium_id"),
+    "dim_match"   -> Seq("game_id"),
+    "dim_season"  -> Seq("season_id"),
+    "fact_team_match" -> Seq("season", "game_id", "team_id"),
+    "fact_team_point" -> Seq("season_id", "team_id", "Match_Category"))
+
+  /** Load stage: merge each table into the warehouse directory with
+    * the reference's per-tier conflict semantics. The merge reads the
+    * existing table lazily, so it is written to a temp dir and swapped
+    * in (SURVEY §3.3) — never collected to the driver, never
+    * overwritten while still being read. */
+  def load(spark: SparkSession, warehouseDir: String,
+           tables: Map[String, DataFrame]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { case (name, incoming) =>
+      val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+      val fs = path.getFileSystem(conf)
+      val merged =
+        if (!fs.exists(path)) incoming
+        else {
+          val existing = spark.read.parquet(path.toString)
+          if (name.startsWith("dim_"))
+            Upsert.updateWins(existing, incoming, keys(name))
+          else Upsert.ignoreNew(existing, incoming, keys(name))
+        }
+      val tmp = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_tmp")
+      Sources.writeParquet(merged, tmp.toString)
+      fs.delete(path, true)
+      fs.rename(tmp, path)
+    }
+  }
+}
