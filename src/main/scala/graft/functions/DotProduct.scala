@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The built-in way to express this — `aggregate(zip_with(a, b, _*_),
+  * 0d, _+_)` — runs as interpreted higher-order functions: per element
+  * it allocates lambda variables and breaks whole-stage codegen. This
+  * expression compiles to a tight primitive loop inside the generated
+  * code (SURVEY brief: "a native Catalyst Expression (with doGenCode)
+  * beats a Scala UDF beats anything else").
+  *
+  * Semantics match the higher-order formulation exactly: left-to-right
+  * IEEE summation over min(len) elements, null if either array is
+  * null. Array elements are assumed non-null (embedding vectors).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column API for the graft native functions. */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) })
+
+  /** Direct (per-session) registration; idempotent. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  /** Column-API entry: `dot(a, b)` after [[register]]. Inputs are cast
+    * to array<double> here (the expression itself is strict). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injection
+  * point — the deployment-grade registration path. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

@@ -39,13 +39,19 @@ object Similarity {
     * higher-order-function work on the hot path). The cosine formula
     * stays dot/(n_a·n_b) — the identical arithmetic DAG the oracle
     * evaluates, so results are IEEE-exact matches. */
-  private def docVectors(s: SparkSession, d: String): DataFrame =
+  private def docVectors(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
       .withColumn("n", norm(col("v")))
+  }
 
+  /** Codegen'd native dot product (graft.functions.DotProduct) — same
+    * left-to-right IEEE summation as the interpreted
+    * aggregate(zip_with(...)) formulation it replaces, so oracle values
+    * are bit-identical; see DotProductSpec. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
