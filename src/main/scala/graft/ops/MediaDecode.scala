@@ -33,4 +33,26 @@ object MediaDecode {
     }
     MediaMeta(id, bytes.length, sha, width, height, format)
   }
+
+  /** Resized-image metadata row. */
+  final case class ResizedMeta(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, scale_pct: Int)
+
+  /** ==== STUB ==== Aspect-preserving resize plan to fit a maxDim box.
+    * A real implementation hands pixels to the codec; the geometry
+    * arithmetic (integer, replayable in SQL) and the batch shape are
+    * the real product. No-op (scale 100%) when already inside the box.
+    */
+  def resizeStub(m: MediaMeta, maxDim: Int): ResizedMeta = {
+    val longest = math.max(m.width, m.height)
+    if (longest <= maxDim)
+      ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height, 100)
+    else {
+      // integer arithmetic only — mirrored exactly in the oracle SQL
+      val outW = m.width * maxDim / longest
+      val outH = m.height * maxDim / longest
+      ResizedMeta(m.doc_id, m.width, m.height, outW, outH, maxDim * 100 / longest)
+    }
+  }
 }

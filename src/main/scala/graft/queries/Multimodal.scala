@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03)
 
   /** Decode metadata for a batch of media payloads (documents.text
     * bytes stand in for image blobs). */
@@ -46,4 +46,65 @@ object Multimodal {
                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
       FROM m
       ORDER BY doc_id"""))
+
+  /** Resize planning chained after decode — the decode→transform
+    * composition of an image pipeline, still iterator-batched. The
+    * stubbed geometry is integer arithmetic mirrored in the oracle. */
+  val m02 = QueryDef(
+    "m02_media_resize",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          graft.ops.MediaDecode.resizeStub(
+            graft.ops.MediaDecode.decodeStub(id, bytes), maxDim = 256)
+        }
+      }.toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 960 AS INT) AS width,
+               CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 960 AS INT) AS height
+        FROM documents),
+      g AS (SELECT doc_id, width, height, greatest(width, height) AS longest FROM m)
+      SELECT doc_id, width, height,
+             CASE WHEN longest <= 256 THEN width  ELSE width  * 256 // longest END AS out_w,
+             CASE WHEN longest <= 256 THEN height ELSE height * 256 // longest END AS out_h,
+             CASE WHEN longest <= 256 THEN 100 ELSE 256 * 100 // longest END AS scale_pct
+      FROM g
+      ORDER BY doc_id"""))
+
+  /** Frame sampling: treat the payload as a media stream, emit one row
+    * per sampled frame (generator shape — explode over a computed
+    * frame sequence; per-row fan-out happens executor-side, the frame
+    * count derives from payload length, capped at 4 samples). */
+  val m03 = QueryDef(
+    "m03_media_framesample",
+    (s, d) => {
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "utf-8")).as("n_bytes"))
+        .withColumn("n_frames", (expr("n_bytes div 64") + 1).cast("int"))
+        .withColumn("n_sampled", least(col("n_frames"), lit(4)))
+      m.select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_sampled") - 1)).as("frame_idx"))
+        .withColumn("byte_offset", col("frame_idx") * 64)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames
+        FROM documents),
+      s AS (SELECT doc_id, n_frames, least(n_frames, 4) AS n_sampled FROM m)
+      SELECT doc_id, n_frames,
+             unnest(range(0, n_sampled)) AS frame_idx,
+             unnest(range(0, n_sampled)) * 64 AS byte_offset
+      FROM s
+      ORDER BY doc_id, frame_idx"""))
 }

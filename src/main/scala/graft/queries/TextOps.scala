@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, d01, d02)
+  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -146,6 +146,34 @@ object TextOps {
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
              length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_len
       FROM documents
+      ORDER BY doc_id"""))
+
+  /** BPE-ish tokenization: a GPT-2-style pre-tokenizer regex (English
+    * contractions | space-prefixed letter runs | digit runs |
+    * punctuation runs) — the standard cheap proxy for LLM token counts
+    * when no tokenizer vocab is available. Uses only RE2-compatible
+    * constructs so Spark (Java regex) and DuckDB (RE2) agree. */
+  val t05 = QueryDef(
+    "t05_bpe_tokens",
+    (s, d) => {
+      val bpe = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe_tokens"),
+          size(tokens).as("n_ws_tokens"),
+          round(size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("double") /
+            size(tokens).cast("double"), 4).as("bpe_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens
+        FROM documents)
+      SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+             round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE), 4) AS bpe_per_word
+      FROM t
       ORDER BY doc_id"""))
 
   /** Exact dedup: hash-groupBy on the normalized fingerprint; canonical
