@@ -22,8 +22,18 @@ class D03Breakdown extends SparkSpec {
       val h32 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
       val hashed = sh.withColumn("h32", h32)
       t("hash32.count")(hashed.agg(max(col("h32"))).collect())
+      // minhash signatures alone
+      val P = 2305843009213693951L
+      val rnd = new java.util.Random(2024)
+      val as = Seq.fill(16)((rnd.nextInt(1 << 20) | 1).toLong)
+      val bs = Seq.fill(16)(rnd.nextInt(1 << 30).toLong)
+      val hs = sh.withColumn("hs",
+        zip_with(typedlit(as), typedlit(bs), (a, b) => pmod(a * h32 + b, lit(P))))
+      val aggs = (0 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"mh$i"))
+      t("minhash.agg")(hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count())
       val full = Registry.queries("d03_minhash_lsh")
       t("full d03")(full(spark, d).count())
+      t("full d03 again")(full(spark, d).count())
     }
   }
 }
