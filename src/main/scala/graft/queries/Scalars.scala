@@ -14,7 +14,7 @@ import QueryDef.{dsum, dsumSql}
   */
 object Scalars {
 
-  def defs: Seq[QueryDef] = Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27)
+  def defs: Seq[QueryDef] = Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -203,6 +203,23 @@ object Scalars {
       FROM events
       GROUP BY 1
       ORDER BY window_start"""))
+
+  /** Cardinality sketch: HyperLogLog++ distinct-count estimates per
+    * group — the scale substitute for exact COUNT DISTINCT when the
+    * key cardinality itself is huge (A3's 100 TB escape hatch; SURVEY
+    * §2.5). Approximate → no SQL oracle; SketchSpec bounds the error
+    * against the exact counts (rsd 5%). */
+  val q29 = QueryDef(
+    "q29_approx_distinct",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

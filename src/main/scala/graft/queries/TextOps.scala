@@ -208,6 +208,7 @@ object TextOps {
       val sh = toks.select(col("doc_id"),
           explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 20)
         .select("shingle")

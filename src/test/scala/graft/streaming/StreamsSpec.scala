@@ -59,6 +59,28 @@ class StreamsSpec extends SparkSpec {
       Seq((1L, ts(0), ts(40), 3)))
   }
 
+  test("streaming dedup within watermark drops replayed events (exactly-once repair)") {
+    // the streaming twin of d01 exact dedup: duplicate deliveries of
+    // the same event id within the watermark horizon are suppressed,
+    // state evicted beyond it — O(window) state, not O(stream)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, ts(1)), (2L, ts(2))));  q.processAllAvailable()
+      input.addData(Seq((1L, ts(3)), (3L, ts(4))));  q.processAllAvailable() // 1 is a dup
+      input.addData(Seq((4L, ts(60))));              q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming hourlyTypeCounts equals the batch aggregation (events table)") {
     val streamed = hourlyTypeCounts(spark, s"$sfDir/events.parquet")
     val expected = graft.Tables.events(spark, sfDir)
