@@ -25,7 +25,7 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -487,4 +487,56 @@ object Relational {
              count(DISTINCT c.c_nationkey) AS n_nations
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderstatus = 'F'"""))
+
+  /** As-of join — an operator Spark lacks natively (brief: custom-op
+    * category). Each event matches the LATEST order of the same user
+    * at-or-before the event time. Implemented the scalable way: tag
+    * both sides, union, ONE shuffle on the key, and carry the most
+    * recent order forward with last(ignoreNulls) over a running
+    * window — linear in rows, no range-explosion join, no per-key
+    * driver loop. Orders are first deduped to one per (user, date) so
+    * tie semantics are well-defined on both engines (DuckDB replays it
+    * with its native ASOF JOIN). */
+  val q30 = QueryDef(
+    "q30_asof_join",
+    (s, d) => {
+      val dayUs = 86400000000L
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("user_id"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")) * dayUs).as("t_us"),
+          lit(0).as("kind"), col("o_orderkey"),
+          lit(null).cast("long").as("event_id"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts_ns div 1000").as("t_us"),
+          lit(1).as("kind"),
+          lit(null).cast("long").as("o_orderkey"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_order_t_us",
+          last(when(col("kind") === 0, col("t_us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("asof_orderkey").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof_orderkey"), col("asof_order_t_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2),
+      ot AS (SELECT user_id, o_orderkey,
+                    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t_us
+             FROM o)
+      SELECT e.event_id, e.user_id,
+             ot.o_orderkey AS asof_orderkey, ot.t_us AS asof_order_t_us
+      FROM events e
+      ASOF JOIN ot ON e.user_id = ot.user_id AND epoch_us(e.ts) >= ot.t_us
+      ORDER BY e.event_id"""))
 }
