@@ -144,17 +144,19 @@ object Similarity {
     * (r=4, b=4 ⇒ P[candidate] = 1−(1−J⁴)⁴: 0.03 at J=0.3, 0.67 at
     * J=0.7 — selective for near-dups; r=2 banding passed half of all
     * moderately-overlapping pairs and drowned verification). The K
-    * universal hashes derive from ONE md5 base hash per shingle
-    * (h_i = (a_i·h + b_i) mod p, p = 2^61−1): 16× fewer digest
-    * computations than hashing K salted copies, same independence
-    * class, and replayable verbatim in the SQL oracle (constants are
-    * interpolated into both plans from the same seed). */
+    * universal hashes combine TWO independent md5 slices per shingle
+    * (h_i = (a_i·h1 + b_i·h2) mod p, p = 2^61−1): one digest instead
+    * of K salted digests, and genuinely independent lanes — a single
+    * multiplier over one base hash would be monotone in it (products
+    * stay below p, never wrapping), collapsing all K minhashes onto
+    * the same argmin shingle. Constants are interpolated into both
+    * plans from the same seed, so the oracle replays it verbatim. */
   private val MINHASH_K = 16
   private val MINHASH_P = 2305843009213693951L // 2^61 - 1
   private val (minhashA, minhashB) = {
     val rnd = new java.util.Random(2024)
     (Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong),
-      Seq.fill(MINHASH_K)(rnd.nextInt(1 << 30).toLong))
+      Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong))
   }
 
   /** MinHash + LSH banding near-dedup: word-3-gram shingles → K=16
@@ -180,10 +182,11 @@ object Similarity {
           explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val h32 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+      val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
       val hashed = sh.withColumn("hs",
         zip_with(typedlit(minhashA), typedlit(minhashB),
-          (a, b) => pmod(a * h32 + b, lit(MINHASH_P))))
+          (a, b) => pmod(a * h1 + b * h2, lit(MINHASH_P))))
       val minAggs = (0 until MINHASH_K).map(i =>
         min(element_at(col("hs"), i + 1)).as(s"mh$i"))
       val minh = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -196,22 +199,17 @@ object Similarity {
       val cand = ba.join(bb, Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // exact-Jaccard verification, shingle sets restricted to candidate
-      // docs via semi-joins BEFORE the shingle equality join
-      val docsAll = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shc = sh.join(broadcast(docsAll), Seq("doc_id"), "left_semi")
-      val cnt = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
-      val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
-      val inter = sa.join(sb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      cand.join(inter, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0, Seq("n_common"))
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      // exact-Jaccard verification WITHOUT a shingle self-join: each
+      // doc's (already-distinct) shingle set becomes one array row;
+      // candidate pairs join the two arrays and intersect them —
+      // O(|cand| · |set|) instead of an inverted-index equality join
+      // whose output is quadratic in near-dup cluster size
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n_sh"))
+      val sa = sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n_sh").as("n_a"))
+      val sb = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n_sh").as("n_b"))
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
@@ -237,7 +235,7 @@ object Similarity {
       hashed AS (
         SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
                  i -> ($aList[i] * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
-                       + $bList[i]) % $MINHASH_P) AS hs
+                       + $bList[i] * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)) % $MINHASH_P) AS hs
         FROM sh),
       minh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
       bands AS ($bandSelects),
