@@ -40,6 +40,15 @@ class DedupSpec extends SparkSpec {
     assert(dave.getString(dave.fieldIndex("team")) === "ARS")
   }
 
+  test("keepFirst survivor is invariant under input partitioning (stability)") {
+    val df = (1 to 200).map(i => (s"k${i % 20}", i % 7, i)).toDF("k", "prio", "id")
+    val base = Dedup.keepFirst(df, Seq("k"), Seq(col("prio"), col("id"))).collect().toSet
+    for (n <- Seq(1, 3, 13)) {
+      val shuffled = Dedup.keepFirst(df.repartition(n), Seq("k"), Seq(col("prio"), col("id")))
+      assert(shuffled.collect().toSet === base, s"repartition($n)")
+    }
+  }
+
   test("keepFirst is idempotent") {
     val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "v")
     val once  = Dedup.keepFirst(df, Seq("k"), Seq(col("v")))

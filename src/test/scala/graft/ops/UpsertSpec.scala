@@ -54,6 +54,16 @@ class UpsertSpec extends SparkSpec {
     })
   }
 
+  test("property: merge result is invariant under input partitioning") {
+    holds(Prop.forAll(rowsGen, rowsGen) { (oldRows, newRows) =>
+      val t = table(oldRows); val x = table(newRows)
+      Upsert.updateWins(t.repartition(7), x.repartition(3), Seq("id")).collect().toSet ==
+        Upsert.updateWins(t, x, Seq("id")).collect().toSet &&
+      Upsert.ignoreNew(t.repartition(5), x.repartition(2), Seq("id")).collect().toSet ==
+        Upsert.ignoreNew(t, x, Seq("id")).collect().toSet
+    })
+  }
+
   test("property: both modes emit exactly one row per key in old ∪ new") {
     holds(Prop.forAll(rowsGen, rowsGen) { (oldRows, newRows) =>
       val keys = (oldRows.map(_._1) ++ newRows.map(_._1)).toSet
