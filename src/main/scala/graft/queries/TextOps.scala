@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, d01, d02)
+  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -174,6 +174,90 @@ object TextOps {
       SELECT doc_id, n_bpe_tokens, n_ws_tokens,
              round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE), 4) AS bpe_per_word
       FROM t
+      ORDER BY doc_id"""))
+
+  /** Character-n-gram language ID — the n-gram-profile heuristic
+    * (vs t03's marker words): counts of language-characteristic
+    * bigrams, winner by deterministic priority. Codegen'd
+    * regexp_count; no tokenization pass at all. */
+  val t06 = QueryDef(
+    "t06_lang_ngram",
+    (s, d) => {
+      def grams(gs: Seq[String]) = gs.map(g =>
+        regexp_count(lower(col("text")), lit(g))).reduce(_ + _)
+      val gEn = grams(Seq("th", "he", "ing"))
+      val gDe = grams(Seq("ch", "ei", "und"))
+      val gFr = grams(Seq("ou", "es", "ent"))
+      val gEs = grams(Seq("os", "la", "ción"))
+      val guess = when(gEn >= gDe && gEn >= gFr && gEn >= gEs && gEn > 0, "en")
+        .when(gDe >= gFr && gDe >= gEs && gDe > 0, "de")
+        .when(gFr >= gEs && gFr > 0, "fr")
+        .when(gEs > 0, "es")
+        .otherwise("unknown")
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          gEn.as("g_en"), gDe.as("g_de"), gFr.as("g_fr"), gEs.as("g_es"),
+          guess.as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), 'th')) + len(regexp_extract_all(lower(text), 'he')) + len(regexp_extract_all(lower(text), 'ing')) AS g_en,
+               len(regexp_extract_all(lower(text), 'ch')) + len(regexp_extract_all(lower(text), 'ei')) + len(regexp_extract_all(lower(text), 'und')) AS g_de,
+               len(regexp_extract_all(lower(text), 'ou')) + len(regexp_extract_all(lower(text), 'es')) + len(regexp_extract_all(lower(text), 'ent')) AS g_fr,
+               len(regexp_extract_all(lower(text), 'os')) + len(regexp_extract_all(lower(text), 'la')) + len(regexp_extract_all(lower(text), 'ción')) AS g_es
+        FROM documents)
+      SELECT doc_id, lang, g_en, g_de, g_fr, g_es,
+             CASE WHEN g_en >= g_de AND g_en >= g_fr AND g_en >= g_es AND g_en > 0 THEN 'en'
+                  WHEN g_de >= g_fr AND g_de >= g_es AND g_de > 0 THEN 'de'
+                  WHEN g_fr >= g_es AND g_fr > 0 THEN 'fr'
+                  WHEN g_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS lang_guess
+      FROM c
+      ORDER BY doc_id"""))
+
+  /** Winnowing-style rolling-hash fingerprint: every 8-char window of
+    * the normalized text hashes portably (md5-derived), and the 4
+    * smallest window hashes form the document's fingerprint — robust
+    * to local edits (only windows covering the edit change, and mins
+    * rarely do), unlike t04's whole-text digest. One explode + one
+    * min-sort aggregation; linear at any scale. */
+  val t07 = QueryDef(
+    "t07_rolling_fingerprint",
+    (s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("t"))
+        .filter(length(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")).as("w"))
+      wins
+        .select(col("doc_id"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy("doc_id")
+        .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("mins"))
+        .select(col("doc_id"), concat_ws(",", col("mins")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents),
+      wins AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(t) - 6),
+               i -> substr(t, CAST(i AS INT), 8))) AS w
+        FROM n WHERE length(t) >= 8),
+      hs AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM wins),
+      mins AS (
+        SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM hs)
+      SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+      FROM mins WHERE rn <= 4
+      GROUP BY doc_id
       ORDER BY doc_id"""))
 
   /** Exact dedup: hash-groupBy on the normalized fingerprint; canonical
