@@ -14,7 +14,8 @@ import QueryDef.{dsum, dsumSql}
   */
 object Scalars {
 
-  def defs: Seq[QueryDef] = Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29)
+  def defs: Seq[QueryDef] =
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -220,6 +221,54 @@ object Scalars {
         .orderBy(col("l_returnflag"))
     },
     None)
+
+  /** Hierarchical totals in one pass: ROLLUP over (returnflag,
+    * linestatus) emits leaf, subtotal, and grand-total rows with a
+    * grouping marker — the OLAP-cube family the reference approximates
+    * with separate dashboard queries. One shuffle for all levels
+    * (partial aggregation covers every grouping set). */
+  val q31 = QueryDef(
+    "q31_rollup_revenue",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_extendedprice")} AS revenue,
+             count(*) AS n_rows,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS lvl
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY lvl, l_returnflag, l_linestatus"""))
+
+  /** Exact percentiles (linear interpolation) of order totals per
+    * status — distribution profiling. Exact sort-based percentile
+    * (both engines interpolate identically over the sorted set);
+    * approx_percentile is the sketch alternative at extreme scale. */
+  val q32 = QueryDef(
+    "q32_percentiles",
+    (s, d) => {
+      val o = graft.Tables.orders(s, d)
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
