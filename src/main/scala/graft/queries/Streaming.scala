@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02)
+  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04)
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(
@@ -70,4 +70,60 @@ object Streaming {
       FROM s
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
+
+  /** Sliding (hopping) windows: 2-hour windows every hour — each event
+    * contributes to two overlapping windows. Spark's `window(ts, dur,
+    * slide)`; the oracle replays by fanning each event to its two
+    * window starts. Same code works under readStream unchanged. */
+  val st03 = QueryDef(
+    "st03_sliding_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+      w AS (SELECT unnest([h, h - INTERVAL 1 HOUR]) AS window_start, event_type FROM e)
+      SELECT window_start, event_type, count(*) AS n_events
+      FROM w GROUP BY 1, 2
+      ORDER BY window_start, event_type"""))
+
+  /** Built-in session windows: `session_window(ts, gap)` merges events
+    * with inter-arrival gap < 30 min per user; window end = last event
+    * + gap (Spark's definition — the oracle reproduces min(ts) and
+    * max(ts)+gap via the lag+cumsum rewrite, new session when
+    * gap >= 30 min). The streaming form is the same expression under
+    * readStream; [[st02]]/[[graft.streaming.Streams.sessionize]] are
+    * the hand-rolled equivalents. */
+  val st04 = QueryDef(
+    "st04_session_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, ts FROM events),
+      g AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM e),
+      s AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
 }
