@@ -25,7 +25,7 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -539,4 +539,27 @@ object Relational {
       FROM events e
       ASOF JOIN ot ON e.user_id = ot.user_id AND epoch_us(e.ts) >= ot.t_us
       ORDER BY e.event_id"""))
+
+  /** The custom TopKPerKey physical operator (graft.plans), driver-
+    * verified: top-3 orders per customer by price via bounded heaps —
+    * the oracle replays it as the window formulation it replaces.
+    * Full (price DESC, orderkey) tiebreak makes the top-k set unique. */
+  val q33 = QueryDef(
+    "q33_topk_operator",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      graft.plans.TopK.perKey(o,
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
 }
