@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, d03, d04, d05)
+  def defs: Seq[QueryDef] = Seq(s01, s02, d03, d04, d05, d06)
 
   /** Portable 60-bit hash: first 15 hex chars of md5. */
   private def h60(c: Column): Column =
@@ -151,9 +151,9 @@ object Similarity {
     * stay below p, never wrapping), collapsing all K minhashes onto
     * the same argmin shingle. Constants are interpolated into both
     * plans from the same seed, so the oracle replays it verbatim. */
-  private val MINHASH_K = 16
-  private val MINHASH_P = 2305843009213693951L // 2^61 - 1
-  private val (minhashA, minhashB) = {
+  private[queries] val MINHASH_K = 16
+  private[queries] val MINHASH_P = 2305843009213693951L // 2^61 - 1
+  private[queries] val (minhashA, minhashB) = {
     val rnd = new java.util.Random(2024)
     (Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong),
       Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong))
@@ -320,4 +320,51 @@ object Similarity {
       SELECT label, vec_a, vec_b, cosine
       FROM p WHERE cosine >= 0.35
       ORDER BY label, vec_a, vec_b"""))
+
+  /** Minhash signatures via the custom TypedImperativeAggregate
+    * ([[graft.functions.MinHashSigAgg]]): one primitive Array[Long]
+    * buffer per doc instead of K aggregate lanes. Driver-verified —
+    * the oracle computes the identical signature with per-lane mins,
+    * so the imperative buffer path is hash-checked end to end. */
+  val d06 = QueryDef(
+    "d06_minhash_agg",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
+      val sh = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
+        .distinct()
+      val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
+      val hashed = sh.withColumn("hs",
+        zip_with(typedlit(minhashA), typedlit(minhashB),
+          (a, b) => pmod(a * h1 + b * h2, lit(MINHASH_P))))
+      hashed.groupBy("doc_id")
+        .agg(graft.functions.MinHashSigAgg.minhashSig(col("hs"), MINHASH_K).as("sig"))
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("signature"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val aList = minhashA.mkString("[", ",", "]")
+      val bList = minhashB.mkString("[", ",", "]")
+      val lanes = (1 to MINHASH_K).map(i => s"min(hs[$i])").mkString(" || ',' || ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+          FROM big)),
+      hashed AS (
+        SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
+                 i -> ($aList[i] * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                       + $bList[i] * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)) % $MINHASH_P) AS hs
+        FROM sh)
+      SELECT doc_id, $lanes AS signature
+      FROM hashed
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
 }

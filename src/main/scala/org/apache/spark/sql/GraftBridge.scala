@@ -19,4 +19,8 @@ object GraftBridge {
     * UnresolvedAttributes). */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst Expression → Column (for custom aggregate expressions). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
