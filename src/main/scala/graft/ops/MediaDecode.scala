@@ -34,6 +34,23 @@ object MediaDecode {
     MediaMeta(id, bytes.length, sha, width, height, format)
   }
 
+  /** Extracted feature row: 8 pseudo-embedding dims in [0,1). */
+  final case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** ==== STUB ==== Feature extraction (the embed step of a multimodal
+    * retrieval pipeline). A real implementation runs a vision/audio
+    * encoder over the decoded payload; the stub derives 8 deterministic
+    * dims from sha-256 32-bit slices scaled to [0,1) — replayable in
+    * SQL, so the decode→embed→search composition is oracle-checked.
+    */
+  def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val sha = sha256Hex(bytes)
+    val feats = Array.tabulate(8) { i =>
+      java.lang.Long.parseLong(sha.substring(i * 8, i * 8 + 8), 16).toDouble / 4294967296.0
+    }
+    MediaFeatures(id, feats)
+  }
+
   /** Resized-image metadata row. */
   final case class ResizedMeta(
       doc_id: Long, width: Int, height: Int,

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 
   /** Decode metadata for a batch of media payloads (documents.text
     * bytes stand in for image blobs). */
@@ -107,4 +107,47 @@ object Multimodal {
              unnest(range(0, n_sampled)) * 64 AS byte_offset
       FROM s
       ORDER BY doc_id, frame_idx"""))
+
+  /** The full multimodal retrieval composition: decode → feature-
+    * extract (batched mapPartitions, stub encoder) → cosine scoring
+    * against a probe vector through the native [[graft.functions
+    * .DotProduct]] expression → top-20. Swapping the stub for a real
+    * encoder changes nothing downstream. */
+  val m04 = QueryDef(
+    "m04_media_feature_search",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val probe = Seq(0.5, 0.25, 0.75, 0.1, 0.9, 0.33, 0.66, 0.4)
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val feats = media.mapPartitions { batch =>
+        batch.map { case (id, bytes) => graft.ops.MediaDecode.featureStub(id, bytes) }
+      }.toDF()
+      val dot = graft.functions.GraftFunctions.dot(col("features"), typedlit(probe))
+      val pn = math.sqrt(probe.map(x => x * x).sum)
+      val fn = sqrt(graft.functions.GraftFunctions.dot(col("features"), col("features")))
+      feats
+        .withColumn("cosine", round(dot / (fn * lit(pn)), 6))
+        .orderBy(col("cosine").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("cosine"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                 i -> CAST(CAST(concat('0x', substr(sha256(text), i*8 + 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0) AS features
+        FROM documents),
+      p AS (SELECT [0.5, 0.25, 0.75, 0.1, 0.9, 0.33, 0.66, 0.4] AS probe),
+      scored AS (
+        SELECT doc_id,
+               round(list_dot_product(features, probe) /
+                     (sqrt(list_dot_product(features, features)) * sqrt(list_dot_product(probe, probe))), 6) AS cosine
+        FROM f, p)
+      SELECT doc_id, cosine
+      FROM scored
+      ORDER BY cosine DESC, doc_id
+      LIMIT 20"""))
 }
