@@ -70,10 +70,12 @@ object Dims {
     val games = Dedup.keepFirst(
       teamMatch.select(col("game"), col("date"), col("round"), col("day")),
       Seq("game"), Seq(col("date").asc_nulls_last, col("game")))
-    // phase 1: provisional ids over all games (reproduces :351)
+    // phase 1: provisional ids over all games (reproduces :351).
+    // round stays RAW here ("Matchweek 23") — the reference zero-fills
+    // only in the fact builder (:482); their committed dim_match.csv
+    // carries the raw label.
     val phase1 = Ids.sequential(games, Seq(col("game")), "game_id")
       .withColumn("date", Normalize.datePart(col("date")))
-      .withColumn("round", Normalize.roundLabel(col("round")))
     // phase 2: date filter then RE-assign (reproduces :364-372)
     Ids.sequential(phase1.na.drop(Seq("date")).drop("game_id"),
         Seq(col("game")), "game_id")

@@ -18,8 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Facts {
 
+  /** The reference's team-name variant map (Transform.py:407-423),
+    * applied after lowercasing and BEFORE suffix cleaning — the exact
+    * order its fact builder uses. */
+  private[model] val teamNameVariants: Map[String, String] = Map(
+    "brighton & hove albion" -> "brighton",
+    "manchester united" -> "manchester utd",
+    "newcastle united" -> "newcastle utd",
+    "sheffield united" -> "sheffield utd",
+    "tottenham hotspur" -> "tottenham",
+    "west bromwich albion" -> "west brom",
+    "west ham united" -> "west ham",
+    "wolverhampton wanderers" -> "wolves",
+    "nottingham forest" -> "nott'ham forest",
+    "sunderland a." -> "sunderland",
+    "sunderland a f c" -> "sunderland")
+
   private def normed(c: String): org.apache.spark.sql.Column =
-    Normalize.normKey(Normalize.cleanClubName(col(c)))
+    Normalize.normKey(Normalize.cleanClubName(
+      Normalize.mapValues(Normalize.normKey(col(c)), teamNameVariants)))
 
   /** fact_team_match (Transform.py:378-508): captain→player, team and
     * opponent→role-playing dim_team joins, game→dim_match; two-stage

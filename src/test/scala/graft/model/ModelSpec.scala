@@ -66,7 +66,7 @@ class ModelSpec extends SparkSpec {
     // ids are 1..2 (contiguous AFTER the drop — not 1,3)
     assert(dm.map(r => (r.getInt(0), r.getString(1))).toSeq ===
       Seq((1, "2026-01-24 A-B"), (2, "2026-02-01 E-F")))
-    assert(dm(0).getString(3) === "03") // round zfill
+    assert(dm(0).getString(3) === "Matchweek 3") // raw label (zfill is fact-side)
   }
 
   private def starInputs = {
