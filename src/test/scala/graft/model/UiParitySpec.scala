@@ -1,0 +1,168 @@
+package graft.model
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** "A user of the reference could switch": the reference's own
+  * dashboard queries (scr/ui.py), run as SQL text over its committed
+  * warehouse tables, must produce exactly what our DataFrame pipelines
+  * produce on the same inputs. SQL is adapted only in dialect
+  * (Postgres `"W"` quoting → backticks, %s params → literals).
+  * Row ORDER is canonicalized in the comparison; ordering semantics
+  * themselves are oracle-checked by the registry queries (O1–O4). */
+class UiParitySpec extends SparkSpec {
+
+  private val ref = "/root/reference/data_processed"
+  private def available = new java.io.File(ref).isDirectory
+
+  private val season = "2024-2025"
+  private val team = "Arsenal"
+
+  private def view(name: String, casts: Map[String, String] = Map.empty,
+                   file: String = ""): DataFrame = {
+    val f = if (file.nonEmpty) file else name
+    val raw = Sources.csvRaw(spark, s"$ref/$f.csv")
+    val typed = casts.foldLeft(raw) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t)) }
+    typed.createOrReplaceTempView(name)
+    typed
+  }
+
+  private def load(): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ftp = view("fact_team_point", Map("season_id" -> "int", "team_id" -> "int",
+      "Rank" -> "int", "MP" -> "int", "W" -> "int", "D" -> "int", "L" -> "int",
+      "GF" -> "int", "GA" -> "int", "GD" -> "int", "Pts" -> "int"))
+    val ftm = view("fact_team_match", Map("season" -> "int", "game_id" -> "int",
+      "team_id" -> "int", "opponent_id" -> "int", "GF" -> "double", "GA" -> "double"),
+      file = "fact_team_match_clean") // the warehouse name Load.py gives it
+    val dt = view("dim_team", Map("team_id" -> "int"))
+    val ds = view("dim_season", Map("season_id" -> "int"))
+    (ftp, ftm, dt, ds)
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "∅" else r.get(i).toString)).sortBy(_.mkString("|"))
+
+  test("get_teams (ui.py:133-141): distinct participating teams") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT DISTINCT dt.team_name
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season'
+      ORDER BY dt.team_name""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season)
+      .select("team_name").distinct().orderBy("team_name")
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20) // a full EPL season
+  }
+
+  test("get_team_kpis (ui.py:145-155): overall KPIs for one team") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT ftp.`W`, ftp.`D`, ftp.`L`, ftp.`GF`, ftp.`GA`, ftp.`Pts`, ftp.`Rank`
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season' AND dt.team_name = '$team'
+        AND LOWER(ftp.`Match_Category`) = 'overall'""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && col("team_name") === team &&
+        lower(col("Match_Category")) === "overall")
+      .select("W", "D", "L", "GF", "GA", "Pts", "Rank")
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 1)
+  }
+
+  test("home/away performance (ui.py:196-217): conditional-sum pivot") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT * FROM (
+        SELECT dt.team_name,
+               SUM(CASE WHEN LOWER(ftp.`Match_Category`) = 'home' THEN ftp.`Pts` ELSE 0 END) as home_pts,
+               SUM(CASE WHEN LOWER(ftp.`Match_Category`) = 'away' THEN ftp.`Pts` ELSE 0 END) as away_pts,
+               SUM(CASE WHEN LOWER(ftp.`Match_Category`) = 'home' THEN ftp.`W` ELSE 0 END) as home_wins,
+               SUM(CASE WHEN LOWER(ftp.`Match_Category`) = 'away' THEN ftp.`W` ELSE 0 END) as away_wins
+        FROM fact_team_point ftp
+        JOIN dim_team dt ON ftp.team_id = dt.team_id
+        JOIN dim_season ds ON ftp.season_id = ds.season_id
+        WHERE ds.season_name = '$season' AND LOWER(ftp.`Match_Category`) IN ('home', 'away')
+        GROUP BY dt.team_name
+      ) AS performance_summary
+      ORDER BY (performance_summary.home_pts + performance_summary.away_pts) DESC""")
+    def csum(cat: String, c: String) =
+      sum(when(lower(col("Match_Category")) === cat, col(c)).otherwise(0))
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season &&
+        lower(col("Match_Category")).isin("home", "away"))
+      .groupBy("team_name")
+      .agg(csum("home", "Pts").as("home_pts"), csum("away", "Pts").as("away_pts"),
+        csum("home", "W").as("home_wins"), csum("away", "W").as("away_wins"))
+      .orderBy((col("home_pts") + col("away_pts")).desc)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20)
+  }
+
+  test("get_defensive_stats (ui.py:221-238): ROUND/CAST/NULLIF ratios") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT dt.team_name,
+             ftp.`GA` as goals_conceded,
+             ftp.`MP` as matches_played,
+             ROUND(CAST(ftp.`GA` AS DECIMAL) / NULLIF(ftp.`MP`, 0), 2) as avg_goals_conceded
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season' AND LOWER(ftp.`Match_Category`) = 'overall'
+      ORDER BY avg_goals_conceded ASC""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && lower(col("Match_Category")) === "overall")
+      .select(col("team_name"), col("GA").as("goals_conceded"),
+        col("MP").as("matches_played"),
+        round(col("GA").cast("decimal(10,0)") /
+          when(col("MP") === 0, lit(null)).otherwise(col("MP")), 2).as("avg_goals_conceded"))
+      .orderBy(col("avg_goals_conceded").asc)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20)
+  }
+
+  test("get_season_comparison (ui.py:256-271): per-season totals over the fact table") {
+    assume(available)
+    val (_, ftm, _, ds) = load()
+    val sql = spark.sql("""
+      SELECT ds.season_name,
+             COUNT(DISTINCT ftm.game_id) as total_matches,
+             SUM(ftm.`GF`) as total_goals,
+             ROUND(CAST(SUM(ftm.`GF`) AS DECIMAL) / NULLIF(COUNT(DISTINCT ftm.game_id), 0), 2) as avg_goals_per_match
+      FROM fact_team_match ftm
+      JOIN dim_season ds ON ftm.season = ds.season_id
+      GROUP BY ds.season_name
+      ORDER BY ds.season_name DESC""")
+    val ours = ftm
+      .join(broadcast(ds), ftm("season") === ds("season_id"))
+      .groupBy("season_name")
+      .agg(countDistinct("game_id").as("total_matches"),
+        sum("GF").as("total_goals"))
+      .select(col("season_name"), col("total_matches"), col("total_goals"),
+        round(col("total_goals").cast("decimal(10,0)") /
+          when(col("total_matches") === 0, lit(null)).otherwise(col("total_matches")), 2)
+          .as("avg_goals_per_match"))
+      .orderBy(col("season_name").desc)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() >= 5)
+  }
+}
