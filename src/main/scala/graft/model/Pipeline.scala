@@ -75,7 +75,17 @@ object Pipeline {
           else Upsert.ignoreNew(existing, incoming, keys(name))
         }
       val tmp = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_tmp")
-      Sources.writeParquet(merged, tmp.toString)
+      // facts are laid out partitioned by season: incremental seasons
+      // land in their own directories and season-filtered reads prune
+      // to one partition (SURVEY §7.3 (7); asserted in PipelineSpec)
+      val writer = merged.write.mode("overwrite")
+      val partitioned =
+        if (!name.startsWith("dim_") && merged.columns.contains("season"))
+          writer.partitionBy("season")
+        else if (!name.startsWith("dim_") && merged.columns.contains("season_id"))
+          writer.partitionBy("season_id")
+        else writer
+      partitioned.parquet(tmp.toString)
       fs.delete(path, true)
       fs.rename(tmp, path)
     }

@@ -39,6 +39,18 @@ class PipelineSpec extends SparkSpec {
     assert(counts2 === counts1)
   }
 
+  test("facts are written partitioned by season and prune on a season filter") {
+    val wh = Files.createTempDirectory("graft-wh3").toString
+    Pipeline.load(spark, wh, Pipeline.buildStar(spark, rawInputs("Bukayo Saka")))
+    val dirs = new java.io.File(s"$wh/fact_team_match").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("season=")), dirs.mkString(","))
+    val read = spark.read.parquet(s"$wh/fact_team_match").filter($"season" === 2526)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(season"), plan.take(800))
+    assert(read.count() === 1)
+  }
+
   test("dims update-wins, facts ignore-new across loads") {
     val wh = Files.createTempDirectory("graft-wh2").toString
     Pipeline.load(spark, wh, Pipeline.buildStar(spark, rawInputs("Bukayo Saka")))

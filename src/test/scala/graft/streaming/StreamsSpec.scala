@@ -81,6 +81,29 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("stream-stream interval join matches clicks to impressions with bounded state") {
+    // clicks join impressions within [imp_ts, imp_ts + 10 min]; both
+    // sides watermarked so join state is evicted past the horizon
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val i = imps.toDS().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "5 minutes")
+    val c = clicks.toDS().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "5 minutes")
+    val joined = i.join(c,
+      org.apache.spark.sql.functions.expr(
+        "ad_id = c_ad_id AND click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTES"))
+    val name = s"ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(Seq((1L, ts(0)), (2L, ts(0))));   q.processAllAvailable()
+      clicks.addData(Seq((1L, ts(5)), (2L, ts(30)))); q.processAllAvailable() // ad 2 too late
+    } finally q.stop()
+    val matched = spark.table(name).select("ad_id").as[Long].collect().toSeq
+    assert(matched === Seq(1L)) // only the in-window click joins
+  }
+
   test("streaming hourlyTypeCounts equals the batch aggregation (events table)") {
     val streamed = hourlyTypeCounts(spark, s"$sfDir/events.parquet")
     val expected = graft.Tables.events(spark, sfDir)
