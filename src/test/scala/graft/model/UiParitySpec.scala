@@ -44,7 +44,13 @@ class UiParitySpec extends SparkSpec {
 
   private def rows(df: DataFrame): Seq[Seq[String]] =
     df.collect().toSeq.map(r => (0 until r.length).map(i =>
-      if (r.isNullAt(i)) "∅" else r.get(i).toString)).sortBy(_.mkString("|"))
+      if (r.isNullAt(i)) "∅"
+      else r.get(i) match {
+        // canonicalize doubles: SQL-text and DF plans may partial-sum
+        // in different orders (same engine, different plan shapes)
+        case d: java.lang.Double => f"$d%.6f"
+        case v => v.toString
+      })).sortBy(_.mkString("|"))
 
   test("get_teams (ui.py:133-141): distinct participating teams") {
     assume(available)
@@ -138,6 +144,117 @@ class UiParitySpec extends SparkSpec {
       .orderBy(col("avg_goals_conceded").asc)
     assert(rows(ours) === rows(sql))
     assert(sql.count() === 20)
+  }
+
+  test("get_seasons (ui.py:45-48): season list") {
+    assume(available)
+    val (_, _, _, ds) = load()
+    val sql = spark.sql("SELECT season_name FROM dim_season ORDER BY season_name DESC")
+    val ours = ds.select("season_name").orderBy(col("season_name").desc)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 6)
+  }
+
+  test("get_league_table (ui.py:51-72): full standings projection") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT ftp.`Rank`, dt.team_name AS team, ftp.`MP`, ftp.`W`, ftp.`D`,
+             ftp.`L`, ftp.`GF`, ftp.`GA`, ftp.`GD`, ftp.`Pts`
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season' AND ftp.`Match_Category` = 'overall'
+      ORDER BY ftp.`Rank`""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && col("Match_Category") === "overall")
+      .select(col("Rank"), col("team_name").as("team"), col("MP"), col("W"),
+        col("D"), col("L"), col("GF"), col("GA"), col("GD"), col("Pts"))
+      .orderBy("Rank")
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20)
+  }
+
+  test("get_top_bottom_performers (ui.py:296-316): points-ordered stat sheet") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT dt.team_name, ftp.`Pts`, ftp.`GF`, ftp.`GA`, ftp.`GD`,
+             ftp.`W`, ftp.`D`, ftp.`L`
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season' AND LOWER(ftp.`Match_Category`) = 'overall'
+      ORDER BY ftp.`Pts` DESC""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && lower(col("Match_Category")) === "overall")
+      .select(col("team_name"), col("Pts"), col("GF"), col("GA"), col("GD"),
+        col("W"), col("D"), col("L"))
+      .orderBy(col("Pts").desc)
+    assert(rows(ours) === rows(sql))
+  }
+
+  test("get_xg_vs_goals_data (ui.py:176-191): grouped sums + pandas-derived column") {
+    assume(available)
+    val (_, ftm, dt, ds) = load()
+    ftm.withColumn("xG", col("xG").cast("double")).createOrReplaceTempView("fact_team_match")
+    val sql = spark.sql(s"""
+      SELECT dt.team_name,
+             SUM(ftm.`GF`) as total_goals,
+             SUM(ftm.`xG`) as total_xg
+      FROM fact_team_match ftm
+      JOIN dim_team dt ON ftm.team_id = dt.team_id
+      JOIN dim_season ds ON ftm.season = ds.season_id
+      WHERE ds.season_name = '$season'
+      GROUP BY dt.team_name""")
+      .withColumn("performance", col("total_goals") - col("total_xg")) // ui.py:190 pandas step
+    val ours = ftm.withColumn("xG", col("xG").cast("double"))
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(ds), ftm("season") === ds("season_id"))
+      .filter(col("season_name") === season)
+      .groupBy("team_name")
+      .agg(sum("GF").as("total_goals"), sum("xG").as("total_xg"))
+      .withColumn("performance", col("total_goals") - col("total_xg"))
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20)
+  }
+
+  test("get_team_recent_form (ui.py:273-292): last-5 matches via warehouse-named dims") {
+    assume(available)
+    val (_, ftm, dt, ds) = load()
+    // Load.py renames dim_match columns at the warehouse boundary
+    // (game_id→match_id, game→match_name, date→match_date; :137-146)
+    Sources.csvRaw(spark, s"$ref/dim_match.csv")
+      .select(col("game_id").cast("int").as("match_id"),
+        col("game").as("match_name"), col("date").cast("date").as("match_date"))
+      .createOrReplaceTempView("dim_match")
+    val sql = spark.sql(s"""
+      SELECT dm.match_date, o_dt.team_name as opponent_name, ftm.venue,
+             ftm.result, ftm.`GF` as goals_for, ftm.`GA` as goals_against
+      FROM fact_team_match ftm
+      JOIN dim_team dt ON ftm.team_id = dt.team_id
+      JOIN dim_team o_dt ON ftm.opponent_id = o_dt.team_id
+      JOIN dim_season ds ON ftm.season = ds.season_id
+      JOIN dim_match dm ON ftm.game_id = dm.match_id
+      WHERE ds.season_name = '$season' AND dt.team_name = '$team'
+      ORDER BY dm.match_date DESC
+      LIMIT 5""")
+    val dm = spark.table("dim_match")
+    val odt = dt.select(col("team_id").as("opponent_id"), col("team_name").as("opponent_name"))
+    val ours = ftm
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(odt), "opponent_id")
+      .join(broadcast(ds), ftm("season") === ds("season_id"))
+      .join(broadcast(dm), ftm("game_id") === dm("match_id"))
+      .filter(col("season_name") === season && col("team_name") === team)
+      .select(col("match_date"), col("opponent_name"), col("venue"),
+        col("result"), col("GF").as("goals_for"), col("GA").as("goals_against"))
+      .orderBy(col("match_date").desc)
+      .limit(5)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 5)
   }
 
   test("get_season_comparison (ui.py:256-271): per-season totals over the fact table") {
