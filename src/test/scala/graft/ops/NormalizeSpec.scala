@@ -65,4 +65,20 @@ class NormalizeSpec extends SparkSpec {
     assert(eval1(Seq("7", "7.9", "x"), Normalize.tryInt) === Seq(7, null, null))
     assert(eval1(Seq("7.5", "x"), Normalize.tryDouble) === Seq(7.5, null))
   }
+
+  test("property: cleanClubName is idempotent (scrubbing never creates new suffixes)") {
+    val rnd = new scala.util.Random(11)
+    val frags = Seq("united", "f.c.", "city", "afc", "a.", "rovers", "fc", "albion", "&")
+    val names = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(4))(
+      frags(rnd.nextInt(frags.length))).mkString(" "))
+    val once  = eval1(names, Normalize.cleanClubName)
+    val twice = once.map(v => if (v == null) Seq(null) else Seq(v.toString))
+      .flatten.map(_.asInstanceOf[String])
+    assert(eval1(twice, Normalize.cleanClubName) === once)
+  }
+
+  test("property: convertSeason equals last-2-digit concatenation on well-formed inputs") {
+    val pairs = for (y <- 1995 to 2030) yield (s"$y-${y + 1}", ((y % 100) * 100 + (y + 1) % 100))
+    assert(eval1(pairs.map(_._1), Normalize.convertSeason) === pairs.map(_._2))
+  }
 }
