@@ -129,9 +129,9 @@ object Relational {
     Some("""
       SELECT user_id,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       FROM events
       GROUP BY user_id
       ORDER BY user_id"""))

@@ -285,7 +285,7 @@ object Scalars {
     },
     Some("""
       SELECT event_type,
-             sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS k_sum,
+             CAST(sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS k_sum,
              count(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS k_count
       FROM events
       GROUP BY event_type

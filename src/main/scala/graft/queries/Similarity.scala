@@ -289,7 +289,7 @@ object Similarity {
         SELECT doc_id, j,
                CASE WHEN sum(vote) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
         FROM votes GROUP BY doc_id, j)
-      SELECT doc_id, sum(bit) AS simhash16
+      SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash16
       FROM bits GROUP BY doc_id
       ORDER BY doc_id"""))
 

@@ -54,16 +54,16 @@ object Streaming {
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
       g AS (
-        SELECT user_id, ts_us,
+        SELECT user_id, event_id, ts_us,
                ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
         FROM e),
       s AS (
         SELECT user_id, ts_us,
                sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts_us
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM g)
-      SELECT user_id, session_id,
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              make_timestamp(min(ts_us)) AS session_start,
              make_timestamp(max(ts_us)) AS session_end,
              count(*) AS n_events
@@ -111,13 +111,13 @@ object Streaming {
     Some("""
       WITH e AS (SELECT user_id, event_id, ts FROM events),
       g AS (
-        SELECT user_id, ts,
+        SELECT user_id, event_id, ts,
                epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         FROM e),
       s AS (
         SELECT user_id, ts,
                sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM g)
       SELECT user_id, min(ts) AS session_start,

@@ -37,6 +37,15 @@ def main():
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
+            # HUGEINT guard: DuckDB sum(BIGINT) yields HUGEINT, which the
+            # driver's hasher encodes differently from Spark's int64 even
+            # when the values agree — cost us 4 queries in round 1.
+            types = con.execute(f"DESCRIBE {sql}").fetchall()
+            hug = [r[0] for r in types if "HUGEINT" in r[1]]
+            if hug:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug}; CAST to BIGINT")
+                n_bad += 1
+                continue
             sp = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
             sp_cols = [c[0] for c in sp.description]
             sp_rows = sp.fetchall()
