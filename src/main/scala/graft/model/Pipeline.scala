@@ -86,8 +86,21 @@ object Pipeline {
           writer.partitionBy("season_id")
         else writer
       partitioned.parquet(tmp.toString)
-      fs.delete(path, true)
-      fs.rename(tmp, path)
+      // failure-safe swap: move the live table aside, rename the temp
+      // dir in, only then drop the old copy — a crash or failed rename
+      // at any step leaves either the old or the new table readable
+      val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_old")
+      if (fs.exists(old) && !fs.delete(old, true))
+        sys.error(s"load: failed to clear stale backup $old")
+      val hadPrev = fs.exists(path)
+      if (hadPrev && !fs.rename(path, old))
+        sys.error(s"load: failed to move live table $path aside")
+      if (!fs.rename(tmp, path)) {
+        if (hadPrev) fs.rename(old, path) // restore previous table
+        sys.error(s"load: failed to swap $tmp into $path")
+      }
+      if (hadPrev && !fs.delete(old, true))
+        sys.error(s"load: swapped $name but failed to remove backup $old")
     }
   }
 }

@@ -29,7 +29,14 @@ object Streams {
     * than the final watermark — correct unbounded behavior, but not
     * batch-replayable.)
     */
+  /** One symlink dir per source file, reused across invocations so
+    * repeated runs (bench warmup+timed, specs, Verify) don't accumulate
+    * temp directories. */
+  private val srcDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     // watermarks require TIMESTAMP (not NTZ); with session TZ=UTC the
@@ -40,11 +47,12 @@ object Streams {
     val srcDir = {
       val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
       if (java.nio.file.Files.isDirectory(p)) eventsDir
-      else {
+      else srcDirCache.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
         val dir = java.nio.file.Files.createTempDirectory("graft-stream")
         java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toFile.deleteOnExit()
         dir.toString
-      }
+      })
     }
     val stream = spark.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
@@ -60,9 +68,18 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // materialize the (small, aggregated) result off the memory sink so
+    // the sink table and the temporarily-set conf can be released
+    val result = spark.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    // restore an explicit prior value; if unset before, leave it set —
+    // parquet scans plan at action time, so unsetting here would break
+    // any lazily-built events DataFrame executed after this call
+    prevNanos.foreach(v => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v))
+    result
   }
 
   // ---- stateful sessionization ----
