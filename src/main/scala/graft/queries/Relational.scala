@@ -36,10 +36,18 @@ object Relational {
       val li = Tables.lineitem(s, d)
       val o  = Tables.orders(s, d)
       val c  = Tables.customer(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // aggregate pushed below the join: revenue partial-sums per
+      // order BEFORE joining orders/customer, so the join and the
+      // customer shuffle carry one row per order, not per lineitem
+      // (Catalyst has no aggregate-pushdown rule; the regrouping is
+      // exact — decimal partial sums are associative)
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev"))
+      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
         .filter(col("revenue") > 0)
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)

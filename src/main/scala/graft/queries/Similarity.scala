@@ -164,7 +164,8 @@ object Similarity {
     * signature → exact Jaccard verification on candidates only.
     *
     * Shuffle budget (the 100 TB view): one shuffle to min-aggregate
-    * signatures per doc (16 aggregate columns — no 16× row explosion),
+    * signatures per doc (one Array[Long] imperative buffer — no 16×
+    * row explosion),
     * one for the band-bucket equality join, and a verification join
     * restricted by semi-join to candidate docs only (without that
     * restriction the verify step IS the quadratic join LSH exists to
@@ -172,31 +173,33 @@ object Similarity {
   val d03 = QueryDef(
     "d03_minhash_lsh",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
-      // sh feeds both the signature path and the verification path;
-      // cand is referenced three times downstream. Persist both —
-      // without it Spark re-derives the full shingling lineage per use
-      // (at 100 TB these would be materialized to parquet instead).
-      val sh = toks.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the shared materialized shingle table ([[Shingles.shingled]])
+      // feeds both the signature path and the verification path here,
+      // and is reused by d02/d06 in the same session
+      val sh = Shingles.shingled(s, d)
       val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
       val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
-      val hashed = sh.withColumn("hs",
-        zip_with(typedlit(minhashA), typedlit(minhashB),
-          (a, b) => pmod(a * h1 + b * h2, lit(MINHASH_P))))
-      val minAggs = (0 until MINHASH_K).map(i =>
-        min(element_at(col("hs"), i + 1)).as(s"mh$i"))
-      val minh = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      // K lanes are expanded INSIDE the imperative aggregate
+      // ([[graft.functions.MinHashPairAgg]]): the per-shingle K-element
+      // array, its zip_with HOF (interpreted, off the codegen path) and
+      // K pmod expressions never materialize — each input row is two
+      // codegen'd md5 slices, the lane math is tight JVM long
+      // arithmetic in update(). Identical modular formula → same
+      // signatures the oracle computes lane-by-lane.
+      val minh = sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+        .groupBy("doc_id")
+        .agg(graft.functions.MinHashPairAgg
+          .minhashPairSig(col("h1"), col("h2"), minhashA, minhashB, MINHASH_P).as("sig"))
+      // band signature = the 4 raw lane longs, joined as 4 key columns
+      // (cheaper to hash/compare/shuffle than a concat'd string sig)
+      val laneCols = Seq("l0", "l1", "l2", "l3")
       val bands = minh.select(col("doc_id"), explode(array((0 until MINHASH_K / 4).map(b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*).as("sig"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-      val cand = ba.join(bb, Seq("band", "sig"))
+          struct(lit(b).as("band") +: (0 until 4).map(r =>
+            element_at(col("sig"), 4 * b + r + 1).as(laneCols(r))): _*)): _*)).as("bs"))
+        .select(col("doc_id") +: (("band" +: laneCols).map(f => col(s"bs.$f").as(f))): _*)
+      val ba = bands.select(col("doc_id").as("doc_a") +: ("band" +: laneCols).map(col): _*)
+      val bb = bands.select(col("doc_id").as("doc_b") +: ("band" +: laneCols).map(col): _*)
+      val cand = ba.join(bb, "band" +: laneCols)
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       // exact-Jaccard verification WITHOUT a shingle self-join: each
@@ -329,11 +332,7 @@ object Similarity {
   val d06 = QueryDef(
     "d06_minhash_agg",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
-      val sh = toks.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
-        .distinct()
+      val sh = Shingles.shingled(s, d)
       val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
       val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
       val hashed = sh.withColumn("hs",

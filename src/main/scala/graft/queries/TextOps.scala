@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + document-dedup operators for the LLM-training-data
@@ -286,24 +287,27 @@ object TextOps {
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens.as("w"))
-        .filter(size(col("w")) >= 3)
-      val sh = toks.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
-        .distinct()
+      val sh = Shingles.shingled(s, d)
+        // all downstream shuffles (df cap, inverted-index self-join)
+        // carry a fixed 8-byte fingerprint instead of the shingle
+        // string — the 100 TB design: join on hashes, not raw text
+        // (first 15 md5 hex chars → 60-bit long; collision odds
+        // ~n²/2^61, negligible)
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kept = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 20)
-        .select("shingle")
+      // df cap via a count window: one shuffle on sh, no join-back;
       // referenced by cnt and both join sides — persist or the whole
       // shingling lineage re-executes three times
-      val sh2 = sh.join(kept, "shingle")
+      val sh2 = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") >= 2 && col("df") <= 20)
+        .select("doc_id", "sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh2.select(col("doc_id").as("doc_b"), col("shingle"))
-      val pairs = a.join(b, Seq("shingle"))
+      val a = sh2.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh2.select(col("doc_id").as("doc_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
