@@ -15,8 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * vs K separate `min(hs[i])` aggregate columns: one buffer per group
   * instead of K SpecificInternalRow slots, one array read per input
   * row instead of K `element_at` probes, and a fixed 8K-byte shuffle
-  * payload. Used standalone (q34); d03 keeps the lane form as the
-  * pure-built-in reference.
+  * payload. Used by d06_minhash_agg as the array-consuming reference
+  * form; [[MinHashPairAgg]] is the hot-path variant d03 uses.
   */
 case class MinHashSigAgg(
     child: Expression, k: Int,
