@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, d03, d04, d05, d06, q34)
+  def defs: Seq[QueryDef] = Seq(s01, s02, d03, d04, d05, d06)
 
   /** Portable 60-bit hash: first 15 hex chars of md5. */
   private def h60(c: Column): Column =
