@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
 case class VecSumAgg(child: Expression, dim: Int)
     extends DeclarativeAggregate {
 
-  /** DECIMAL(28,6): float inputs round identically in Spark and
-    * DuckDB at 6 fractional digits, and 28 integer+fraction digits
-    * absorb ~10^15 rows of |x| ≤ 10^6 without overflow. */
+  /** DECIMAL(28,6): 28 integer+fraction digits absorb ~10^15 rows of
+    * |x| ≤ 10^6 without overflow. Oracle parity trap (hit in round 3):
+    * Spark casts FLOAT→DECIMAL by widening to double first, while
+    * DuckDB's direct FLOAT→DECIMAL multiplies in float arithmetic and
+    * rounds differently ~20% of the time at 6 digits — oracle SQL must
+    * spell CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)). */
   private val elemType = DecimalType(28, 6)
   private val arrType = ArrayType(elemType, containsNull = true)
 

@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, d03, d04, d05, d06)
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, d03, d04, d05, d06, q34)
+
+  /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
+    * fixed 64-lane float vector). */
+  private[queries] val EMB_DIM = 64
 
   /** Portable 60-bit hash: first 15 hex chars of md5. */
   private def h60(c: Column): Column =
@@ -107,7 +111,7 @@ object Similarity {
     * Approximate → no SQL oracle; recall vs exact baseline is asserted
     * in SimilaritySpec. */
   val s02 = QueryDef(
-    "s02_cosine_topk_ivf",
+    "s02_cosine_topk_lsh",
     (s, d) => {
       val B = 4; val P = 4; val dim = 64
       val rnd = new java.util.Random(7)
@@ -139,6 +143,135 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     },
     None)
+
+  /** IVF ANN — the second bucketed scale path next to [[s02]]'s LSH:
+    * a coarse quantizer of C per-label centroids (decimal-exact lane
+    * sums via [[graft.functions.VecSumAgg]] → double), every vector
+    * assigned to its nearest cell, queries probing the NPROBE=3
+    * nearest cells, exact cosine rerank inside probed cells only.
+    *
+    * Unlike s02 (seeded-random hyperplanes, spec-checked recall), the
+    * whole pipeline is deterministic arithmetic the oracle replays
+    * verbatim: centroid lanes are exact decimals cast to double, and
+    * cosine keeps the shared dot/(n·n) DAG — so this ANN variant gets
+    * a full hash-compared SQL oracle.
+    *
+    * 100 TB shape: centroid build is one groupBy over C cells
+    * (constant-width decimal buffers, map-side combined); assignment
+    * is N·C codegen'd dot products against a broadcast centroid table
+    * plus one window shuffle on vec_id (at extreme scale the argmin
+    * collapses to a max_by aggregate — same shuffle key); the probe
+    * join is an equi-join on cell. No stage is quadratic in N. A hot
+    * cell is the residual risk — the mitigation is sub-bucketing hot
+    * cells with s02's hyperplane signatures, the same pattern d05
+    * uses for hot labels. */
+  val s03 = QueryDef(
+    "s03_cosine_topk_ivf",
+    (s, d) => {
+      val NPROBE = 3
+      val e = docVectors(s, d)
+      val cent = Tables.embeddings(s, d)
+        .select(col("label").as("cell"),
+          transform(col("embedding"),
+            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+        .groupBy("cell")
+        .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
+          count(lit(1)).as("nv"))
+        .select(col("cell"),
+          transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      val ranked = e.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("crn", row_number().over(wAssign))
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv2"), col("n").as("nn"))
+      val probes = ranked
+        .filter((col("crn") <= NPROBE) && (col("vec_id") % 50 === 0))
+        .select(col("cell"), col("vec_id").as("query_id"),
+          col("v").as("qv"), col("n").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probes.join(assign, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", dot(col("qv"), col("nv2")) / (col("qn") * col("nn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT label AS cell, generate_subscripts(embedding, 1) AS lane,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
+        FROM embeddings),
+      lanes AS (
+        SELECT cell, lane, CAST(sum(ed) AS DOUBLE) / count(*) AS cval
+        FROM u GROUP BY cell, lane),
+      cent AS (SELECT cell, list(cval ORDER BY lane) AS cv FROM lanes GROUP BY cell),
+      centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+      en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) AS n
+             FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, n, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) / (n * cn) DESC, cell) AS crn
+        FROM en CROSS JOIN centn),
+      assign AS (SELECT cell, vec_id AS neighbor_id, v AS nv2, n AS nn
+                 FROM ranked WHERE crn = 1),
+      probes AS (SELECT cell, vec_id AS query_id, v AS qv, n AS qn
+                 FROM ranked WHERE crn <= 3 AND vec_id % 50 = 0),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, nv2) / (qn * nn) AS cosine
+        FROM probes JOIN assign USING (cell)
+        WHERE neighbor_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored)
+      SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+
+  /** Per-label vector centroid over the embeddings table, powered by
+    * the [[graft.functions.VecSumAgg]] DeclarativeAggregate: one
+    * constant-width decimal buffer per group, map-side combined — the
+    * canonical centroid/sketch aggregation shape for 100 TB embedding
+    * tables (shuffle payload is labels × dim decimals, independent of
+    * row count). Decimal lanes make the sum order-independent, so the
+    * oracle replays it exactly; output is exploded to one row per
+    * (label, lane) for a schema-stable hash compare. */
+  val q34 = QueryDef(
+    "q34_vector_centroid",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          transform(col("embedding"),
+            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+        .groupBy("label")
+        .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), posexplode(col("vsum")))
+        .select(col("label"), (col("pos") + 1).as("lane"), col("n_vecs"),
+          col("col").cast("double").as("lane_sum"),
+          (col("col").cast("double") / col("n_vecs")).as("centroid"))
+        .orderBy("label", "lane")
+    },
+    Some("""
+      WITH u AS (
+        SELECT label, generate_subscripts(embedding, 1) AS lane,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
+        FROM embeddings)
+      SELECT label, lane, count(*) AS n_vecs,
+             CAST(sum(ed) AS DOUBLE) AS lane_sum,
+             CAST(sum(ed) AS DOUBLE) / count(*) AS centroid
+      FROM u GROUP BY label, lane
+      ORDER BY label, lane"""))
 
   /** K and banding for [[d03]]: 16 minhashes → 4 bands of 4 rows
     * (r=4, b=4 ⇒ P[candidate] = 1−(1−J⁴)⁴: 0.03 at J=0.3, 0.67 at
