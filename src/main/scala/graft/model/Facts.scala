@@ -102,4 +102,120 @@ object Facts {
         col("Recent_Form"))
       .na.drop(Seq("Rank"))
   }
+
+  /** The 29 logical columns of fact_player_match as the reference's
+    * `_get_column(level0, level1, single)` triples
+    * (Transform.py:520-556) — resolution survives both the flattened
+    * MultiIndex header ("Performance_Gls") and single-level drift. */
+  private[model] val playerMatchColumns: Seq[(String, String, String)] = Seq(
+    ("season", "Unnamed: 1_level_1", "season"),
+    ("game", "Unnamed: 2_level_1", "game"),
+    ("team", "Unnamed: 3_level_1", "team"),
+    ("player", "Unnamed: 4_level_1", "player"),
+    ("min", "Unnamed: 9_level_1", "min"),
+    ("Performance", "Gls", "Performance_Gls"),
+    ("Expected", "xG", "Expected_xG"),
+    ("Expected", "xAG", "Expected_xAG"),
+    ("Performance", "Ast", "Performance_Ast"),
+    ("Performance", "PK", "Performance_PK"),
+    ("Performance", "PKatt", "Performance_PKatt"),
+    ("Performance", "Sh", "Performance_Sh"),
+    ("Performance", "SoT", "Performance_SoT"),
+    ("Performance", "CrdY", "Performance_CrdY"),
+    ("Performance", "CrdR", "Performance_CrdR"),
+    ("Performance", "Touches", "Performance_Touches"),
+    ("Performance", "Tkl", "Performance_Tkl"),
+    ("Performance", "Int", "Performance_Int"),
+    ("Performance", "Blocks", "Performance_Blocks"),
+    ("SCA", "SCA", "SCA_SCA"),
+    ("SCA", "GCA", "SCA_GCA"),
+    ("Passes", "Cmp", "Passes_Cmp"),
+    ("Passes", "Att", "Passes_Att"),
+    ("Passes", "Cmp%", "Passes_Cmp%"),
+    ("Passes", "PrgP", "Passes_PrgP"),
+    ("Carries", "Carries", "Carries_Carries"),
+    ("Carries", "PrgC", "Carries_PrgC"),
+    ("Take-Ons", "Att", "Take-Ons_Att"),
+    ("Take-Ons", "Succ", "Take-Ons_Succ"))
+
+  private val playerMatchNames = Seq(
+    "season", "game", "team", "player", "min_played", "goals", "xG", "xA",
+    "assists", "penalty_made", "penalty_attempted", "shots", "shots_on_target",
+    "yellow_cards", "red_cards", "touches", "tackles", "interceptions",
+    "blocks", "shot_creating_actions", "goal_creating_actions",
+    "passes_completed", "passes_attempted", "pass_completion_percent",
+    "progressive_passes", "carries", "progressive_carries",
+    "take_ons_attempted", "take_ons_successful")
+
+  /** fact_player_match (Transform.py:507-697): per-player match stats
+    * resolved through [[graft.ops.Resolve]] (26 flexible stat lookups
+    * + 4 key columns), embedded duplicate header row dropped
+    * set-based (the reference drops row 0 iff season=='season'; real
+    * seasons are numeric so the predicate form is equivalent and
+    * partition-safe), then three normalized broadcast dim joins:
+    * game→dim_match, team→dim_team (variant map + club-suffix clean +
+    * Q-strip, null-dropped), player→dim_player (null-dropped with
+    * game_id — the reference's two-stage filter order preserved).
+    *
+    * 100 TB shape: the fact side is never shuffled — all three dims
+    * broadcast; stat typing is codegen'd try_cast projections. */
+  def playerMatch(raw: DataFrame, dimTeam: DataFrame, dimMatch: DataFrame,
+                  dimPlayer: DataFrame): DataFrame = {
+    val resolved = graft.ops.Resolve.columns(raw, playerMatchColumns) match {
+      case Left(missing) =>
+        sys.error(s"fact_player_match: unresolvable columns: ${missing.mkString(", ")}")
+      case Right(cols) => cols
+    }
+    val picked = raw
+      .select(resolved.zip(playerMatchNames).map { case (c, n) => col(c).as(n) }: _*)
+      .filter(lower(col("season")) =!= "season") // embedded header rows (P4)
+    val base = picked
+      .withColumn("team_key", normed("team"))
+      .withColumn("game_key", Normalize.normKey(col("game")))
+      .withColumn("player_key", Normalize.normKey(col("player")))
+    val teams = dimTeam.select(col("team_id"),
+      Normalize.normKey(col("team_name")).as("team_key"))
+    val games = dimMatch.select(col("game_id"),
+      Normalize.normKey(col("game")).as("game_key"))
+    val players = dimPlayer.select(col("player_id"),
+      Normalize.normKey(col("player")).as("player_key"))
+    base
+      .join(broadcast(games), Seq("game_key"), "left")
+      .join(broadcast(teams), Seq("team_key"), "left")
+      .na.drop(Seq("team_id")) // unmatched team names (reference warns + filters)
+      .withColumn("team_id", Normalize.stripQ(col("team_id").cast("string")))
+      .na.drop(Seq("team_id")) // second pass after Q-strip coercion
+      .join(broadcast(players), Seq("player_key"), "left")
+      .na.drop(Seq("player_id", "game_id"))
+      .select(
+        (Normalize.tryInt(col("season")).as("season") ::
+          col("game_id") :: col("team_id") :: col("player_id") ::
+          Normalize.tryInt(col("min_played")).as("min_played") ::
+          Normalize.tryInt(col("goals")).as("goals") ::
+          Normalize.tryDouble(col("xG")).cast("decimal(5,2)").as("xG") ::
+          Normalize.tryDouble(col("xA")).cast("decimal(5,2)").as("xA") ::
+          Normalize.tryInt(col("assists")).as("assists") ::
+          Normalize.tryInt(col("penalty_made")).as("penalty_made") ::
+          Normalize.tryInt(col("penalty_attempted")).as("penalty_attempted") ::
+          Normalize.tryInt(col("shots")).as("shots") ::
+          Normalize.tryInt(col("shots_on_target")).as("shots_on_target") ::
+          Normalize.tryInt(col("yellow_cards")).as("yellow_cards") ::
+          Normalize.tryInt(col("red_cards")).as("red_cards") ::
+          Normalize.tryInt(col("touches")).as("touches") ::
+          Normalize.tryInt(col("tackles")).as("tackles") ::
+          Normalize.tryInt(col("interceptions")).as("interceptions") ::
+          Normalize.tryInt(col("blocks")).as("blocks") ::
+          Normalize.tryInt(col("shot_creating_actions")).as("shot_creating_actions") ::
+          Normalize.tryInt(col("goal_creating_actions")).as("goal_creating_actions") ::
+          Normalize.tryInt(col("passes_completed")).as("passes_completed") ::
+          Normalize.tryInt(col("passes_attempted")).as("passes_attempted") ::
+          Normalize.tryDouble(col("pass_completion_percent"))
+            .cast("decimal(5,2)").as("pass_completion_percent") ::
+          Normalize.tryInt(col("progressive_passes")).as("progressive_passes") ::
+          Normalize.tryInt(col("carries")).as("carries") ::
+          Normalize.tryInt(col("progressive_carries")).as("progressive_carries") ::
+          Normalize.tryInt(col("take_ons_attempted")).as("take_ons_attempted") ::
+          Normalize.tryInt(col("take_ons_successful")).as("take_ons_successful") ::
+          Nil): _*)
+  }
 }

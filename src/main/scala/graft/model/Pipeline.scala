@@ -42,7 +42,8 @@ object Pipeline {
       "dim_match"   -> dimMatch,
       "dim_season"  -> dimSeason,
       "fact_team_match"  -> Facts.teamMatch(raw.teamMatch, dimTeam, dimMatch, dimPlayer),
-      "fact_team_point"  -> Facts.teamPoint(raw.teamPoint, dimTeam))
+      "fact_team_point"  -> Facts.teamPoint(raw.teamPoint, dimTeam),
+      "fact_player_match" -> Facts.playerMatch(raw.playerMatchStats, dimTeam, dimMatch, dimPlayer))
   }
 
   /** Primary keys per table (scr/Load.py DDL). */
@@ -53,7 +54,8 @@ object Pipeline {
     "dim_match"   -> Seq("game_id"),
     "dim_season"  -> Seq("season_id"),
     "fact_team_match" -> Seq("season", "game_id", "team_id"),
-    "fact_team_point" -> Seq("season_id", "team_id", "Match_Category"))
+    "fact_team_point" -> Seq("season_id", "team_id", "Match_Category"),
+    "fact_player_match" -> Seq("season", "game_id", "team_id", "player_id"))
 
   /** Load stage: merge each table into the warehouse directory with
     * the reference's per-tier conflict semantics. The merge reads the

@@ -112,6 +112,58 @@ class ModelSpec extends SparkSpec {
     assert(Facts.teamMatch(rawTm, dimTeam, dimMatch, dimPlayer).count() === 1)
   }
 
+  test("fact_player_match: Resolve'd flat headers, variant team map, staged null-id drops") {
+    val (_, dimTeam, dimMatch, dimPlayer) = starInputs
+    import PlayerMatchFixture.{headerRow, row}
+    val raw = PlayerMatchFixture.raw(spark, Seq(
+      headerRow, // embedded duplicate header → dropped (P4)
+      row("2526", "2026-01-24 Arsenal-Manchester Utd", "Arsenal", "Bukayo Saka",
+        gls = "2", ast = "1", xg = "1.7"),
+      // full variant name must map to the dim's short form (F2+F3)
+      row("2526", "2026-01-24 Arsenal-Manchester Utd", "Manchester United", "Erling Haaland",
+        gls = "1"),
+      // unmatched team → dropped at the team_id stage
+      row("2526", "2026-01-24 Arsenal-Manchester Utd", "Atlantis", "Mystery Man"),
+      // unmatched game → survives team stage, dropped at the final
+      // player_id/game_id drop (two-stage filter order)
+      row("2526", "unknown-game", "Arsenal", "Bukayo Saka"),
+      // player missing from dim_player → dropped at the final stage
+      row("2526", "2026-01-24 Arsenal-Manchester Utd", "Arsenal", "Unknown Player")))
+    val fact = Facts.playerMatch(raw, dimTeam, dimMatch, dimPlayer)
+      .orderBy("player_id").collect()
+    assert(fact.length === 2)
+    val saka = fact(0)
+    assert(saka.getAs[Int]("season") === 2526)
+    assert(saka.getAs[Int]("game_id") === 1)
+    assert(saka.getAs[Int]("team_id") === 1)
+    assert(saka.getAs[Int]("player_id") === 1)
+    assert(saka.getAs[Int]("goals") === 2)
+    assert(saka.getAs[Int]("assists") === 1)
+    assert(saka.getAs[java.math.BigDecimal]("xG") === new java.math.BigDecimal("1.70"))
+    assert(saka.getAs[java.math.BigDecimal]("pass_completion_percent") ===
+      new java.math.BigDecimal("75.00"))
+    val haaland = fact(1)
+    assert(haaland.getAs[Int]("team_id") === 2) // via "Manchester United" variant
+    assert(haaland.getAs[Int]("player_id") === 3)
+    assert(fact.map(_.getAs[Int]("take_ons_successful")).toSeq === Seq(1, 1))
+  }
+
+  test("fact_player_match resolves bare single-level headers too") {
+    val (_, dimTeam, dimMatch, dimPlayer) = starInputs
+    import PlayerMatchFixture.{cols, row}
+    // same data, but headers arrive as the bare leaf names ("Gls",
+    // "Cmp%") — Resolve's priority-2 fallback (P2)
+    val bare = Map("Performance_Gls" -> "Gls", "Performance_Ast" -> "Ast",
+      "Expected_xG" -> "xG", "Passes_Cmp%" -> "Cmp%")
+    val renamed = PlayerMatchFixture.raw(spark,
+        Seq(row("2526", "2026-01-24 Arsenal-Manchester Utd", "Arsenal", "Bukayo Saka",
+          gls = "2")))
+      .toDF(cols.map(c => bare.getOrElse(c, c)): _*)
+    val fact = Facts.playerMatch(renamed, dimTeam, dimMatch, dimPlayer).collect()
+    assert(fact.length === 1)
+    assert(fact(0).getAs[Int]("goals") === 2)
+  }
+
   test("fact_team_point: composite split, season conversion, rank clean, team join") {
     val dimTeam = Dims.team(Seq(("Q1", "Arsenal F.C.", "1886", "Q10", "ARS"))
       .toDF("team_id", "team_name", "founded_year", "stadium_id", "short_name"))

@@ -11,7 +11,12 @@ class PipelineSpec extends SparkSpec {
   private def rawInputs(captain: String) = Pipeline.RawInputs(
     playerSeasonStats = Seq(("Bukayo Saka", "FW", "ENG", "2001"),
       ("Declan Rice", "MF", "ENG", "1999")).toDF("player", "pos", "nation", "born"),
-    playerMatchStats = Seq(("Erling Haaland", "FW", "NOR")).toDF("player", "pos", "nation"),
+    playerMatchStats = PlayerMatchFixture.raw(spark, Seq(
+      PlayerMatchFixture.headerRow,
+      PlayerMatchFixture.row("2526", "2026-01-24 Arsenal-Manchester Utd",
+        "Arsenal", "Bukayo Saka", gls = "2", ast = "1"),
+      PlayerMatchFixture.row("2526", "2026-01-24 Arsenal-Manchester Utd",
+        "Manchester United", "Erling Haaland", pos = "FW", nation = "NOR", gls = "1"))),
     teamMatch = Seq(
       ("2526", "2026-01-24 Arsenal-Manchester Utd", "Arsenal", "Manchester Utd",
         "2026-01-24 15:00", "Matchweek 3", "Sat", "Home", "W", "3", "1", "2.1", "0.9", "61", captain, "4-3-3"))
@@ -25,14 +30,16 @@ class PipelineSpec extends SparkSpec {
     stadiumSeed = Seq(("Q10", "Emirates", "60704"), ("Q11", "Old Trafford", "74310"))
       .toDF("stadium_id", "stadium_name", "capacity"))
 
-  test("full ETL: build + load produces all 7 tables; reload is idempotent") {
+  test("full ETL: build + load produces all 8 tables; reload is idempotent") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val star = Pipeline.buildStar(spark, rawInputs("Bukayo Saka"))
     Pipeline.load(spark, wh, star)
     val counts1 = star.keys.map(t => t -> spark.read.parquet(s"$wh/$t").count()).toMap
+    assert(counts1.size === 8)
     assert(counts1("dim_player") === 3L)
     assert(counts1("fact_team_match") === 1L)
     assert(counts1("fact_team_point") === 1L)
+    assert(counts1("fact_player_match") === 2L)
     // re-load the SAME increment: every table unchanged
     Pipeline.load(spark, wh, Pipeline.buildStar(spark, rawInputs("Bukayo Saka")))
     val counts2 = star.keys.map(t => t -> spark.read.parquet(s"$wh/$t").count()).toMap

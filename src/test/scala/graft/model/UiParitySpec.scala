@@ -282,4 +282,171 @@ class UiParitySpec extends SparkSpec {
     assert(rows(ours) === rows(sql))
     assert(sql.count() >= 5)
   }
+
+  test("get_season_overview_stats (ui.py:118-129): season match/goal totals") {
+    assume(available)
+    val (_, ftm, _, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT COALESCE(COUNT(DISTINCT ftm.game_id), 0) as total_matches,
+             COALESCE(SUM(ftm.`GF`), 0) as total_goals
+      FROM fact_team_match ftm
+      JOIN dim_season ds ON ftm.season = ds.season_id
+      WHERE ds.season_name = '$season'""")
+    val ours = ftm
+      .join(broadcast(ds), ftm("season") === ds("season_id"))
+      .filter(col("season_name") === season)
+      .agg(coalesce(countDistinct("game_id"), lit(0)).as("total_matches"),
+        coalesce(sum("GF"), lit(0)).as("total_goals"))
+    assert(rows(ours) === rows(sql))
+    assert(sql.collect()(0).getLong(0) === 380L) // a full EPL season
+  }
+
+  test("get_offensive_stats (ui.py:238-253): scoring-rate ratios") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    val sql = spark.sql(s"""
+      SELECT dt.team_name,
+             ftp.`GF` as goals_scored,
+             ftp.`MP` as matches_played,
+             ROUND(CAST(ftp.`GF` AS DECIMAL) / NULLIF(ftp.`MP`, 0), 2) as avg_goals_scored
+      FROM fact_team_point ftp
+      JOIN dim_team dt ON ftp.team_id = dt.team_id
+      JOIN dim_season ds ON ftp.season_id = ds.season_id
+      WHERE ds.season_name = '$season' AND LOWER(ftp.`Match_Category`) = 'overall'
+      ORDER BY avg_goals_scored DESC""")
+    val ours = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && lower(col("Match_Category")) === "overall")
+      .select(col("team_name"), col("GF").as("goals_scored"),
+        col("MP").as("matches_played"),
+        round(col("GF").cast("decimal(10,0)") /
+          when(col("MP") === 0, lit(null)).otherwise(col("MP")), 2).as("avg_goals_scored"))
+      .orderBy(col("avg_goals_scored").desc)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 20)
+  }
+
+  /** The snapshot ships NO fbref_fact_player_match_stats.csv raw and
+    * no fact_player_match_clean.csv golden, so full data-level parity
+    * for the three fact_player_match dashboard queries is impossible
+    * against reference data. What CAN be proven, and is here:
+    * [[Facts.playerMatch]] runs end-to-end against the reference's
+    * committed dims (real dim_player/dim_team/dim_match rows), and the
+    * ui.py SQL text is row-identical to our DataFrame formulation over
+    * that fact. Warehouse naming follows Load.py:161-181
+    * (dim_player.player → player_name). */
+  private def loadPlayerFact(): org.apache.spark.sql.DataFrame = {
+    val dimTeam = Sources.csvRaw(spark, s"$ref/dim_team.csv")
+      .select(col("team_id").cast("int").as("team_id"), col("team_name"))
+    val dimMatch = Sources.csvRaw(spark, s"$ref/dim_match.csv")
+      .select(col("game_id").cast("int").as("game_id"), col("game"))
+    val dimPlayer = Sources.csvRaw(spark, s"$ref/dim_player.csv")
+      .select(col("player_id").cast("int").as("player_id"), col("player"))
+    val game = "2026-01-24 Arsenal-Manchester Utd" // committed game_id 1
+    import PlayerMatchFixture.{headerRow, row}
+    val raw = PlayerMatchFixture.raw(spark, Seq(
+      headerRow,
+      row("2425", game, "Arsenal", "Aaron Connolly", gls = "2", ast = "0"),
+      row("2425", game, "Arsenal", "Aaron Cresswell", gls = "1", ast = "2"),
+      row("2425", game, "Manchester United", "Aaron Hickey", gls = "0", ast = "1"),
+      row("2324", game, "Arsenal", "Aaron Connolly", gls = "5", ast = "3")))
+    val fpm = Facts.playerMatch(raw, dimTeam, dimMatch, dimPlayer)
+    fpm.createOrReplaceTempView("fact_player_match")
+    dimPlayer.select(col("player_id"), col("player").as("player_name"))
+      .createOrReplaceTempView("dim_player")
+    fpm
+  }
+
+  test("get_top_scorers (ui.py:76-93): goal sums + HAVING over our built fact") {
+    assume(available)
+    val (_, _, dt, ds) = load()
+    val fpm = loadPlayerFact()
+    val dp = spark.table("dim_player")
+    val sql = spark.sql(s"""
+      SELECT dp.player_name, dt.team_name, SUM(fpm.goals) as total_goals
+      FROM fact_player_match fpm
+      JOIN dim_player dp ON fpm.player_id = dp.player_id
+      JOIN dim_team dt ON fpm.team_id = dt.team_id
+      JOIN dim_season ds ON fpm.season = ds.season_id
+      WHERE ds.season_name = '$season'
+      GROUP BY dp.player_name, dt.team_name
+      HAVING SUM(fpm.goals) > 0
+      ORDER BY total_goals DESC
+      LIMIT 10""")
+    val ours = fpm
+      .join(broadcast(dp), "player_id")
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(ds), fpm("season") === ds("season_id"))
+      .filter(col("season_name") === season)
+      .groupBy("player_name", "team_name")
+      .agg(sum("goals").as("total_goals"))
+      .filter(col("total_goals") > 0)
+      .orderBy(col("total_goals").desc)
+      .limit(10)
+    assert(rows(ours) === rows(sql))
+    // other-season goals excluded by the filter; zero-goal players by HAVING
+    assert(sql.collect().map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("Aaron Connolly", 2L), ("Aaron Cresswell", 1L)))
+  }
+
+  test("get_top_assisters (ui.py:97-114): assist sums + HAVING") {
+    assume(available)
+    val (_, _, dt, ds) = load()
+    val fpm = loadPlayerFact()
+    val dp = spark.table("dim_player")
+    val sql = spark.sql(s"""
+      SELECT dp.player_name, dt.team_name, SUM(fpm.assists) as total_assists
+      FROM fact_player_match fpm
+      JOIN dim_player dp ON fpm.player_id = dp.player_id
+      JOIN dim_team dt ON fpm.team_id = dt.team_id
+      JOIN dim_season ds ON fpm.season = ds.season_id
+      WHERE ds.season_name = '$season'
+      GROUP BY dp.player_name, dt.team_name
+      HAVING SUM(fpm.assists) > 0
+      ORDER BY total_assists DESC
+      LIMIT 10""")
+    val ours = fpm
+      .join(broadcast(dp), "player_id")
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(ds), fpm("season") === ds("season_id"))
+      .filter(col("season_name") === season)
+      .groupBy("player_name", "team_name")
+      .agg(sum("assists").as("total_assists"))
+      .filter(col("total_assists") > 0)
+      .orderBy(col("total_assists").desc)
+      .limit(10)
+    assert(rows(ours) === rows(sql))
+    assert(sql.collect().map(_.getString(0)).toSet ===
+      Set("Aaron Cresswell", "Aaron Hickey"))
+  }
+
+  test("get_team_top_scorers (ui.py:159-174): one team's scorers") {
+    assume(available)
+    val (_, _, dt, ds) = load()
+    val fpm = loadPlayerFact()
+    val dp = spark.table("dim_player")
+    val sql = spark.sql(s"""
+      SELECT dp.player_name, SUM(fpm.goals) as total_goals
+      FROM fact_player_match fpm
+      JOIN dim_player dp ON fpm.player_id = dp.player_id
+      JOIN dim_team dt ON fpm.team_id = dt.team_id
+      JOIN dim_season ds ON fpm.season = ds.season_id
+      WHERE ds.season_name = '$season' AND dt.team_name = '$team'
+      GROUP BY dp.player_name
+      HAVING SUM(fpm.goals) > 0
+      ORDER BY total_goals DESC
+      LIMIT 5""")
+    val ours = fpm
+      .join(broadcast(dp), "player_id")
+      .join(broadcast(dt), "team_id")
+      .join(broadcast(ds), fpm("season") === ds("season_id"))
+      .filter(col("season_name") === season && col("team_name") === team)
+      .groupBy("player_name")
+      .agg(sum("goals").as("total_goals"))
+      .filter(col("total_goals") > 0)
+      .orderBy(col("total_goals").desc)
+      .limit(5)
+    assert(rows(ours) === rows(sql))
+    assert(sql.count() === 2) // both Arsenal scorers, Hickey (MU) excluded
+  }
 }
