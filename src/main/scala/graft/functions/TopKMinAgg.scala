@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** The k smallest DISTINCT longs per group, as a
+  * `TypedImperativeAggregate` over a fixed k-slot sorted buffer —
+  * the bounded-memory replacement for
+  * `slice(array_sort(collect_set(h)), 1, k)` (t07's fingerprint):
+  * collect_set materializes EVERY distinct value per group in the
+  * aggregation buffer, O(doc length) for rolling-window hashes — a
+  * memory bomb on 10 MB documents — while this buffer is k longs
+  * forever, so the shuffle payload and heap cost are independent of
+  * document size (the SURVEY §7.3 (9) sketch-aggregate shape, same
+  * family as [[MinHashSigAgg]]).
+  *
+  * Semantics match the expression form exactly: duplicates ignored,
+  * ascending order, groups with fewer than k distinct values yield a
+  * short array. Values must be < Long.MaxValue (the empty-slot
+  * sentinel) — true for every md5-derived hash here (< 2^60).
+  */
+case class TopKMinAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  /** Insert-sorted with dedup: skip if ≥ current k-th smallest or
+    * already present; otherwise shift-insert. k is tiny (4 here) so
+    * the linear probe beats branchy binary search. */
+  private def insert(buf: Array[Long], x: Long): Unit = {
+    if (x >= buf(k - 1)) return
+    var i = 0
+    while (i < k && buf(i) < x) i += 1
+    if (i < k && buf(i) == x) return // distinct-only
+    var j = k - 1
+    while (j > i) { buf(j) = buf(j - 1); j -= 1 }
+    buf(i) = x
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k && b2(i) != Long.MaxValue) { insert(b1, b2(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0
+    while (n < k && buf(n) != Long.MaxValue) n += 1
+    new GenericArrayData(buf.take(n))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_topk_min"
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKMinAgg =
+    copy(child = cs.head)
+}
+
+object TopKMinAgg {
+  /** Column API: ascending array of the k smallest distinct values of
+    * a long column. */
+  def topKMin(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TopKMinAgg(org.apache.spark.sql.GraftBridge.expr(c), k)
+        .toAggregateExpression())
+}

@@ -14,9 +14,15 @@ import QueryDef.{dsum, dsumSql}
   * mirrors.
   *
   * Scale notes baked into every plan:
-  *  - dims (region/nation/supplier/part/customer at small SF) join via
-  *    broadcast hints — at 100 TB the fact side streams, no shuffle of
-  *    the big side for dim joins;
+  *  - TRUE dims (region/nation — constant-size at any SF) carry
+  *    explicit broadcast hints. SF-SCALING tables (customer/supplier/
+  *    part) deliberately do NOT: a hard hint forces a broadcast that
+  *    OOMs at 100× SF, whereas leaving the choice to
+  *    autoBroadcastJoinThreshold + AQE broadcasts them while small and
+  *    degrades gracefully to shuffle join when they outgrow the
+  *    executor (PlanQualitySpec pins that they still broadcast at test
+  *    SF through the threshold, so the intent is enforced without the
+  *    scale hazard);
   *  - aggregations are plain groupBy → Catalyst plans partial (map-side)
   *    + final hash aggregation, one shuffle on the group keys;
   *  - top-k = orderBy+limit → TakeOrderedAndProject (no global sort
@@ -45,7 +51,7 @@ object Relational {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 4))).as("rev"))
       perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
         .agg(sum(col("rev")).cast("double").as("revenue"))
         .filter(col("revenue") > 0)
@@ -153,7 +159,7 @@ object Relational {
       li.groupBy(col("l_partkey"))
         .agg(sum(col("l_quantity")).as("demand"))
         .filter(col("demand") > 0)
-        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(p, col("l_partkey") === p("p_partkey"))
         .select(col("l_partkey"), col("p_name"), col("demand"))
         .orderBy(col("demand").desc, col("l_partkey"))
         .limit(20)
@@ -177,7 +183,7 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("total_qty"),
           countDistinct(col("l_orderkey")).as("n_orders"))
-        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
         .select(
           col("l_suppkey"), col("s_name"),
           round(col("total_qty").cast("double") /
@@ -224,7 +230,7 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -419,8 +425,8 @@ object Relational {
       val sn = Tables.nation(s, d).select(
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
         .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
         .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
         .groupBy(col("cust_nation"), col("supp_nation"))
@@ -453,7 +459,7 @@ object Relational {
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(r("r_name") === "EUROPE")

@@ -432,30 +432,82 @@ object Similarity {
   /** Embedding-cosine near-dup, label-blocked (IVF-style): pairs are
     * generated only within a coarse partition (label), never globally —
     * the blocking pattern that survives 100 TB. */
+  /** Sub-bucketing planes for [[d05]]: L=3 hash tables × B=2 signed
+    * hyperplane projections, seeded — interpolated into BOTH plans so
+    * the oracle replays the bucketing verbatim (Double.toString
+    * round-trips exactly through DuckDB's literal parser). */
+  private[queries] val D05_B = 2
+  private[queries] val D05_L = 3
+  private[queries] val d05Planes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new java.util.Random(11)
+    Seq.fill(D05_L, D05_B)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
+  }
+
+  /** Embedding near-dup with BOUNDED blocks: candidates must share
+    * (label, table, hyperplane-sig) for one of L=3 tables of B=2 sign
+    * bits, then exact cosine verification at ≥ 0.35. Round-2 verdict:
+    * the former plain within-label self-join had no cap — one hot
+    * label at 100 TB is a quadratic straggler. Sub-bucketing splits
+    * every label ~2^B ways per table (the s02 pattern), so the join
+    * key is (label, tbl, sig), pair work drops ~4× per table, and no
+    * single bucket carries a whole hot label. The price is recall
+    * (≈ 1−(1−p^B)^L, p = 1−θ/π; ≈ 0.99+ for true near-dups at
+    * cos ≥ 0.9) — the standard LSH trade, made deterministic here so
+    * the DuckDB oracle hash-verifies the exact same output.
+    * SimilaritySpec pins the hot-label bound + planted-pair recall. */
   val d05 = QueryDef(
     "d05_embedding_neardup",
     (s, d) => {
       val e = docVectors(s, d)
-      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
-      val cosine = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-      a.join(b, Seq("label"))
+      val sigged = e.select(col("label"), col("vec_id"),
+        explode(array((0 until D05_L).map { t =>
+          struct(lit(t).as("tbl"),
+            (0 until D05_B).map(j =>
+              when(dot(col("v"), typedlit(d05Planes(t)(j))) > 0, lit(1 << j))
+                .otherwise(lit(0))).reduce(_ + _).as("sig"))
+        }: _*)).as("ts"))
+        .select(col("label"), col("vec_id"),
+          col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      val a = sigged.select(col("label"), col("tbl"), col("sig"), col("vec_id").as("vec_a"))
+      val b = sigged.select(col("label"), col("tbl"), col("sig"), col("vec_id").as("vec_b"))
+      val cand = a.join(b, Seq("label", "tbl", "sig"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine", round(cosine, 6))
+        .select(col("label"), col("vec_a"), col("vec_b")).distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
+      cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+        .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
     },
-    Some("""
+    Some {
+      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
+      val sigSelects = (0 until D05_L).map { t =>
+        val bits = (0 until D05_B).map(j =>
+          s"(CASE WHEN list_dot_product(v, ${lst(d05Planes(t)(j))}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT label, vec_id, $t AS tbl, ($bits) AS sig FROM e"
+      }.mkString(" UNION ALL ")
+      s"""
       WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sigged AS ($sigSelects),
+      cand AS (
+        SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigged a JOIN sigged b
+          ON a.label = b.label AND a.tbl = b.tbl AND a.sig = b.sig
+         AND a.vec_id < b.vec_id),
       p AS (
-        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT c.label, c.vec_a, c.vec_b,
+               round(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b)
       SELECT label, vec_a, vec_b, cosine
       FROM p WHERE cosine >= 0.35
-      ORDER BY label, vec_a, vec_b"""))
+      ORDER BY label, vec_a, vec_b"""
+    })
 
   /** Minhash signatures via the custom TypedImperativeAggregate
     * ([[graft.functions.MinHashSigAgg]]): one primitive Array[Long]

@@ -237,7 +237,11 @@ object TextOps {
         .select(col("doc_id"),
           conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
         .groupBy("doc_id")
-        .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("mins"))
+        // bounded sketch aggregate: 4-long buffer per doc regardless of
+        // document length (collect_set+array_sort+slice holds EVERY
+        // distinct window hash — O(doc) memory per group; see
+        // graft.functions.TopKMinAgg)
+        .agg(graft.functions.TopKMinAgg.topKMin(col("h"), 4).as("mins"))
         .select(col("doc_id"), concat_ws(",", col("mins")).as("fingerprint"))
         .orderBy(col("doc_id"))
     },

@@ -14,9 +14,27 @@ class PlanQualitySpec extends SparkSpec {
     Registry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   test("q01 joins dims via BroadcastHashJoin (no fact-side shuffle join)") {
+    // customer carries NO broadcast hint (it scales with SF) — at test
+    // SF it must still broadcast through autoBroadcastJoinThreshold
     val p = plan("q01_topk_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("SF-scaling tables have no hard broadcast hint (threshold off ⇒ shuffle join)") {
+    // the 100 TB safety property: with auto-broadcast disabled the
+    // customer join must be ALLOWED to degrade to a shuffle join — a
+    // hard broadcast() hint would pin it and OOM at scale. nation/
+    // region keep their hints (true dims) and still broadcast.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q01 = plan("q01_topk_revenue")
+      assert(q01.contains("SortMergeJoin"), q01.take(2000))
+      val q18 = plan("q18_region_dashboard")
+      assert(q18.contains("SortMergeJoin"), q18.take(3000)) // customer join
+      assert(q18.contains("BroadcastHashJoin"), q18.take(3000)) // nation/region hints
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("q18 4-way dashboard join broadcasts every dim") {

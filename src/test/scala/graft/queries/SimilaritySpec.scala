@@ -28,6 +28,52 @@ class SimilaritySpec extends SparkSpec {
     assert(byQuery.forall(_.getLong(1) <= 5))
   }
 
+  test("d05 hot label: sub-bucketing splits the block; planted near-dups survive") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one label holding ALL vectors — the quadratic-straggler shape the
+    // (label, tbl, sig) bucketing exists to break up
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec()))
+    // 10 planted near-dup twins: tiny perturbation → cosine ≈ 0.999
+    val twins = (0 until 10).map { i =>
+      val (_, v) = base(i)
+      (100L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val rows = (base ++ twins).map { case (id, v) => Row(id, v.toSeq, 7) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Registry.queries("d05_embedding_neardup")(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert((planted -- out).isEmpty,
+      s"planted near-dups missed: ${(planted -- out).take(3)}")
+
+    // the bound itself: replay the signature and check no (tbl, sig)
+    // bucket holds the whole label
+    val e = graft.Tables.embeddings(spark, dir)
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val dv = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sizes = (0 until Similarity.D05_L).flatMap { t =>
+      val sig = (0 until Similarity.D05_B).map(j =>
+        when(graft.functions.GraftFunctions.dot(col("v"),
+          typedlit(Similarity.d05Planes(t)(j))) > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      dv.groupBy(sig.as("sig")).count().collect().map(_.getLong(1))
+    }
+    assert(sizes.max < 110, s"a bucket holds ${sizes.max} of 110 vectors")
+  }
+
   test("IVF ANN (s03) recall@5 vs exact baseline") {
     // s03 scans ~3/10 cells per query; on isotropic testdata recall is
     // bounded near the scanned fraction — assert it is at least that.
