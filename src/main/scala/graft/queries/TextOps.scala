@@ -296,7 +296,9 @@ object TextOps {
         // carry a fixed 8-byte fingerprint instead of the shingle
         // string — the 100 TB design: join on hashes, not raw text
         // (first 15 md5 hex chars → 60-bit long; collision odds
-        // ~n²/2^61, negligible)
+        // ~n²/2^61). The oracle applies the SAME fingerprint, so a
+        // collision perturbs both engines identically — parity is
+        // exact, not probabilistic (advisor, round 2)
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -335,12 +337,15 @@ object TextOps {
                  unnest(list_transform(range(1, len(w) - 1),
                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
           FROM big)),
-      kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
-      sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+      hs AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        FROM sh),
+      kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+      sh2 AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept USING (h)),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
         SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,

@@ -36,9 +36,14 @@ object Streams {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame = {
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
+    // the whole nanos-typed pipeline runs in a cloned session so the
+    // legacy conf never leaks into the caller's session (advisor,
+    // round 2): same SparkContext and cache, separate SQLConf/catalog
+    val s = spark.newSession()
+    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsDir).schema
     // watermarks require TIMESTAMP (not NTZ); with session TZ=UTC the
     // LTZ wall-clock equals the NTZ value, restored by the final cast
     // The file stream source requires a directory; testdata ships
@@ -54,7 +59,7 @@ object Streams {
         dir.toString
       })
     }
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
@@ -69,16 +74,13 @@ object Streams {
       .start()
     q.awaitTermination()
     // materialize the (small, aggregated) result off the memory sink so
-    // the sink table and the temporarily-set conf can be released
-    val result = spark.table(name)
+    // the cloned session's sink table can be dropped; the checkpointed
+    // plan is session-independent (LogicalRDD)
+    val result = s.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .localCheckpoint(eager = true)
-    spark.catalog.dropTempView(name)
-    // restore an explicit prior value; if unset before, leave it set —
-    // parquet scans plan at action time, so unsetting here would break
-    // any lazily-built events DataFrame executed after this call
-    prevNanos.foreach(v => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v))
+    s.catalog.dropTempView(name)
     result
   }
 
