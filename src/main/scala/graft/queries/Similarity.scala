@@ -306,20 +306,19 @@ object Similarity {
   val d03 = QueryDef(
     "d03_minhash_lsh",
     (s, d) => {
-      // the shared materialized shingle table ([[Shingles.shingled]])
-      // feeds both the signature path and the verification path here,
-      // and is reused by d02/d06 in the same session
-      val sh = Shingles.shingled(s, d)
-      val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
-      val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
+      // the shared materialized HASHED shingle table
+      // ([[Shingles.hashed]]) feeds both the signature path and the
+      // verification path here, and is reused by d02/d06 in the same
+      // session; md5 ran once at table build, queries touch only longs
+      val sh = Shingles.hashed(s, d)
       // K lanes are expanded INSIDE the imperative aggregate
       // ([[graft.functions.MinHashPairAgg]]): the per-shingle K-element
       // array, its zip_with HOF (interpreted, off the codegen path) and
       // K pmod expressions never materialize — each input row is two
-      // codegen'd md5 slices, the lane math is tight JVM long
-      // arithmetic in update(). Identical modular formula → same
+      // md5 slices off the cached table, the lane math is tight JVM
+      // long arithmetic in update(). Identical modular formula → same
       // signatures the oracle computes lane-by-lane.
-      val minh = sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      val minh = sh.select(col("doc_id"), col("h1"), col("h2"))
         .groupBy("doc_id")
         .agg(graft.functions.MinHashPairAgg
           .minhashPairSig(col("h1"), col("h2"), minhashA, minhashB, MINHASH_P).as("sig"))
@@ -336,12 +335,13 @@ object Similarity {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       // exact-Jaccard verification WITHOUT a shingle self-join: each
-      // doc's (already-distinct) shingle set becomes one array row;
-      // candidate pairs join the two arrays and intersect them —
-      // O(|cand| · |set|) instead of an inverted-index equality join
-      // whose output is quadratic in near-dup cluster size
+      // doc's shingle set becomes one array row of 60-bit fingerprints
+      // (8-byte longs, not strings); candidate pairs join the two
+      // arrays and intersect them — O(|cand| · |set|) instead of an
+      // inverted-index equality join whose output is quadratic in
+      // near-dup cluster size
       val sets = sh.groupBy("doc_id")
-        .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n_sh"))
+        .agg(collect_set(col("h60")).as("ss"), count(lit(1)).as("n_sh"))
       val sa = sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n_sh").as("n_a"))
       val sb = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n_sh").as("n_b"))
       cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -360,18 +360,10 @@ object Similarity {
         s"SELECT doc_id, $b AS band, $sig AS sig FROM minh"
       }.mkString(" UNION ALL ")
       s"""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
-      sh AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-          FROM big)),
+      WITH ${Shingles.oracleCte},
       hashed AS (
         SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
-                 i -> ($aList[i] * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
-                       + $bList[i] * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)) % $MINHASH_P) AS hs
+                 i -> ($aList[i] * h1 + $bList[i] * h2) % $MINHASH_P) AS hs
         FROM sh),
       minh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
       bands AS ($bandSelects),
@@ -380,8 +372,11 @@ object Similarity {
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (
-        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
-        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        -- DISTINCT h60: matches array_intersect set semantics should
+        -- two hash tuples ever share an h60 within a doc
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               count(DISTINCT sa.h60) AS n_common
+        FROM sh sa JOIN sh sb ON sa.h60 = sb.h60 AND sa.doc_id < sb.doc_id
         JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
         GROUP BY 1, 2)
       SELECT c.doc_a, c.doc_b, coalesce(i.n_common, 0) AS n_common,
@@ -517,12 +512,10 @@ object Similarity {
   val d06 = QueryDef(
     "d06_minhash_agg",
     (s, d) => {
-      val sh = Shingles.shingled(s, d)
-      val h1 = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
-      val h2 = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
+      val sh = Shingles.hashed(s, d)
       val hashed = sh.withColumn("hs",
         zip_with(typedlit(minhashA), typedlit(minhashB),
-          (a, b) => pmod(a * h1 + b * h2, lit(MINHASH_P))))
+          (a, b) => pmod(a * col("h1") + b * col("h2"), lit(MINHASH_P))))
       hashed.groupBy("doc_id")
         .agg(graft.functions.MinHashSigAgg.minhashSig(col("hs"), MINHASH_K).as("sig"))
         .select(col("doc_id"), concat_ws(",", col("sig")).as("signature"))
@@ -533,18 +526,10 @@ object Similarity {
       val bList = minhashB.mkString("[", ",", "]")
       val lanes = (1 to MINHASH_K).map(i => s"min(hs[$i])").mkString(" || ',' || ")
       s"""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
-      sh AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-          FROM big)),
+      WITH ${Shingles.oracleCte},
       hashed AS (
         SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
-                 i -> ($aList[i] * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
-                       + $bList[i] * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)) % $MINHASH_P) AS hs
+                 i -> ($aList[i] * h1 + $bList[i] * h2) % $MINHASH_P) AS hs
         FROM sh)
       SELECT doc_id, $lanes AS signature
       FROM hashed

@@ -291,29 +291,31 @@ object TextOps {
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, d) => {
-      val sh = Shingles.shingled(s, d)
-        // all downstream shuffles (df cap, inverted-index self-join)
-        // carry a fixed 8-byte fingerprint instead of the shingle
-        // string — the 100 TB design: join on hashes, not raw text
-        // (first 15 md5 hex chars → 60-bit long; collision odds
-        // ~n²/2^61). The oracle applies the SAME fingerprint, so a
-        // collision perturbs both engines identically — parity is
-        // exact, not probabilistic (advisor, round 2)
-        .select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // df cap via a count window: one shuffle on sh, no join-back;
-      // referenced by cnt and both join sides — persist or the whole
-      // shingling lineage re-executes three times
-      val sh2 = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("df") >= 2 && col("df") <= 20)
-        .select("doc_id", "sh")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh2.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh2.select(col("doc_id").as("doc_b"), col("sh"))
-      val pairs = a.join(b, Seq("sh"))
+      // the inverted index is built as BOUNDED posting lists: one
+      // groupBy on the shared table's 60-bit fingerprint with
+      // CappedDocsAgg (≤ df-cap+1 ids per buffer — a stop-word
+      // shingle never materializes its full posting list), then the
+      // ≤ C(20,2) candidate pairs expand IN-ROW from each surviving
+      // list. vs the window-count + equality-self-join formulation
+      // this drops a per-shingle sort and a join, and nothing in the
+      // plan holds unbounded per-group state. The oracle replays the
+      // identical df-capped pair space from the shared hashed-shingle
+      // CTE (join formulation — result-equal by construction), so a
+      // 60-bit collision perturbs both engines identically: parity is
+      // exact, not probabilistic.
+      val sh = Shingles.hashed(s, d).select(col("doc_id"), col("h60").as("sh"))
+      val posting = sh.groupBy("sh")
+        .agg(graft.functions.CappedDocsAgg.cappedDocs(col("doc_id"), 20).as("pd"))
+        .filter(col("pd.n").between(2, 20))
+        .select(array_sort(col("pd.docs")).as("docs"))
+        .transform(Shingles.sharedPersist) // two consumers (cnt, pairs)
+      val cnt = posting.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = posting.select(explode(expr(
+          """flatten(transform(docs, (a, i) ->
+             transform(slice(docs, i + 2, size(docs)),
+                       b -> named_struct('doc_a', a, 'doc_b', b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
@@ -326,26 +328,14 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        FROM documents),
-      big AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
-      sh AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-          SELECT doc_id,
-                 unnest(list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-          FROM big)),
-      hs AS (
-        SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
-        FROM sh),
-      kept AS (SELECT h FROM hs GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
-      sh2 AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept USING (h)),
+    Some(s"""
+      WITH ${Shingles.oracleCte},
+      kept AS (SELECT h60 FROM sh GROUP BY h60 HAVING count(*) BETWEEN 2 AND 20),
+      sh2 AS (SELECT s.doc_id, s.h60 FROM sh s JOIN kept USING (h60)),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM sh2 a JOIN sh2 b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
         SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
