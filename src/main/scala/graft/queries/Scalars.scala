@@ -15,7 +15,7 @@ import QueryDef.{dsum, dsumSql}
 object Scalars {
 
   def defs: Seq[QueryDef] =
-    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32)
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -269,6 +269,26 @@ object Scalars {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
+
+  /** The sketch twin of [[q32]]: approx_percentile (Greenwald-Khanna
+    * with accuracy 100, mergeable partial sketches) — at 100 TB the
+    * exact percentile's per-group sort of every value is the
+    * bottleneck; the GK sketch is one bounded-size buffer per group,
+    * map-side combined like any aggregate. Approximate → no SQL
+    * oracle; SketchSpec bounds its rank error against q32's exact
+    * values (the same pairing as q29 ↔ exact COUNT DISTINCT). */
+  val q35 = QueryDef(
+    "q35_approx_percentiles",
+    (s, d) => {
+      val o = graft.Tables.orders(s, d)
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 100)"), 2).as("p50"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 100)"), 2).as("p90"),
+          round(expr("approx_percentile(o_totalprice, 0.99, 100)"), 2).as("p99"))
+        .orderBy(col("o_orderstatus"))
+    },
+    None)
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

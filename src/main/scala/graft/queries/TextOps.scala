@@ -19,9 +19,71 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, d01, d02)
+  def defs: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
+
+  /** Deterministic train/val/test assignment — the split primitive of
+    * every training-data pipeline: bucket = md5(doc_id) mod 100, so a
+    * document's split is a pure function of its id (stable across
+    * runs, clusters, and engine versions; no sampling state, no RNG,
+    * trivially re-derivable for leakage audits). 90/5/5 thresholds.
+    * Pure narrow projection: no shuffle at any scale. */
+  val t08 = QueryDef(
+    "t08_hash_split",
+    (s, d) => {
+      val bucket = pmod(conv(substring(
+        md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Stratified deterministic sampling: k docs per (lang, source)
+    * stratum, ranked by a seeded hash of the id — the balanced-subset
+    * primitive (eval-set construction, per-language quality probes).
+    * Hash-rank ⇒ reproducible sample, no RNG state; one shuffle on
+    * the stratum key. At 100 TB strata are few and rows many — the
+    * rank window partitions by stratum, and a heavily skewed stratum
+    * can swap in TopKPerKey (q33's physical operator) to avoid the
+    * full per-stratum sort. */
+  val t09 = QueryDef(
+    "t09_stratified_sample",
+    (s, d) => {
+      val rk = conv(substring(
+        md5(concat(lit("strat7:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("rk"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), rk.as("rk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("source"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("source"), col("rn"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY CAST(concat('0x', substr(md5('strat7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          doc_id) AS rn
+        FROM documents)
+      SELECT lang, source, rn, doc_id
+      FROM ranked WHERE rn <= 5
+      ORDER BY lang, source, rn"""))
 
   /** Token counting: whitespace tokenizer + char counts. */
   val t01 = QueryDef(
@@ -227,22 +289,19 @@ object TextOps {
   val t07 = QueryDef(
     "t07_rolling_fingerprint",
     (s, d) => {
+      // the entire explode→md5→k-min-aggregate pipeline runs as ONE
+      // codegen'd scalar expression per document row
+      // ([[graft.functions.RollingMinHash]]): no window explosion, no
+      // aggregation, no shuffle — only the final presentation sort
+      // remains. Same values as the aggregate form (and the oracle);
+      // the bounded-buffer aggregate twin ([[TopKMinAgg]]) remains the
+      // tool for k-min over rows that are ALREADY exploded.
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-      val wins = Tables.documents(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"), norm.as("t"))
         .filter(length(col("t")) >= 8)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")).as("w"))
-      wins
-        .select(col("doc_id"),
-          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy("doc_id")
-        // bounded sketch aggregate: 4-long buffer per doc regardless of
-        // document length (collect_set+array_sort+slice holds EVERY
-        // distinct window hash — O(doc) memory per group; see
-        // graft.functions.TopKMinAgg)
-        .agg(graft.functions.TopKMinAgg.topKMin(col("h"), 4).as("mins"))
-        .select(col("doc_id"), concat_ws(",", col("mins")).as("fingerprint"))
+        .select(col("doc_id"), concat_ws(",",
+          graft.functions.RollingMinHash.rollingMinHash(col("t"), 8, 4)).as("fingerprint"))
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -20,4 +20,18 @@ class SketchSpec extends SparkSpec {
       assert(err <= 0.15, f"group $k: approx=${approx(k)} exact=$n err=$err%.3f")
     }
   }
+
+  test("approx_percentile within 5% relative error of exact per group") {
+    def byGroup(name: String): Map[String, Seq[Double]] =
+      Registry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val approx = byGroup("q35_approx_percentiles")
+    val exact = byGroup("q32_percentiles")
+    assert(approx.keySet === exact.keySet)
+    for (k <- exact.keySet; (a, e) <- approx(k).zip(exact(k))) {
+      val err = math.abs(a - e) / e
+      assert(err <= 0.05, f"group $k: approx=$a exact=$e err=$err%.3f")
+    }
+  }
 }
