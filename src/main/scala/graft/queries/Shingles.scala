@@ -42,7 +42,19 @@ object Shingles {
     * docs with ≥3 tokens, with the derived 60-bit `h60` fingerprint. */
   def hashed(s: SparkSession, d: String): DataFrame = {
     val df = cached.computeIfAbsent((s, d), { _ =>
+      // ONE shuffle total, of the smallest representation: raw docs
+      // re-cluster by doc_id BEFORE exploding (text is smaller than
+      // its exploded shingle hashes), then explode/hash/distinct all
+      // stay partition-local — HashPartitioning(doc_id) satisfies the
+      // distinct's clustering requirement since duplicates share the
+      // doc (PlanQualitySpec pins the single-exchange shape). The
+      // persisted table stays doc_id-clustered, so every per-doc
+      // aggregation downstream (d03 signatures, d03 verification
+      // sets, d06) runs with no further shuffle — the in-memory
+      // analog of bucketing the table on disk.
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
@@ -51,11 +63,6 @@ object Shingles {
           conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
         .distinct()
         .withColumn("h60", shiftleft(col("h1"), 28) + shiftright(col("h2"), 4))
-        // clustered by doc_id so every per-doc aggregation over the
-        // shared table (d03 signatures, d03 verification sets, d06)
-        // reuses this partitioning instead of re-shuffling — the
-        // persisted layout plays the role bucketing plays on disk
-        .repartition(col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
     // an external catalog.clearCache() (Bench does one between warmup
