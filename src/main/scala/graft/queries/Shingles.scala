@@ -56,6 +56,11 @@ object Shingles {
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
         .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
+        // NOTE: a native (h1,h2) Generator was tried here and measured
+        // SLOWER — a CodegenFallback Generate emits interpreted rows
+        // and re-converts them to unsafe format at the aggregate
+        // boundary, while this form keeps explode+md5+conv inside
+        // whole-stage codegen with the HOF as the only interpreted step
         .select(col("doc_id"),
           explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
         .select(col("doc_id"),

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, d03, d04, d05, d06, q34)
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, d03, d04, d05, d06, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -237,6 +237,45 @@ object Similarity {
       SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine
       FROM r WHERE rn <= 5
       ORDER BY query_id, rn"""))
+
+  /** Symmetric int8 embedding quantization — the storage-side
+    * primitive of a 100 TB vector corpus (4× smaller than float32,
+    * int8 SIMD dot products downstream): per-vector scale =
+    * max|v|/127, lanes truncated toward zero (trunc, NOT round —
+    * Spark's int cast truncates while DuckDB's rounds, so trunc is
+    * the portable choice; see memory of the q04 round-1 trap).
+    * Pure narrow projection, no shuffle; exploded output keeps the
+    * hash compare schema-stable. */
+  val s04 = QueryDef(
+    "s04_quantize_int8",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("m") > 0)
+      e.select(col("vec_id"), col("m"), posexplode(col("v")))
+        .select(col("vec_id"), (col("pos") + 1).as("lane"),
+          (col("m") / 127.0d).as("scale"),
+          // Spark's int cast truncates toward zero; DuckDB's ROUNDS,
+          // so the oracle spells trunc() explicitly (round-1 trap)
+          expr("CAST(col * 127.0 / m AS INT)").as("q"))
+        .orderBy(col("vec_id"), col("lane"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM e),
+      u AS (
+        SELECT vec_id, m, generate_subscripts(v, 1) AS lane, unnest(v) AS x
+        FROM m WHERE m > 0)
+      SELECT vec_id, lane, m / 127.0 AS scale,
+             CAST(trunc(x * 127.0 / m) AS INT) AS q
+      FROM u
+      ORDER BY vec_id, lane"""))
 
   /** Per-label vector centroid over the embeddings table, powered by
     * the [[graft.functions.VecSumAgg]] DeclarativeAggregate: one

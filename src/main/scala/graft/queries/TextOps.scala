@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, d01, d02)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -323,6 +323,61 @@ object TextOps {
       FROM mins WHERE rn <= 4
       GROUP BY doc_id
       ORDER BY doc_id"""))
+
+  /** The composed corpus-cleaning pipeline — what a user actually
+    * runs before training: language filter → quality gates (token
+    * count, char count) → exact dedup (min-doc_id survivor per
+    * normalized-text fingerprint) → deterministic split assignment →
+    * per-split accounting. Every stage is one of this engine's
+    * primitives (t03/t02/d01/t08 shapes) fused into a single lazy
+    * plan Catalyst optimizes whole: the filters run at the scan, the
+    * dedup is one hash shuffle, the split is a projection, the
+    * accounting one final aggregation. */
+  val t10 = QueryDef(
+    "t10_corpus_clean",
+    (s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val cleaned = Tables.documents(s, d)
+        .filter(col("lang") === "en" && col("n_chars") >= 50)
+        .select(col("doc_id"), size(tokens).as("n_tokens"), norm.as("t"))
+        .filter(col("n_tokens") >= 10)
+      val deduped = cleaned
+        .withColumn("fp", md5(col("t")))
+        .groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"))
+      val bucket = pmod(conv(substring(
+        md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+      deduped
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH cleaned AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= 50),
+      q AS (SELECT * FROM cleaned WHERE n_tokens >= 10),
+      deduped AS (
+        SELECT min(doc_id) AS doc_id,
+               min_by(n_tokens, doc_id) AS n_tokens
+        FROM (SELECT doc_id, n_tokens, md5(t) AS fp FROM q)
+        GROUP BY fp),
+      split AS (
+        SELECT n_tokens,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped)
+      SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM split
+      GROUP BY split
+      ORDER BY split"""))
 
   /** Exact dedup: hash-groupBy on the normalized fingerprint; canonical
     * row = min doc_id (deterministic survivor, cf. ops.Dedup). */
