@@ -2,50 +2,44 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Skew mitigation for joins whose key distribution is pathological
-  * (one hot key → one straggler task). AQE's skew-join split (on by
-  * default) handles sort-merge skew at runtime; explicit salting is the
-  * plan-level tool when the skewed side must hash-join or the skew is
-  * known a priori (e.g. the null/default key of a fact table).
+/** Skew-salted two-phase aggregation (SURVEY §7.3 (8) — "skewed keys →
+  * salting or AQE skew-join", here the aggregation half).
   *
-  * Mechanics: the big side gets a uniform random salt in [0, factor);
-  * the small side is replicated `factor`× with every salt value; the
-  * join key becomes (key, salt). Row multiplicity is unchanged —
-  * each big-side row matches exactly its original partner — so any
-  * downstream aggregate is unaffected. Cost: small side × factor.
+  * A plain `groupBy(hotKey).sum` sends EVERY row of a hot key to one
+  * reducer — at 100 TB a single skewed key (one language, one
+  * event_type) serializes the stage. Salting splits each key into
+  * `buckets` sub-groups on a high-cardinality column, partial-sums per
+  * (key, salt) across all reducers, then combines the tiny partial
+  * table per key. Exact for any algebraic aggregate; sums route
+  * through DECIMAL so the regrouping is also order-independent
+  * bit-for-bit (the [[graft.queries.QueryDef.dsum]] discipline).
+  *
+  * AQE's skew handling covers JOINS, not aggregations — for
+  * aggregation skew this two-phase shape is still the tool. (Spark's
+  * own partial aggregation maps-side combines, which usually suffices;
+  * explicit salting matters when the map-side hash table overflows —
+  * many distinct group values per mapper — or with
+  * `spark.sql.aggregate.partialAggregationOptimization` skipping
+  * partials. The operator exists to make the pattern first-class and
+  * testable.)
   */
 object Salt {
 
-  private val SALT = "__graft_salt"
-
-  /** Equi-join `big ⋈ small` on `keys`, salted `factor` ways.
-    * Inner and left-outer supported (the salt never manufactures or
-    * drops matches). */
-  def skewJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-               factor: Int, joinType: String = "inner"): DataFrame = {
-    require(factor > 0, "salt factor must be positive")
-    require(Seq("inner", "left", "left_outer").contains(joinType),
-      s"unsupported salted join type: $joinType")
-    val salted = big.withColumn(SALT, pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)).cast("int"))
-    val replicated = small.withColumn(SALT,
-      explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(replicated, keys :+ SALT, joinType).drop(SALT)
-  }
-
-  /** Two-phase aggregation for skewed group keys: partial-aggregate on
-    * (key, salt) then final-aggregate on key. Correct for decomposable
-    * aggregates expressed as (partial, final) column pairs, e.g.
-    * sum/sum, count/sum. (Spark's hash aggregate already does
-    * partial+final on the SAME key — this variant additionally splits
-    * a single hot key's partial state across `factor` reducers.) */
-  def skewedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                factor: Int, out: String): DataFrame = {
-    val salted = df.withColumn(SALT,
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)).cast("int"))
-    salted.groupBy((keys :+ SALT).map(col): _*)
-      .agg(sum(col(valueCol)).as("__partial"))
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("__partial")).as(out))
+  /** Exact decimal sum + row count per `keys`, two-phase over
+    * `pmod(saltSource, buckets)`. */
+  def saltedSumCount(df: DataFrame, keys: Seq[Column], value: Column,
+                     saltSource: Column, buckets: Int,
+                     sumName: String, cntName: String): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val partial = salted
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(sum(value.cast(DecimalType(18, 4))).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys: _*)
+      .agg(sum(col("__psum")).cast("double").as(sumName),
+        sum(col("__pcnt")).cast("bigint").as(cntName))
   }
 }

@@ -31,7 +31,7 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -553,6 +553,53 @@ object Relational {
       FROM events e
       ASOF JOIN ot ON e.user_id = ot.user_id AND epoch_us(e.ts) >= ot.t_us
       ORDER BY e.event_id"""))
+
+  /** Range join, bucketed — the second operator of the custom-op
+    * family next to [[q30]]'s as-of join: clicks attributed to each
+    * purchase of the same user within the 30 minutes before it.
+    * A naive theta join (user match + range predicate) degenerates to
+    * per-user cross products at scale; here both sides bin their
+    * timestamps into window-width buckets, purchases probe their own
+    * and the previous bucket (window length == bucket width ⇒ the two
+    * buckets COVER the range — no match can escape), and the exact
+    * range predicate filters inside the equi-join. The join key is
+    * (user, bucket): shuffle-friendly, output bounded by bucket
+    * population, result identical to the naive form (the oracle runs
+    * the naive form). */
+  val q37 = QueryDef(
+    "q37_range_attribution",
+    (s, d) => {
+      val W = 1800000000L // 30 min in µs
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"),
+          expr(s"us div $W").as("cb"))
+      val probes = purchases
+        .withColumn("cb", explode(array(expr(s"p_us div $W") - 1, expr(s"p_us div $W"))))
+      val matched = probes.join(clicks, Seq("user_id", "cb"))
+        .filter(col("c_us") >= col("p_us") - W && col("c_us") < col("p_us"))
+        .groupBy(col("user_id"), col("p_us"))
+        .agg(count(lit(1)).as("n_clicks"))
+      purchases.join(matched, Seq("user_id", "p_us"), "left")
+        .select(col("user_id"), col("p_us"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("user_id"), col("p_us"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click'),
+      m AS (
+        SELECT p.user_id, p.p_us, count(*) AS n_clicks
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
+        GROUP BY 1, 2)
+      SELECT p.user_id, p.p_us, CAST(coalesce(m.n_clicks, 0) AS BIGINT) AS n_clicks
+      FROM p LEFT JOIN m USING (user_id, p_us)
+      ORDER BY user_id, p_us"""))
 
   /** The custom TopKPerKey physical operator (graft.plans), driver-
     * verified: top-3 orders per customer by price via bounded heaps —

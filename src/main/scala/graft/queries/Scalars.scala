@@ -15,7 +15,7 @@ import QueryDef.{dsum, dsumSql}
 object Scalars {
 
   def defs: Seq[QueryDef] =
-    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35)
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -269,6 +269,29 @@ object Scalars {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
+
+  /** Skew-salted aggregation over the 5 hot event_type keys
+    * ([[graft.ops.Salt]]): partial sums per (key, salt-of-event_id)
+    * spread the hot key across all reducers, then a tiny per-key
+    * combine — exact (decimal partials are associative), same result
+    * as the plain GROUP BY the oracle runs. SaltSpec pins equality
+    * with the unsalted plan and the two-phase shape. */
+  val q36 = QueryDef(
+    "q36_salted_agg",
+    (s, d) => {
+      val ev = graft.Tables.events(s, d)
+      graft.ops.Salt.saltedSumCount(ev,
+        Seq(col("event_type")), col("value"), col("event_id"), 16,
+        "sum_value", "n_events")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   /** The sketch twin of [[q32]]: approx_percentile (Greenwald-Khanna
     * with accuracy 100, mergeable partial sketches) — at 100 TB the

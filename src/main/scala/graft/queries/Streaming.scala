@@ -15,7 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04)
+  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+
+  /** Streaming dedup with watermark-bounded state (the streaming twin
+    * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyMinutes]]). */
+  val st05 = QueryDef(
+    "st05_stream_dedup",
+    (s, d) => graft.streaming.Streams.distinctKeyMinutes(s, s"$d/events.parquet")
+      .orderBy(col("user_id"), col("event_type"), col("minute")),
+    Some("""
+      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+      FROM events
+      ORDER BY user_id, event_type, minute"""))
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(

@@ -35,20 +35,27 @@ object Streams {
   private val srcDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame = {
-    // the whole nanos-typed pipeline runs in a cloned session so the
-    // legacy conf never leaks into the caller's session (advisor,
-    // round 2): same SparkContext and cache, separate SQLConf/catalog
+  /** Shared scaffold for file-replayed streaming queries: a cloned
+    * session (the nanos legacy conf never leaks to the caller —
+    * advisor, round 2), the watermark-ready `ets` event-time column,
+    * AvailableNow replay into a memory sink, and a localCheckpoint'ed
+    * (session-independent) result.
+    *
+    * Watermarks require TIMESTAMP (not NTZ); with session TZ=UTC the
+    * LTZ wall-clock equals the NTZ value, restored by each caller's
+    * final cast. The file stream source requires a directory; testdata
+    * ships events.parquet as a bare file, so it is exposed through a
+    * cached temp-dir symlink. (Production streams point at
+    * directories/Kafka already.) */
+  private def runStream(spark: SparkSession, eventsDir: String,
+                        mode: OutputMode)
+                       (build: DataFrame => DataFrame)
+                       (finish: DataFrame => DataFrame): DataFrame = {
     val s = spark.newSession()
     for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
       spark.conf.getOption(k).foreach(s.conf.set(k, _))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
-    // watermarks require TIMESTAMP (not NTZ); with session TZ=UTC the
-    // LTZ wall-clock equals the NTZ value, restored by the final cast
-    // The file stream source requires a directory; testdata ships
-    // events.parquet as a bare file, so expose it through a temp dir
-    // symlink. (Production streams point at directories/Kafka already.)
     val srcDir = {
       val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
       if (java.nio.file.Files.isDirectory(p)) eventsDir
@@ -59,30 +66,51 @@ object Streams {
         dir.toString
       })
     }
-    val stream = s.readStream.schema(schema).parquet(srcDir)
+    val source = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
-      .withWatermark("ets", "1 hour")
-      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
-    val name = s"graft_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = stream.writeStream
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = build(source).writeStream
       .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // materialize the (small, aggregated) result off the memory sink so
-    // the cloned session's sink table can be dropped; the checkpointed
-    // plan is session-independent (LogicalRDD)
-    val result = s.table(name)
-      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
-      .localCheckpoint(eager = true)
+    val result = finish(s.table(name)).localCheckpoint(eager = true)
     s.catalog.dropTempView(name)
     result
   }
+
+  def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    }
+
+  /** Streaming deduplication with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per
+    * (user, event_type, minute) and PURGES key state once the
+    * watermark passes — the streaming twin of batch DISTINCT, with
+    * state proportional to the watermark window rather than the whole
+    * stream history (the only honest way to dedup an unbounded
+    * stream). AvailableNow over one file = one micro-batch, so the
+    * replay dedups completely and batch-equals the DISTINCT oracle. */
+  def distinctKeyMinutes(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append()) { src =>
+      src.withWatermark("ets", "1 hour")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ets")).as("minute"), col("ets"))
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "minute"))
+        .select(col("user_id"), col("event_type"), col("minute"))
+    } { sink =>
+      sink.select(col("user_id"), col("event_type"),
+        col("minute").cast("timestamp_ntz").as("minute"))
+    }
 
   // ---- stateful sessionization ----
 

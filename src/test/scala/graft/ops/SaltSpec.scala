@@ -1,46 +1,52 @@
 package graft.ops
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Salting must never change results — only distribution. */
+/** Salted two-phase aggregation must be bit-identical to the plain
+  * groupBy (decimal partials are associative) and actually two-phase
+  * in the plan. */
 class SaltSpec extends SparkSpec {
-  import spark.implicits._
 
-  private val big = (1 to 2000).map(i =>
-    (if (i % 10 == 0) "rare" + i else "HOT", i.toDouble)) // 90% one key
-    .toDF("k", "v")
-  private val small = Seq(("HOT", 1), ("rare10", 2), ("rare20", 3)).toDF("k", "m")
-
-  test("salted inner join equals plain inner join") {
-    val plain = big.join(small, Seq("k"), "inner")
-      .select("k", "v", "m").collect().toSet
-    val salted = Salt.skewJoin(big, small, Seq("k"), factor = 8)
-      .select("k", "v", "m").collect().toSet
+  test("salted sum/count equals the plain aggregation bit-for-bit") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = Salt.saltedSumCount(ev, Seq(col("event_type")), col("value"),
+        col("event_id"), 16, "sum_value", "n_events")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = ev.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(salted === plain)
   }
 
-  test("salted left join preserves unmatched rows exactly once") {
-    val plain = big.join(small, Seq("k"), "left")
-      .select("k", "v", "m").collect()
-    val salted = Salt.skewJoin(big, small, Seq("k"), factor = 8, "left")
-      .select("k", "v", "m").collect()
-    assert(salted.length === plain.length)
-    assert(salted.toSet === plain.toSet)
+  test("plan is two-phase: an exchange on (key, salt) precedes the final combine") {
+    val ev = Tables.events(spark, sfDir)
+    val df = Salt.saltedSumCount(ev, Seq(col("event_type")), col("value"),
+      col("event_id"), 16, "sum_value", "n_events")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2, s"expected salted + final exchanges:\n${plan.take(2000)}")
   }
 
-  test("skewedSum equals plain grouped sum") {
-    val plain = big.groupBy("k").agg(sum("v").as("total"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val salted = Salt.skewedSum(big, Seq("k"), "v", factor = 8, out = "total")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(salted.keySet === plain.keySet)
-    plain.foreach { case (k, v) =>
-      assert(math.abs(salted(k) - v) < 1e-9, s"key $k") }
-  }
-
-  test("replication factor bounds the small-side blowup") {
-    val replicatedRows = Salt.skewJoin(big.limit(0), small, Seq("k"), factor = 8)
-    assert(replicatedRows.count() === 0) // empty big side → no output
+  test("bucketed range attribution equals the naive theta join") {
+    import graft.queries.Registry
+    val bucketed = Registry.queries("q37_range_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val W = 1800000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("c_us"))
+    val naive = p.join(c, col("user_id") === col("cu") &&
+        col("c_us") >= col("p_us") - W && col("c_us") < col("p_us"), "left")
+      .groupBy(col("user_id"), col("p_us"))
+      .agg(sum(when(col("c_us").isNotNull, 1L).otherwise(0L)).as("n_clicks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed === naive)
   }
 }
