@@ -89,11 +89,16 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection
-  * point — the deployment-grade registration path. */
+  * point — the deployment-grade registration path: native functions,
+  * the row_number→TopKPerKey optimizer rule, and the planner strategy
+  * that executes the rewritten operator. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

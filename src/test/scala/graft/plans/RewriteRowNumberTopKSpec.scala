@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The row_number→TopKPerKey rewrite must fire on the canonical
+  * dropped-rank idiom, stay away when the rank survives, and return
+  * the identical row set (orders here use a total tiebreak). */
+class RewriteRowNumberTopKSpec extends SparkSpec {
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(RewriteRowNumberTopK)
+    s.experimental.extraStrategies = Seq(TopKStrategy)
+    s
+  }
+
+  private def topkPipeline(ss: org.apache.spark.sql.SparkSession) = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(ss, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  test("rewrite fires: heap operator, no per-partition sort, no window") {
+    val df = topkPipeline(s2)
+    // physical nodes print without the Exec suffix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), plan.take(2000))
+    assert(!plan.contains("Window") && !plan.contains("Sort "), plan.take(2000))
+  }
+
+  test("rewritten result row set equals the window formulation") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(topkPipeline(s2)) === rows(topkPipeline(spark)))
+  }
+
+  test("rewrite does NOT fire when the rank column survives") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(s2, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn") // rank used downstream → window must stay
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKeyExec"), plan.take(2000))
+  }
+
+  test("rewrite does NOT fire for other window functions") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(s2, sfDir)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKeyExec"), plan.take(2000))
+  }
+}
