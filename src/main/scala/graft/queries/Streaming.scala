@@ -18,15 +18,16 @@ object Streaming {
   def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
 
   /** Streaming dedup with watermark-bounded state (the streaming twin
-    * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyMinutes]]). */
+    * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyDays]]). */
   val st05 = QueryDef(
     "st05_stream_dedup",
-    (s, d) => graft.streaming.Streams.distinctKeyMinutes(s, s"$d/events.parquet")
-      .orderBy(col("user_id"), col("event_type"), col("minute")),
+    (s, d) => graft.streaming.Streams.distinctKeyDays(s, s"$d/events.parquet")
+      .orderBy(col("user_id"), col("event_type"), col("day")),
     Some("""
-      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+      SELECT DISTINCT user_id, event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
       FROM events
-      ORDER BY user_id, event_type, minute"""))
+      ORDER BY user_id, event_type, day"""))
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(

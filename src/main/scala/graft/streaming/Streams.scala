@@ -94,22 +94,22 @@ object Streams {
 
   /** Streaming deduplication with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per
-    * (user, event_type, minute) and PURGES key state once the
+    * (user, event_type, day) and PURGES key state once the
     * watermark passes — the streaming twin of batch DISTINCT, with
     * state proportional to the watermark window rather than the whole
     * stream history (the only honest way to dedup an unbounded
     * stream). AvailableNow over one file = one micro-batch, so the
     * replay dedups completely and batch-equals the DISTINCT oracle. */
-  def distinctKeyMinutes(spark: SparkSession, eventsDir: String): DataFrame =
+  def distinctKeyDays(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Append()) { src =>
-      src.withWatermark("ets", "1 hour")
+      src.withWatermark("ets", "25 hours")
         .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ets")).as("minute"), col("ets"))
-        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "minute"))
-        .select(col("user_id"), col("event_type"), col("minute"))
+          date_trunc("day", col("ets")).as("day"), col("ets"))
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "day"))
+        .select(col("user_id"), col("event_type"), col("day"))
     } { sink =>
       sink.select(col("user_id"), col("event_type"),
-        col("minute").cast("timestamp_ntz").as("minute"))
+        col("day").cast("timestamp_ntz").as("day"))
     }
 
   // ---- stateful sessionization ----
