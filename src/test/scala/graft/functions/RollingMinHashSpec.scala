@@ -37,6 +37,27 @@ class RollingMinHashSpec extends SparkSpec {
     assert(ours(3L).size === 1)
   }
 
+  test("fuzz: 300 random unicode strings match the reference pipeline") {
+    val rnd = new scala.util.Random(1234)
+    val alphabets = Array(
+      ('a' to 'z') ++ (' ' to ' '),                    // ascii + space
+      ('a' to 'z') ++ ('à' to 'ÿ') ++ Seq(' '),        // latin-1 2-byte
+      ('a' to 'z') ++ ('一' to '十') ++ Seq(' ')) // 3-byte CJK
+    def randStr(): String = {
+      val ab = alphabets(rnd.nextInt(alphabets.length))
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => ab(rnd.nextInt(ab.length))).mkString
+    }
+    val rows = (1L to 300L).map(i => i -> randStr())
+    val df = rows.toDF("id", "t")
+    val ours = df.filter(length(col("t")) >= 8)
+      .select(col("id"), RollingMinHash.rollingMinHash(col("t"), 8, 4).as("mins"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ref = refForm(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ours === ref)
+  }
+
   test("stays inside whole-stage codegen") {
     // a local Seq folds to LocalTableScan; range keeps the projection
     // in the executed plan so codegen compatibility is actually tested
