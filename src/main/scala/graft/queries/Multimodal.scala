@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 
   /** Decode metadata for a batch of media payloads (documents.text
     * bytes stand in for image blobs). */
@@ -107,6 +107,48 @@ object Multimodal {
              unnest(range(0, n_sampled)) * 64 AS byte_offset
       FROM s
       ORDER BY doc_id, frame_idx"""))
+
+  /** Media dedup by decoded signature — the multimodal member of the
+    * dedup family: payloads whose DECODED properties collide
+    * (dimensions + container format from the stub decoder) form
+    * candidate duplicate groups, the cheap first pass of image dedup
+    * (exact-byte dedup is d01's shape; real perceptual hashing slots
+    * into the same groupBy once a codec exists). One hash shuffle on
+    * the signature; only groups with ≥2 members surface. */
+  val m05 = QueryDef(
+    "m05_media_sigdup",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { batch =>
+        batch.map { case (id, bytes) => graft.ops.MediaDecode.decodeStub(id, bytes) }
+      }.toDF()
+        // size-CLASS signature (64px bins): exact dims rarely collide,
+        // size class + container is the realistic first-pass bucket
+        .groupBy(expr("width div 64").as("w_bin"),
+          expr("height div 64").as("h_bin"), col("format"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_media"))
+        .filter(col("n_media") >= 2)
+        .select(col("w_bin"), col("h_bin"), col("format"),
+          col("canonical_id"), col("n_media"))
+        .orderBy(col("canonical_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 960 AS INT) AS width,
+               CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 960 AS INT) AS height,
+               CASE CAST(concat('0x', substr(sha256(text), 17, 1)) AS BIGINT) % 3
+                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        FROM documents)
+      SELECT width // 64 AS w_bin, height // 64 AS h_bin, format,
+             min(doc_id) AS canonical_id, count(*) AS n_media
+      FROM m
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+      ORDER BY canonical_id"""))
 
   /** The full multimodal retrieval composition: decode → feature-
     * extract (batched mapPartitions, stub encoder) → cosine scoring
