@@ -104,6 +104,34 @@ class StreamsSpec extends SparkSpec {
     assert(matched === Seq(1L)) // only the in-window click joins
   }
 
+  test("streaming dedup: cross-batch duplicates suppressed, expired keys re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDS().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+    val name = s"sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)))) // in-batch dup of 1
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(5)))) // cross-batch dup, within watermark
+      q.processAllAvailable()
+      // watermark jumps far past key 1's expiry (10-min delay on t=120
+      // → wm 110 > 0+10); a later occurrence is a NEW first-seen
+      input.addData(Seq((3L, ts(120))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(125))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).select(col("k")).as[Long].collect().toSeq
+    // 1 and 2 once from batch 1, 3 once, then 1 again after state expiry
+    assert(out.sorted === Seq(1L, 1L, 2L, 3L))
+  }
+
   test("streaming hourlyTypeCounts equals the batch aggregation (events table)") {
     val streamed = hourlyTypeCounts(spark, s"$sfDir/events.parquet")
     val expected = graft.Tables.events(spark, sfDir)
