@@ -78,6 +78,24 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JSON-lines scan with an explicit schema — the interchange format
+    * of scraped/API payloads (the reference's FBref JSON responses
+    * land as CSV only because soccerdata flattens them first; a
+    * Spark-native ingest reads the JSONL directly). Schema-first like
+    * [[csvTyped]]: splittable scan, no inference pass over the data;
+    * rows that do not parse yield nulls per-field (PERMISSIVE) or are
+    * dropped via [[jsonlTolerant]]. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL scan dropping undecodable lines (S4's tolerance for JSON). */
+  def jsonlTolerant(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("mode", "DROPMALFORMED").schema(schema).json(path)
+
+  /** JSON-lines sink. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** First `n` text lines of `path` (file or directory of files),
     * via the Hadoop FS API so any Spark-readable filesystem works. */
   private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {

@@ -94,4 +94,29 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.parseCsvLine("a,\"b,c\",\"say \"\"hi\"\"\",d") ===
       Seq("a", "b,c", "say \"hi\"", "d"))
   }
+
+  test("JSONL roundtrip with explicit schema; tolerant mode drops bad lines") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Seq((1L, "a, with \"quotes\"", 0.5), (2L, "bü", 1.25))
+      .toDF("id", "name", "score")
+    Sources.writeJsonl(df, s"$dir/out")
+    val back = Sources.jsonl(spark, s"$dir/out", schema)
+    assert(back.schema === schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ===
+      Set((1L, "a, with \"quotes\"", 0.5), (2L, "bü", 1.25)))
+    // corrupt line: tolerant scan drops it, permissive yields nulls
+    val mixed = s"$dir/mixed"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(mixed))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$mixed/part.json"),
+      """{"id": 1, "name": "ok", "score": 2.0}
+        |this is not json
+        |{"id": 2, "name": "also ok", "score": 3.0}
+        |""".stripMargin)
+    assert(Sources.jsonlTolerant(spark, mixed, schema).count() === 2)
+  }
 }
