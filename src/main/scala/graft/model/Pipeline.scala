@@ -63,51 +63,59 @@ object Pipeline {
     * in (SURVEY §3.3) — never collected to the driver, never
     * overwritten while still being read. */
   def load(spark: SparkSession, warehouseDir: String,
-           tables: Map[String, DataFrame]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+           tables: Map[String, DataFrame]): Unit =
     tables.foreach { case (name, incoming) =>
-      val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
-      val fs = path.getFileSystem(conf)
-      val merged =
-        if (!fs.exists(path)) incoming
-        else {
-          val existing = spark.read.parquet(path.toString)
-          if (name.startsWith("dim_"))
-            Upsert.updateWins(existing, incoming, keys(name))
-          else Upsert.ignoreNew(existing, incoming, keys(name))
-        }
-      val tmp = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_tmp")
+      val merge: (DataFrame, DataFrame) => DataFrame =
+        if (name.startsWith("dim_")) Upsert.updateWins(_, _, keys(name))
+        else Upsert.ignoreNew(_, _, keys(name))
       // facts are laid out partitioned by season: incremental seasons
       // land in their own directories and season-filtered reads prune
       // to one partition (SURVEY §7.3 (7); asserted in PipelineSpec)
-      val writer = merged.write.mode("overwrite")
-      val partitioned =
-        if (!name.startsWith("dim_") && merged.columns.contains("season"))
-          writer.partitionBy("season")
-        else if (!name.startsWith("dim_") && merged.columns.contains("season_id"))
-          writer.partitionBy("season_id")
-        else writer
-      partitioned.parquet(tmp.toString)
-      // failure-safe swap: move the live table aside, rename the temp
-      // dir in, only then drop the old copy — a crash or failed rename
-      // at any step leaves either the old or the new table readable
-      val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_old")
-      if (fs.exists(old) && !fs.delete(old, true))
-        sys.error(s"load: failed to clear stale backup $old")
-      val hadPrev = fs.exists(path)
-      if (hadPrev && !fs.rename(path, old))
-        sys.error(s"load: failed to move live table $path aside")
-      if (!fs.rename(tmp, path)) {
-        if (hadPrev) fs.rename(old, path) // restore previous table
-        sys.error(s"load: failed to swap $tmp into $path")
-      }
-      // the swap has SUCCEEDED at this point — a failed backup cleanup
-      // must not abort the remaining tables; the stale-backup sweep at
-      // the top of the next load clears it (advisor, round 2)
-      if (hadPrev && !fs.delete(old, true))
-        org.apache.log4j.Logger.getLogger(getClass)
-          .warn(s"load: swapped $name but could not remove backup $old; " +
-            "next load's stale-backup sweep will clear it")
+      val partitionCols =
+        if (!name.startsWith("dim_") && incoming.columns.contains("season"))
+          Seq("season")
+        else if (!name.startsWith("dim_") && incoming.columns.contains("season_id"))
+          Seq("season_id")
+        else Nil
+      mergeSwap(spark, warehouseDir, name, incoming, merge, partitionCols)
     }
+
+  /** Merge `incoming` with the live table (if any) via `merge`, write
+    * the result to a temp dir, and swap it in failure-safely: a crash
+    * or failed rename at any step leaves either the old or the new
+    * table readable. Shared by the batch [[load]] and the streaming
+    * incremental load ([[graft.streaming.Streams.incrementalLoad]]'s
+    * foreachBatch). */
+  def mergeSwap(spark: SparkSession, warehouseDir: String, name: String,
+                incoming: DataFrame, merge: (DataFrame, DataFrame) => DataFrame,
+                partitionCols: Seq[String] = Nil): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+    val fs = path.getFileSystem(conf)
+    val merged =
+      if (!fs.exists(path)) incoming
+      else merge(spark.read.parquet(path.toString), incoming)
+    val tmp = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_tmp")
+    val writer = merged.write.mode("overwrite")
+    val partitioned =
+      if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
+    partitioned.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/.${name}_old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      sys.error(s"load: failed to clear stale backup $old")
+    val hadPrev = fs.exists(path)
+    if (hadPrev && !fs.rename(path, old))
+      sys.error(s"load: failed to move live table $path aside")
+    if (!fs.rename(tmp, path)) {
+      if (hadPrev) fs.rename(old, path) // restore previous table
+      sys.error(s"load: failed to swap $tmp into $path")
+    }
+    // the swap has SUCCEEDED at this point — a failed backup cleanup
+    // must not abort the remaining tables; the stale-backup sweep at
+    // the top of the next load clears it (advisor, round 2)
+    if (hadPrev && !fs.delete(old, true))
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"load: swapped $name but could not remove backup $old; " +
+          "next load's stale-backup sweep will clear it")
   }
 }

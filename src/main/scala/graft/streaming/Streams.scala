@@ -112,6 +112,57 @@ object Streams {
         col("day").cast("timestamp_ntz").as("day"))
     }
 
+  /** Streaming incremental warehouse load — the streaming twin of the
+    * batch [[graft.model.Pipeline.load]]: watermarked daily aggregates
+    * in Update output mode, each micro-batch's CHANGED rows upserted
+    * (update-wins on the aggregate key) into the parquet warehouse
+    * through the same failure-safe merge+swap writer the batch
+    * pipeline uses. Update mode re-emits an aggregate row whenever it
+    * changes, so the upsert converges to the batch aggregation and
+    * every intermediate table state is internally consistent — the
+    * standard foreachBatch CDC-to-warehouse shape.
+    *
+    * Returns the loaded table name inside `warehouseDir`. */
+  def incrementalLoad(spark: SparkSession, eventsDir: String,
+                      warehouseDir: String): String = {
+    val s = spark.newSession()
+    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsDir).schema
+    val srcDir = {
+      val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+      if (java.nio.file.Files.isDirectory(p)) eventsDir
+      else srcDirCache.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+        dir.toFile.deleteOnExit()
+        dir.toString
+      })
+    }
+    val table = "agg_event_daily"
+    val keys = Seq("day", "event_type")
+    val agg = s.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      .withWatermark("ets", "25 hours")
+      .groupBy(date_trunc("day", col("ets")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        graft.model.Pipeline.mergeSwap(s, warehouseDir, table,
+          delta.localCheckpoint(eager = true), // detach from the micro-batch plan
+          graft.ops.Upsert.updateWins(_, _, keys))
+      }
+      .start()
+    q.awaitTermination()
+    table
+  }
+
   // ---- stateful sessionization ----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)

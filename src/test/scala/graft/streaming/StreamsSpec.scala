@@ -132,6 +132,22 @@ class StreamsSpec extends SparkSpec {
     assert(out.sorted === Seq(1L, 1L, 2L, 3L))
   }
 
+  test("incrementalLoad converges the warehouse table to the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-swh").toString
+    val table = Streams.incrementalLoad(spark, s"$sfDir/events.parquet", wh)
+    def loaded = spark.read.parquet(s"$wh/$table")
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(loaded.count() === batch.count())
+    assert(loaded.selectExpr("sum(n_events)").collect()(0).getLong(0) === 1000L)
+    // re-running the stream over the same source is idempotent
+    Streams.incrementalLoad(spark, s"$sfDir/events.parquet", wh)
+    assert(loaded.count() === batch.count())
+    assert(loaded.selectExpr("sum(n_events)").collect()(0).getLong(0) === 1000L)
+  }
+
   test("streaming hourlyTypeCounts equals the batch aggregation (events table)") {
     val streamed = hourlyTypeCounts(spark, s"$sfDir/events.parquet")
     val expected = graft.Tables.events(spark, sfDir)
