@@ -168,7 +168,10 @@ object Facts {
     }
     val picked = raw
       .select(resolved.zip(playerMatchNames).map { case (c, n) => col(c).as(n) }: _*)
-      .filter(lower(col("season")) =!= "season") // embedded header rows (P4)
+      // embedded header rows (P4). Null-tolerant: pandas `!= "season"`
+      // is True for NaN, so NULL-season rows must pass through, not be
+      // dropped by three-valued logic.
+      .filter(col("season").isNull || lower(col("season")) =!= "season")
     val base = picked
       .withColumn("team_key", normed("team"))
       .withColumn("game_key", Normalize.normKey(col("game")))

@@ -23,6 +23,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * contract Spark's own global `TakeOrderedAndProject` has under ties.
   *
   * Guards (rewrite only fires when ALL hold):
+  *  - the Window has a non-empty PARTITION BY (the global top-k shape
+  *    `row_number() OVER (ORDER BY …)` is left to Spark, whose
+  *    Limit/TakeOrderedAndProject path already handles it — and
+  *    `ClusteredDistribution(Nil)` is illegal at planning time);
   *  - the Window computes exactly one expression: `row_number()`;
   *  - the Filter tests only that rank: `rn <= k`, `rn < k`, or
   *    `rn = 1` (commuted literal forms included), with k a foldable
@@ -58,7 +62,7 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
             partitionSpec, orderSpec, child, _)))
-        if orderSpec.nonEmpty &&
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
           limitOf(cond, al.toAttribute).exists(_ > 0) &&
           !projList.exists(_.references.contains(al.toAttribute)) &&
           projList.forall(e => e.references.subsetOf(child.outputSet)) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -37,8 +37,12 @@ case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // ClusteredDistribution(Nil) is rejected at planning time; a keyless
+  // call means global top-k, which needs every row on one partition.
+  // (The optimizer rewrite never produces that shape — this covers
+  // direct TopK.perKey(df, Nil, …) use.)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (keys.isEmpty) AllTuples else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

@@ -23,6 +23,14 @@ class CappedDocsAggSpec extends SparkSpec {
     }
   }
 
+  test("non-bigint input is an analysis error, not a runtime ClassCastException") {
+    val df = spark.createDataset(Seq((1, 2), (1, 3))).toDF("g", "doc") // doc: int
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(CappedDocsAgg.cappedDocs(col("doc"), 4)).collect()
+    }
+    assert(e.getMessage.contains("graft_capped_docs"))
+  }
+
   test("groups beyond the cap keep the exact count and a truncated list") {
     val df = (1L to 100L).toDF("doc").withColumn("g", lit(0))
       .repartition(4)

@@ -23,6 +23,14 @@ class TopKMinAggSpec extends SparkSpec {
     }
   }
 
+  test("non-bigint input is an analysis error, not a runtime ClassCastException") {
+    val df = spark.createDataset(Seq((1, 2), (1, 3))).toDF("g", "h") // h: int
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(TopKMinAgg.topKMin(col("h"), k)).collect()
+    }
+    assert(e.getMessage.contains("graft_topk_min"))
+  }
+
   test("duplicates collapse; fewer than k distinct yields a short array") {
     val df = Seq((1, 5L), (1, 5L), (1, 3L), (1, 3L), (2, 9L))
       .toDF("g", "h")

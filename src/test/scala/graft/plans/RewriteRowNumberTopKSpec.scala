@@ -50,6 +50,36 @@ class RewriteRowNumberTopKSpec extends SparkSpec {
     assert(!plan.contains("TopKPerKeyExec"), plan.take(2000))
   }
 
+  test("rewrite does NOT fire on an empty PARTITION BY (global top-k) — and the query still runs") {
+    // row_number() OVER (ORDER BY …) with the rank dropped used to match
+    // the rewrite and then die at planning time on
+    // ClusteredDistribution(Nil); it must be left to Spark's own path.
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def global(ss: org.apache.spark.sql.SparkSession) =
+      Tables.orders(ss, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("o_orderkey", "o_totalprice")
+    val df = global(s2)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey "))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows(df) === rows(global(spark)))
+  }
+
+  test("direct TopK.perKey with no keys plans AllTuples and returns the global top-k") {
+    val got = TopK.perKey(Tables.orders(s2, sfDir), Seq.empty,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 5)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === want)
+  }
+
   test("rewrite does NOT fire for other window functions") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
