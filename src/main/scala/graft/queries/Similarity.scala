@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, d03, d04, d05, d06, q34)
+  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, d03, d04, d05, d06, d07, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -342,9 +342,10 @@ object Similarity {
     * restricted by semi-join to candidate docs only (without that
     * restriction the verify step IS the quadratic join LSH exists to
     * avoid). */
-  val d03 = QueryDef(
-    "d03_minhash_lsh",
-    (s, d) => {
+  /** The verified near-dup pair set behind [[d03]] (and the edge set
+    * of [[d07]]): doc_a < doc_b, exact shingle-Jaccard on LSH
+    * candidates only. Unordered — callers add presentation sort. */
+  private[queries] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
       // the shared materialized HASHED shingle table
       // ([[Shingles.hashed]]) feeds both the signature path and the
       // verification path here, and is reused by d02/d06 in the same
@@ -388,9 +389,12 @@ object Similarity {
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some {
+  }
+
+  /** Oracle CTE chain computing [[minhashVerifiedPairs]] as a final
+    * CTE named `pairs` — shared verbatim by the d03 and d07 oracles
+    * so both engines replay the identical pair pipeline. */
+  private[queries] val minhashPairsOracleCtes: String = {
       val aList = minhashA.mkString("[", ",", "]")
       val bList = minhashB.mkString("[", ",", "]")
       val minCols = (0 until MINHASH_K).map(i => s"min(hs[${i + 1}]) AS mh$i").mkString(", ")
@@ -398,8 +402,7 @@ object Similarity {
         val sig = (0 until 4).map(r => s"mh${4 * b + r}").mkString(" || ',' || ")
         s"SELECT doc_id, $b AS band, $sig AS sig FROM minh"
       }.mkString(" UNION ALL ")
-      s"""
-      WITH ${Shingles.oracleCte},
+      s"""${Shingles.oracleCte},
       hashed AS (
         SELECT doc_id, list_transform(range(1, ${MINHASH_K + 1}),
                  i -> ($aList[i] * h1 + $bList[i] * h2) % $MINHASH_P) AS hs
@@ -417,16 +420,63 @@ object Similarity {
                count(DISTINCT sa.h60) AS n_common
         FROM sh sa JOIN sh sb ON sa.h60 = sb.h60 AND sa.doc_id < sb.doc_id
         JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
-        GROUP BY 1, 2)
-      SELECT c.doc_a, c.doc_b, coalesce(i.n_common, 0) AS n_common,
-             round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
-                   CAST(ca.n_sh + cb.n_sh - coalesce(i.n_common, 0) AS DOUBLE), 4) AS jaccard
-      FROM cand c
-      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-      JOIN cnt ca ON ca.doc_id = c.doc_a
-      JOIN cnt cb ON cb.doc_id = c.doc_b
-      ORDER BY c.doc_a, c.doc_b"""
-    })
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b, coalesce(i.n_common, 0) AS n_common,
+               round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+                     CAST(ca.n_sh + cb.n_sh - coalesce(i.n_common, 0) AS DOUBLE), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN cnt ca ON ca.doc_id = c.doc_a
+        JOIN cnt cb ON cb.doc_id = c.doc_b)"""
+  }
+
+  /** MinHash + LSH banding near-dedup — see [[minhashVerifiedPairs]]
+    * for the pipeline and the scale notes above. */
+  val d03 = QueryDef(
+    "d03_minhash_lsh",
+    (s, d) => minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsOracleCtes
+      SELECT doc_a, doc_b, n_common, jaccard FROM pairs
+      ORDER BY doc_a, doc_b"""))
+
+  /** Duplicate CLUSTERS from the verified near-dup pairs: connected
+    * components ([[graft.ops.ConnectedComponents]], alternating
+    * large-star/small-star) over pairs with Jaccard ≥ 0.5, so
+    * transitive matches (A~B, B~C) land in one cluster {A,B,C} with a
+    * canonical keeper — the step between pairwise LSH and an actual
+    * "drop the duplicates" pass at 100 TB. Oracle replays the closure
+    * with a recursive CTE (min reachable id = cluster id). */
+  val d07 = QueryDef(
+    "d07_dup_clusters",
+    (s, d) => {
+      val edges = minhashVerifiedPairs(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = graft.ops.ConnectedComponents.labels(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsOracleCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+      comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u)
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp
+      ORDER BY cluster_id, doc_id"""))
 
   /** SimHash document signatures: 16-bit portable simhash from token
     * md5 bit-votes (with multiplicity). Equal signatures → dup groups. */
