@@ -31,7 +31,7 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -623,4 +623,116 @@ object Relational {
         FROM orders)
       WHERE rn <= 3
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+
+  /** CDC snapshot diff ([[graft.ops.SnapshotDiff]]): v2 of orders is
+    * derived deterministically from v1 inside the query (both engines
+    * replay it) — every 7th key deleted, every remaining 5th key
+    * repriced (+1.0, exact IEEE add so no rounding divergence), every
+    * 11th key re-inserted under a shifted id. One full-outer shuffle
+    * join on the key classifies I/U/D; unchanged keys never surface. */
+  val q38 = QueryDef(
+    "q38_snapshot_diff",
+    (s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val v2 = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      graft.ops.SnapshotDiff.diff(v1, v2, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM v1 WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM v1 WHERE o_orderkey % 11 = 0),
+      d AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                    WHEN b.o_orderkey IS NULL THEN 'D'
+                    WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                      OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus) THEN 'U'
+               END AS op
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+      SELECT o_orderkey, op FROM d WHERE op IS NOT NULL
+      ORDER BY o_orderkey"""))
+
+  /** Incremental aggregate maintenance: given the v1→v2 delta (same
+    * derivation as [[q38]]), per-customer revenue totals are UPDATED
+    * from the old aggregate plus the delta sum — touching only changed
+    * groups — instead of re-aggregating v2 from scratch. At 100 TB
+    * this is the difference between re-reading the fact table and
+    * reading yesterday's (tiny) aggregate plus today's delta.
+    *
+    * Cross-validated by construction: the oracle computes the v2
+    * aggregate DIRECTLY for the changed customers, so any error in
+    * the incremental path (a missed delta, a sign flip, a dropped
+    * all-deleted group) hash-mismatches. All sums run in DECIMAL —
+    * exact and associative, so the telescoped incremental sum equals
+    * the direct sum bit-for-bit; groups whose orders all disappeared
+    * surface as total = 0 on both sides. */
+  val q39 = QueryDef(
+    "q39_incremental_agg",
+    (s, d) => {
+      val dec = DecimalType(18, 4)
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v2 = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      // per-row delta over the key; unchanged rows cancel to 0
+      val a = v1.select(col("o_orderkey"), col("o_custkey").as("ck_a"),
+        col("o_totalprice").cast(dec).as("p_a"))
+      val b = v2.select(col("o_orderkey"), col("o_custkey").as("ck_b"),
+        col("o_totalprice").cast(dec).as("p_b"))
+      val delta = a.join(b, Seq("o_orderkey"), "full_outer")
+        .select(coalesce(col("ck_a"), col("ck_b")).as("o_custkey"),
+          (coalesce(col("p_b"), lit(0).cast(dec)) -
+            coalesce(col("p_a"), lit(0).cast(dec))).as("dp"))
+        .filter(col("dp") =!= 0)
+      val oldAgg = v1.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("old_total"))
+      val deltaAgg = delta.groupBy(col("o_custkey"))
+        .agg(sum(col("dp")).as("d_total"))
+      deltaAgg.join(oldAgg, Seq("o_custkey"), "left")
+        .select(col("o_custkey"),
+          (coalesce(col("old_total"), lit(0).cast(dec)) + col("d_total"))
+            .cast("double").as("total"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      v2 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1 WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM v1 WHERE o_orderkey % 11 = 0),
+      delta AS (
+        SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+               coalesce(CAST(b.o_totalprice AS DECIMAL(18,4)), 0) -
+               coalesce(CAST(a.o_totalprice AS DECIMAL(18,4)), 0) AS dp
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+      changed AS (SELECT DISTINCT o_custkey FROM delta WHERE dp <> 0),
+      direct AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        FROM v2 GROUP BY o_custkey)
+      SELECT c.o_custkey,
+             CAST(coalesce(d.total, 0) AS DOUBLE) AS total
+      FROM changed c LEFT JOIN direct d ON d.o_custkey = c.o_custkey
+      ORDER BY c.o_custkey"""))
 }

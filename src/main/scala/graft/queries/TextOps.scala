@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, d01, d02)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -378,6 +378,81 @@ object TextOps {
       FROM split
       GROUP BY split
       ORDER BY split"""))
+
+  /** Boilerplate-span removal — the line/paragraph-dedup stage of an
+    * LLM corpus pipeline (headers, nav bars, license blocks repeated
+    * across a crawl), expressed over 10-token chunks since the
+    * synthetic docs have no newlines: any chunk appearing in MORE
+    * than 2 distinct documents is dropped from every document, and
+    * the survivors are reassembled in order.
+    *
+    * Scale design: chunk document-frequency is counted and joined on
+    * a 60-bit md5 fingerprint (8-byte shuffle keys, never the chunk
+    * string); reassembly sorts each doc's kept chunks INSIDE an
+    * aggregation buffer (array_sort over ≤ n_chunks structs — bounded
+    * by doc length, the same bound the text column itself already
+    * imposes on a row). Per-doc output is one row regardless of how
+    * much was dropped, so the stage composes with t10's corpus-level
+    * dedup/split downstream. */
+  val t11 = QueryDef(
+    "t11_chunk_dedup",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w"))
+      val pos = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+        .withColumn("chunk_id", expr("i div 10"))
+      val chunks = pos.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)")).as("chunk"))
+        .withColumn("h",
+          conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
+      val dfc = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 2)
+        .select(col("h"))
+      val kept = chunks.join(dfc, "h")
+      val out = kept.groupBy(col("doc_id")).agg(
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(chunk_id, chunk))), x -> x.chunk)")).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      totals.join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      pos AS (
+        SELECT doc_id, e.i AS i, e.tok AS tok, (e.i - 1) // 10 AS chunk_id
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) + 1),
+                  i -> {'i': i, 'tok': w[i]})) AS e
+              FROM toks)),
+      chunks AS (
+        SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY i) AS chunk
+        FROM pos GROUP BY doc_id, chunk_id),
+      hashed AS (
+        SELECT doc_id, chunk_id, chunk,
+               CAST(concat('0x', substr(md5(chunk), 1, 15)) AS BIGINT) AS h
+        FROM chunks),
+      dfc AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) <= 2),
+      kept AS (SELECT k.* FROM hashed k JOIN dfc USING (h)),
+      outp AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      totals AS (SELECT doc_id, count(*) AS n_chunks FROM hashed GROUP BY doc_id)
+      SELECT t.doc_id,
+             coalesce(o.clean_text, '') AS clean_text,
+             coalesce(o.n_kept, 0) AS n_kept,
+             t.n_chunks - coalesce(o.n_kept, 0) AS n_dropped
+      FROM totals t LEFT JOIN outp o ON o.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
 
   /** Exact dedup: hash-groupBy on the normalized fingerprint; canonical
     * row = min doc_id (deterministic survivor, cf. ops.Dedup). */
