@@ -384,11 +384,15 @@ object Similarity {
         .agg(collect_set(col("h60")).as("ss"), count(lit(1)).as("n_sh"))
       val sa = sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n_sh").as("n_a"))
       val sb = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n_sh").as("n_b"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      val pairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      // tiny (bounded by LSH candidate count) and read by both d03 and
+      // d07 in one session — CacheManager dedups by canonical plan, so
+      // the pair pipeline runs once; Shingles.release() frees it
+      Shingles.sharedPersist(pairs)
   }
 
   /** Oracle CTE chain computing [[minhashVerifiedPairs]] as a final
