@@ -37,6 +37,17 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("q38 snapshot diff is ONE full-outer shuffle join, scans pruned to key+compared cols") {
+    // both snapshots scale with the data: the diff must be a single
+    // key-partitioned SortMergeJoin (broadcast would OOM at scale,
+    // a second join would double the shuffle)
+    val p = plan("q38_snapshot_diff")
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") == 1, p.take(3000))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("Cartesian"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      p.take(3000))
+  }
+
   test("q18 4-way dashboard join broadcasts every dim") {
     val p = plan("q18_region_dashboard")
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p.take(3000))
