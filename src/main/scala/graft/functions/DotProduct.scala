@@ -72,13 +72,43 @@ case class DotProduct(left: Expression, right: Expression)
 /** Registration + Column API for the graft native functions. */
 object GraftFunctions {
 
+  /** Literal-int argument of a registered function (widths/ks/caps
+    * must be constants — they size aggregation buffers). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) })
+    "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "graft_rolling_minhash" -> { exprs =>
+      RollingMinHash(exprs(0),
+        litInt(exprs(1), "graft_rolling_minhash", "width"),
+        litInt(exprs(2), "graft_rolling_minhash", "k")) },
+    // aggregates: the analyzer wraps a raw AggregateFunction from a
+    // registry builder in an AggregateExpression, so these work in
+    // SQL text (SELECT graft_topk_min(h, 4) FROM ... GROUP BY ...)
+    "graft_topk_min" -> { exprs =>
+      TopKMinAgg(exprs(0), litInt(exprs(1), "graft_topk_min", "k")) },
+    "graft_capped_docs" -> { exprs =>
+      CappedDocsAgg(exprs(0), litInt(exprs(1), "graft_capped_docs", "cap")) },
+    "graft_minhash_sig" -> { exprs =>
+      MinHashSigAgg(exprs(0), litInt(exprs(1), "graft_minhash_sig", "k")) },
+    "graft_vec_sum" -> { exprs =>
+      VecSumAgg(exprs(0), litInt(exprs(1), "graft_vec_sum", "dim")) })
 
   /** Direct (per-session) registration; idempotent. */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  /** Extension-path registration (spark.sql.extensions). */
+  def injectAll(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name), b))
     }
 
   /** Column-API entry: `dot(a, b)` after [[register]]. Inputs are cast
@@ -94,10 +124,7 @@ object GraftFunctions {
   * that executes the rewritten operator. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

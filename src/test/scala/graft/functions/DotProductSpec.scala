@@ -47,6 +47,31 @@ class DotProductSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").collect()(0).getDouble(0) === 11.0)
   }
 
+  test("whole graft function family is callable from SQL text (incl. aggregates)") {
+    GraftFunctions.register(spark)
+    spark.createDataset(Seq((1L, 10L), (1L, 3L), (1L, 10L), (2L, 7L)))
+      .toDF("g", "h").createOrReplaceTempView("fx")
+    // aggregate builders: the analyzer wraps the raw AggregateFunction
+    val mins = spark.sql("SELECT g, graft_topk_min(h, 2) AS m FROM fx GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mins === Map(1L -> Seq(3L, 10L), 2L -> Seq(7L)))
+    val capped = spark.sql("SELECT g, graft_capped_docs(h, 1) AS c FROM fx GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).getLong(0)).toMap
+    assert(capped === Map(1L -> 3L, 2L -> 1L)) // exact counts survive the cap
+    val sig = spark.sql("SELECT graft_minhash_sig(array(h, h + 1), 2) AS s FROM fx")
+      .collect()(0).getSeq[Long](0)
+    assert(sig === Seq(3L, 4L)) // lane-wise min over the array rows
+    // scalar with literal args
+    val rmh = spark.sql("SELECT size(graft_rolling_minhash('abcdefgh', 4, 2)) AS n")
+      .collect()(0).getInt(0)
+    assert(rmh === 2)
+    // a non-literal k must be a clear error, not a buffer of garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk_min(h, CAST(h AS INT)) FROM fx GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("expression participates in codegen (no fallback in plan)") {
     GraftFunctions.register(spark)
     // local Seqs constant-fold to LocalTableScan; range() forces a real
