@@ -148,6 +148,20 @@ class ModelSpec extends SparkSpec {
     assert(fact.map(_.getAs[Int]("take_ons_successful")).toSeq === Seq(1, 1))
   }
 
+  test("fact_player_match: NULL-season rows pass the header filter (pandas != keeps NaN)") {
+    val (_, dimTeam, dimMatch, dimPlayer) = starInputs
+    import PlayerMatchFixture.{headerRow, row}
+    val raw = PlayerMatchFixture.raw(spark, Seq(
+      headerRow,
+      row(null, "2026-01-24 Arsenal-Manchester Utd", "Arsenal", "Bukayo Saka", gls = "3")))
+    val fact = Facts.playerMatch(raw, dimTeam, dimMatch, dimPlayer).collect()
+    // the reference drops only literal 'season' header rows; a NaN
+    // season survives to the output (three-valued-logic regression)
+    assert(fact.length === 1)
+    assert(fact(0).isNullAt(fact(0).fieldIndex("season")))
+    assert(fact(0).getAs[Int]("goals") === 3)
+  }
+
   test("fact_player_match resolves bare single-level headers too") {
     val (_, dimTeam, dimMatch, dimPlayer) = starInputs
     import PlayerMatchFixture.{cols, row}
