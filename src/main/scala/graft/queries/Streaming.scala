@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
 
   /** Streaming dedup with watermark-bounded state (the streaming twin
     * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyDays]]). */
@@ -28,6 +28,30 @@ object Streaming {
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
       FROM events
       ORDER BY user_id, event_type, day"""))
+
+  /** End-to-end streaming warehouse load
+    * ([[graft.streaming.Streams.incrementalLoad]]): Update-mode daily
+    * aggregates, each micro-batch's changed rows upserted through the
+    * batch pipeline's merge+swap writer — then the FINAL TABLE STATE
+    * is what the oracle checks, proving the stream converged to the
+    * batch aggregation (the foreachBatch CDC-to-warehouse contract). */
+  val st06 = QueryDef(
+    "st06_stream_upsert_load",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-st06-wh")
+      wh.toFile.deleteOnExit()
+      val table = graft.streaming.Streams.incrementalLoad(
+        s, s"$d/events.parquet", wh.toString)
+      s.read.parquet(s"$wh/$table")
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""))
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(
