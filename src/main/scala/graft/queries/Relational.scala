@@ -31,7 +31,8 @@ import QueryDef.{dsum, dsumSql}
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
+    q40)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -735,4 +736,44 @@ object Relational {
              CAST(coalesce(d.total, 0) AS DOUBLE) AS total
       FROM changed c LEFT JOIN direct d ON d.o_custkey = c.o_custkey
       ORDER BY c.o_custkey"""))
+
+  /** SCD Type-2 dimension history ([[graft.ops.Scd2]]): each
+    * customer's order-status change log collapses to attribute
+    * versions with [eff_from, eff_to) validity and an is_current
+    * flag — the history the reference's drop-and-recreate dims
+    * (scr/Transform.py:75-142) throw away. o_orderkey is the
+    * same-day tiebreak AND the surviving version's surrogate key,
+    * making both the version set and the sort total-ordered. */
+  val q40 = QueryDef(
+    "q40_scd2_history",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+      graft.ops.Scd2.history(o, Seq("o_custkey"),
+          ts = "o_orderdate", tie = "o_orderkey", attrs = Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("eff_from"), col("eff_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("eff_from"), col("o_orderkey"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+               row_number() OVER w AS rn,
+               lag(o_orderstatus) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      s AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM v WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+      h AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               o_orderdate AS eff_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS eff_to
+        FROM s)
+      SELECT o_custkey, o_orderkey, o_orderstatus, eff_from, eff_to,
+             (eff_to IS NULL) AS is_current
+      FROM h ORDER BY o_custkey, eff_from, o_orderkey"""))
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** SCD2 semantics the q40 oracle data can't exercise: NULL attribute
+  * values must version like any other value (null-safe compare), and
+  * interval chains must partition time per key. */
+class Scd2Spec extends SparkSpec {
+
+  private def hist(rows: Seq[(Int, Int, Int, String)]) = {
+    import spark.implicits._
+    Scd2.history(rows.toDF("k", "ts", "id", "attr"),
+        Seq("k"), ts = "ts", tie = "id", attrs = Seq("attr"))
+      .select("k", "id", "attr", "eff_from", "eff_to", "is_current")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)),
+        r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        r.getBoolean(5)))
+      .sortBy(t => (t._1, t._4, t._2))
+  }
+
+  test("consecutive duplicates suppressed; intervals chain; last is current") {
+    val h = hist(Seq((1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"),
+      (1, 40, 4, "a"), (2, 5, 5, "x")))
+    assert(h === Seq(
+      (1, 1, Some("a"), 10, Some(30), false),
+      (1, 3, Some("b"), 30, Some(40), false),
+      (1, 4, Some("a"), 40, None, true),
+      (2, 5, Some("x"), 5, None, true)))
+  }
+
+  test("NULL attribute values open and close versions (null-safe compare)") {
+    val h = hist(Seq((1, 10, 1, null), (1, 20, 2, null), (1, 30, 3, "a"),
+      (1, 40, 4, null)))
+    assert(h === Seq(
+      (1, 1, None, 10, Some(30), false),
+      (1, 3, Some("a"), 30, Some(40), false),
+      (1, 4, None, 40, None, true)))
+  }
+
+  test("same-ts changes order by the tiebreak") {
+    val h = hist(Seq((1, 10, 2, "b"), (1, 10, 1, "a"), (1, 10, 3, "a")))
+    // id order: a(1), b(2), a(3) — all three survive (alternating)
+    assert(h.map(_._3) === Seq(Some("a"), Some("b"), Some("a")))
+    assert(h.count(_._6) === 1)
+  }
+}

@@ -48,6 +48,17 @@ class PlanQualitySpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q40 SCD2 history costs ONE shuffle (lag + lead share the key exchange)") {
+    // version suppression (lag) and interval closing (lead) both sort
+    // by (key, ts, tie): a second hash exchange appearing means the
+    // two window passes stopped sharing their clustering
+    val p = plan("q40_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_orderdate:timestamp_ntz>"), p.take(3000))
+  }
+
   test("q18 4-way dashboard join broadcasts every dim") {
     val p = plan("q18_region_dashboard")
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p.take(3000))
