@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
+  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
 
   /** Streaming dedup with watermark-bounded state (the streaming twin
     * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyDays]]). */
@@ -52,6 +52,25 @@ object Streaming {
       FROM events
       GROUP BY 1, 2
       ORDER BY day, event_type"""))
+
+  /** Watermarked stream-stream interval join
+    * ([[graft.streaming.Streams.attributionPairs]]): the streaming
+    * twin of q37's bucketed range join — purchases joined to the same
+    * user's clicks from the preceding 30 minutes, both join buffers
+    * watermark-evicted. The oracle replays the batch inner join. */
+  val st07 = QueryDef(
+    "st07_stream_stream_join",
+    (s, d) =>
+      graft.streaming.Streams.attributionPairs(s, s"$d/events.parquet")
+        .orderBy(col("user_id"), col("p_us"), col("c_us")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click')
+      SELECT p.user_id, p.p_us, c.c_us
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
+      ORDER BY p.user_id, p_us, c_us"""))
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(

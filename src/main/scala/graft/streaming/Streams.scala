@@ -35,6 +35,19 @@ object Streams {
   private val srcDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The file stream source requires a directory; testdata ships bare
+    * parquet files, exposed through a cached temp-dir symlink. */
+  private def streamDir(eventsDir: String): String = {
+    val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+    if (java.nio.file.Files.isDirectory(p)) eventsDir
+    else srcDirCache.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+  }
+
   /** Shared scaffold for file-replayed streaming queries: a cloned
     * session (the nanos legacy conf never leaks to the caller —
     * advisor, round 2), the watermark-ready `ets` event-time column,
@@ -56,17 +69,7 @@ object Streams {
       spark.conf.getOption(k).foreach(s.conf.set(k, _))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
-    val srcDir = {
-      val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
-      if (java.nio.file.Files.isDirectory(p)) eventsDir
-      else srcDirCache.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-        dir.toFile.deleteOnExit()
-        dir.toString
-      })
-    }
-    val source = s.readStream.schema(schema).parquet(srcDir)
+    val source = s.readStream.schema(schema).parquet(streamDir(eventsDir))
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = build(source).writeStream
@@ -130,19 +133,9 @@ object Streams {
       spark.conf.getOption(k).foreach(s.conf.set(k, _))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
-    val srcDir = {
-      val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
-      if (java.nio.file.Files.isDirectory(p)) eventsDir
-      else srcDirCache.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-        dir.toFile.deleteOnExit()
-        dir.toString
-      })
-    }
     val table = "agg_event_daily"
     val keys = Seq("day", "event_type")
-    val agg = s.readStream.schema(schema).parquet(srcDir)
+    val agg = s.readStream.schema(schema).parquet(streamDir(eventsDir))
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
       .withWatermark("ets", "25 hours")
       .groupBy(date_trunc("day", col("ets")).as("day"), col("event_type"))
@@ -161,6 +154,53 @@ object Streams {
       .start()
     q.awaitTermination()
     table
+  }
+
+  /** Stream-stream interval join — the streaming twin of the batch
+    * bucketed range join (q37 attribution): every purchase joins the
+    * same user's clicks from the preceding 30 minutes.
+    *
+    * Both sides carry watermarks and the join condition bounds each
+    * side's event time relative to the other, so Spark derives state
+    * eviction for BOTH join buffers: a click is dropped from state
+    * once the purchase-side watermark passes click+30min, a purchase
+    * once the click-side watermark passes it. State is O(events in
+    * the interval window), not O(stream history) — the only honest
+    * unbounded-join shape. AvailableNow over the finite directory
+    * replays to exactly the batch inner join, which the oracle
+    * cross-checks pair-for-pair. */
+  def attributionPairs(spark: SparkSession, eventsDir: String): DataFrame = {
+    val s = spark.newSession()
+    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsDir).schema
+    val srcDir = streamDir(eventsDir)
+    def src() = s.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      """p_user = c_user AND
+         c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"""))
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name)
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("p_ets")).as("p_us"),
+        unix_micros(col("c_ets")).as("c_us"))
+      .localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    result
   }
 
   // ---- stateful sessionization ----

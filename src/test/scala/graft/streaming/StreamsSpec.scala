@@ -158,4 +158,39 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.count() === expected.count())
     assert(streamed.selectExpr("sum(n_events)").collect()(0).getLong(0) === 1000L)
   }
+
+  test("stream-stream join buffers BOTH sides across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicksIn = MemoryStream[(Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Timestamp)]
+    val clicks = clicksIn.toDS().toDF("c_user", "c_ets")
+      .withWatermark("c_ets", "10 minutes")
+    val purchases = purchIn.toDS().toDF("p_user", "p_ets")
+      .withWatermark("p_ets", "10 minutes")
+    val joined = purchases.join(clicks, expr(
+      "p_user = c_user AND c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"))
+    val name = s"ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a click with no purchase yet, and a purchase with no
+      // click yet — each must wait in its own join buffer
+      clicksIn.addData(Seq((1L, ts(0))))
+      purchIn.addData(Seq((2L, ts(50))))
+      q.processAllAvailable()
+      // batch 2: the purchase for the buffered click (click 0 ∈
+      // [20−30, 20)), the click for the buffered purchase (30 ∈
+      // [50−30, 50)), and a click AFTER its purchase (51 ≥ 50) that
+      // must not match
+      purchIn.addData(Seq((1L, ts(20))))
+      clicksIn.addData(Seq((2L, ts(30)), (2L, ts(51))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+      .select(col("p_user"), col("p_ets"), col("c_ets"))
+      .as[(Long, Timestamp, Timestamp)].collect().toSeq.sorted
+    assert(out === Seq((1L, ts(20), ts(0)), (2L, ts(50), ts(30))))
+  }
 }
