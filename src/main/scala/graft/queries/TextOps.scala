@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, d01, d02)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -534,4 +535,102 @@ object TextOps {
         JOIN cnt cb ON p.doc_b = cb.doc_id)
       WHERE jaccard >= 0.05
       ORDER BY doc_a, doc_b"""))
+
+  // regex patterns shared by the Spark plan and the DuckDB oracle —
+  // deliberately restricted to the Java-regex ∩ RE2 common subset
+  // (classes, bounded repeats, no backrefs/lookaround) so both engines
+  // match identically
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction — the compliance pass every training-data pipeline
+    * runs before tokenization: emails, phone numbers, and IPv4
+    * addresses replaced by typed placeholders, with a per-doc PII
+    * count for filtering/reporting. The testdata corpus contains no
+    * PII, so each doc gets a deterministic synthetic contact line
+    * derived from its id (both engines replay it) — the redaction
+    * then provably fires on every row. regexp_replace is a codegen'd
+    * narrow projection: no shuffle, scales linearly with corpus
+    * bytes. */
+  val t12 = QueryDef(
+    "t12_pii_redact",
+    (s, d) => {
+      val txt = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"),
+          (regexp_count(col("txt"), lit(emailRe)) +
+            regexp_count(col("txt"), lit(phoneRe)) +
+            regexp_count(col("txt"), lit(ipRe))).cast("long").as("n_pii"),
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.org or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS txt
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '$emailRe')) +
+                  len(regexp_extract_all(txt, '$phoneRe')) +
+                  len(regexp_extract_all(txt, '$ipRe')) AS BIGINT) AS n_pii,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+               '$emailRe', '<EMAIL>', 'g'),
+               '$phoneRe', '<PHONE>', 'g'),
+               '$ipRe', '<IP>', 'g') AS redacted
+      FROM t ORDER BY doc_id"""))
+
+  /** Repetition-ratio quality signals (the Gopher/C4-style filters):
+    * fraction of duplicated word-trigrams and distinct-word ratio per
+    * document. Both are pure array HOFs over the token list — linear
+    * per doc, no shuffle, no per-doc state beyond the row itself, so
+    * a 10 MB document costs O(its length), not O(length²). */
+  val t13 = QueryDef(
+    "t13_repetition_quality",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val tg = when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2))))
+        .otherwise(array())
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"), tg.as("tg"))
+        .select(col("doc_id"),
+          when(size(col("tg")) > 0,
+            lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+              size(col("tg")).cast("double"))
+            .otherwise(lit(0.0)).as("rep3_ratio"),
+          (size(array_distinct(col("w"))).cast("double") /
+            size(col("w")).cast("double")).as("distinct_word_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+               ELSE [] END AS tg
+        FROM t)
+      SELECT doc_id,
+             CASE WHEN len(tg) > 0
+               THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) /
+                          CAST(len(tg) AS DOUBLE)
+               ELSE 0.0 END AS rep3_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) /
+               CAST(len(w) AS DOUBLE) AS distinct_word_ratio
+      FROM g ORDER BY doc_id"""))
 }
