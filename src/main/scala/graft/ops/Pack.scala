@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing support: the scalable prefix sum behind
+  * concatenate-then-chunk training-data packing (every pretraining
+  * pipeline's final step — documents laid end-to-end in a fixed
+  * order, then cut into fixed-size token windows).
+  *
+  * A naive running total is `sum() OVER (ORDER BY ...)` — a
+  * SINGLE-partition window, the same bottleneck [[Ids.sequential]]
+  * documents. The scalable form is the classic two-phase scan:
+  * range-partition by the order key, per-partition partial sums
+  * (one long per partition) to the driver, broadcast the exclusive
+  * partition offsets back, then add a partition-local running sum.
+  * Data crosses the cluster once (the range shuffle); the driver
+  * sees P longs, never rows.
+  *
+  * Both passes re-run the same deterministic sort lineage
+  * (RangePartitioner samples with partition-indexed seeds), so no
+  * persist is needed for consistency — at warehouse scale the sorted
+  * input would be a written table anyway.
+  */
+object Pack {
+
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` (a LONG
+    * column) over the total order `order` — row i gets the sum of
+    * all earlier rows' values, first row 0. */
+  def exclusivePrefixSum(df: DataFrame, order: Seq[Column],
+                         valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // pass 1: one partial sum per partition — P longs to the driver
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L
+        it.foreach(s += _.getLong(vIdx))
+        Iterator.single(pid -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partials.scanLeft(0L)(_ + _))
+    // pass 2: partition-local scan seeded with the broadcast offset
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = offsets.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ s)
+        s += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

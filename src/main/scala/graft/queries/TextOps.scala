@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      d01, d02)
+      t14, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -633,4 +633,55 @@ object TextOps {
              CAST(len(list_distinct(w)) AS DOUBLE) /
                CAST(len(w) AS DOUBLE) AS distinct_word_ratio
       FROM g ORDER BY doc_id"""))
+
+  /** Sequence packing — concatenate-then-chunk, the pretraining
+    * layout step: documents laid end-to-end in doc_id order and cut
+    * into fixed 512-token windows; each output row is one document's
+    * span inside one chunk (`off`/`len` in chunk-local tokens), docs
+    * straddling a boundary emitting one row per chunk touched.
+    * The global token offset comes from [[graft.ops.Pack]]'s two-phase
+    * prefix scan (no single-partition window); the chunk fan-out is a
+    * narrow explode. The oracle replays the same layout with a
+    * cumulative window. */
+  val t14 = QueryDef(
+    "t14_sequence_pack",
+    (s, d) => {
+      val B = 512
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      graft.ops.Pack.exclusivePrefixSum(docs, Seq(col("doc_id")),
+          "n_tok", "tok_start")
+        .withColumn("chunk_id", explode(sequence(
+          expr(s"tok_start div $B"),
+          expr(s"(tok_start + n_tok - 1) div $B"))))
+        .select(col("chunk_id"), col("doc_id"),
+          (greatest(col("tok_start"), col("chunk_id") * B) -
+            col("chunk_id") * B).as("off"),
+          (least(col("tok_start") + col("n_tok"), (col("chunk_id") + 1) * B) -
+            greatest(col("tok_start"), col("chunk_id") * B)).as("len"))
+        .orderBy(col("chunk_id"), col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_start
+        FROM d WHERE n_tok > 0),
+      e AS (
+        SELECT doc_id, n_tok, tok_start,
+               unnest(range(tok_start // 512,
+                            (tok_start + n_tok - 1) // 512 + 1)) AS chunk_id
+        FROM p)
+      SELECT chunk_id, doc_id,
+             greatest(tok_start, chunk_id * 512) - chunk_id * 512 AS off,
+             least(tok_start + n_tok, (chunk_id + 1) * 512) -
+               greatest(tok_start, chunk_id * 512) AS len
+      FROM e ORDER BY chunk_id, doc_id"""))
 }
