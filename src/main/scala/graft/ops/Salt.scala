@@ -42,4 +42,17 @@ object Salt {
       .agg(sum(col("__psum")).cast("double").as(sumName),
         sum(col("__pcnt")).cast("bigint").as(cntName))
   }
+
+  /** Count-only variant: row count per `keys`, two-phase over
+    * `pmod(saltSource, buckets)` — the heavy-hitter/frequency shape
+    * (counts are algebraic, so the regrouping is trivially exact). */
+  def saltedCount(df: DataFrame, keys: Seq[Column], saltSource: Column,
+                  buckets: Int, cntName: String): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    salted
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__pcnt"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__pcnt")).cast("bigint").as(cntName))
+  }
 }

@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, d01, d02)
+      t14, t15, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -684,4 +684,31 @@ object TextOps {
              least(tok_start + n_tok, (chunk_id + 1) * 512) -
                greatest(tok_start, chunk_id * 512) AS len
       FROM e ORDER BY chunk_id, doc_id"""))
+
+  /** Corpus vocabulary top-k — word frequency is THE skewed
+    * aggregation (stopwords dominate any natural corpus), so the
+    * count runs through [[graft.ops.Salt.saltedCount]]: each word
+    * splits into 16 sub-groups on doc_id, partial counts combine in
+    * a second (tiny) aggregation, and no single reducer ever owns a
+    * stopword's full row stream. Top-100 plans as
+    * TakeOrderedAndProject (heap, no global sort); (n DESC, word)
+    * makes the cutoff deterministic. */
+  val t15 = QueryDef(
+    "t15_vocab_topk",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .filter(col("word") =!= "")
+      graft.ops.Salt.saltedCount(words, Seq(col("word")),
+          col("doc_id"), 16, "n")
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    },
+    Some("""
+      WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+      c AS (
+        SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word)
+      SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100"""))
 }
