@@ -35,6 +35,32 @@ object Streams {
   private val srcDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stateful-shuffle sizing. Batch shuffles get this from AQE
+    * (coalescing post-shuffle partitions to a byte target); streaming
+    * CANNOT — AQE is disabled for stateful workloads and the state
+    * partition count is pinned by the first checkpoint. Worse, every
+    * state partition is a live state-store instance (a stream-stream
+    * join keeps four per partition), so over-partitioning a small
+    * stream pays fixed store overhead ×N: measured on the sf0.1
+    * events replay, the interval join runs 10.3s with 32 state
+    * partitions and 2.6s with 4 — identical results. So the library
+    * sizes state partitions from input bytes at the AQE-like 64 MB
+    * target, floored at 4 (keep some parallelism even for tiny
+    * replays) and capped at 2048 (state stores per executor, not
+    * input bytes, bound the practical count at 100 TB). */
+  private def statePartitions(eventsDir: String): Int = {
+    val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+    val bytes =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      } else java.nio.file.Files.size(p)
+    val target = 64L << 20
+    math.min(math.max(((bytes + target - 1) / target).toInt, 4), 2048)
+  }
+
   /** The file stream source requires a directory; testdata ships bare
     * parquet files, exposed through a cached temp-dir symlink. */
   private def streamDir(eventsDir: String): String = {
@@ -65,8 +91,9 @@ object Streams {
                        (build: DataFrame => DataFrame)
                        (finish: DataFrame => DataFrame): DataFrame = {
     val s = spark.newSession()
-    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
-      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
     val source = s.readStream.schema(schema).parquet(streamDir(eventsDir))
@@ -129,8 +156,9 @@ object Streams {
   def incrementalLoad(spark: SparkSession, eventsDir: String,
                       warehouseDir: String): String = {
     val s = spark.newSession()
-    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
-      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
     val table = "agg_event_daily"
@@ -171,8 +199,9 @@ object Streams {
     * cross-checks pair-for-pair. */
   def attributionPairs(spark: SparkSession, eventsDir: String): DataFrame = {
     val s = spark.newSession()
-    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"))
-      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
     val srcDir = streamDir(eventsDir)
