@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 
   /** Streaming dedup with watermark-bounded state (the streaming twin
     * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyDays]]). */
@@ -71,6 +71,21 @@ object Streaming {
       FROM p JOIN c ON p.user_id = c.user_id
        AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
       ORDER BY p.user_id, p_us, c_us"""))
+
+  /** Spark 4 `transformWithState` arbitrary-state processor
+    * ([[graft.streaming.Streams.TypeCountProcessor]]): per-user
+    * MapState counters in RocksDB, Update-mode delta emission; the
+    * one-batch replay equals the batch GROUP BY. */
+  val st08 = QueryDef(
+    "st08_transform_with_state",
+    (s, d) =>
+      graft.streaming.Streams.typeCountsTws(s, s"$d/events.parquet")
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""))
 
   /** Watermarked tumbling-window aggregation, streamed to completion. */
   val st01 = QueryDef(

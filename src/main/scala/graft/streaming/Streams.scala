@@ -232,6 +232,79 @@ object Streams {
     result
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) ----
+
+  final case class TypedEv(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** Per-user running event-type counters on the `transformWithState`
+    * API — the successor of `mapGroupsWithState` with COMPOSITE typed
+    * state: one [[org.apache.spark.sql.streaming.MapState]]
+    * (event_type → count) per user key, stored in RocksDB (the API
+    * requires the RocksDB provider; state lives off-heap and spills
+    * to disk, so a billion-user key space is bounded by disk, not
+    * executor memory). Each micro-batch emits the UPDATED (user,
+    * type, count) rows only — the CDC-friendly Update-mode contract,
+    * same as [[incrementalLoad]]'s aggregate deltas. */
+  class TypeCountProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TypedEv, TypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.TreeSet.empty[String]
+      rows.foreach { e =>
+        val cur =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      // sorted emission: per-key batch output is deterministic even
+      // though the input iterator's row order is not
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Runs [[TypeCountProcessor]] over the events replay; the final
+    * table (one AvailableNow batch ⇒ one emission per touched pair)
+    * equals the batch GROUP BY, which the oracle checks. */
+  def typeCountsTws(spark: SparkSession, eventsDir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val schema = s.read.parquet(eventsDir).schema
+    val src = s.readStream.schema(schema).parquet(streamDir(eventsDir))
+      .select(col("user_id"), col("event_type")).as[TypedEv]
+    val out = src.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name).localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    result
+  }
+
   // ---- stateful sessionization ----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)

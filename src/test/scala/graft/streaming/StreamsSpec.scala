@@ -193,4 +193,40 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Timestamp, Timestamp)].collect().toSeq.sorted
     assert(out === Seq((1L, ts(20), ts(0)), (2L, ts(50), ts(30))))
   }
+
+  test("transformWithState MapState accumulates across batches, emits only touched types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TypedEv]
+    val out = input.toDS().groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val name = s"tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long)]]
+    def drain(): Unit = {
+      q.processAllAvailable()
+      val rows = s.table(name)
+        .select(col("user_id"), col("event_type"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      collected += rows.diff(collected.flatten.toSeq) // new emissions only
+    }
+    try {
+      input.addData(Seq(TypedEv(1, "click"), TypedEv(1, "click"), TypedEv(1, "view")))
+      drain()
+      // batch 2 touches only "click" for user 1 — "view" must NOT
+      // re-emit, and the click count must continue from state (3)
+      input.addData(Seq(TypedEv(1, "click"), TypedEv(2, "view")))
+      drain()
+    } finally q.stop()
+    assert(collected(0) === Seq((1L, "click", 2L), (1L, "view", 1L)))
+    assert(collected(1) === Seq((1L, "click", 3L), (2L, "view", 1L)))
+  }
 }
