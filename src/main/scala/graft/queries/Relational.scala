@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40)
+    q40, q41)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -776,4 +776,56 @@ object Relational {
       SELECT o_custkey, o_orderkey, o_orderstatus, eff_from, eff_to,
              (eff_to IS NULL) AS is_current
       FROM h ORDER BY o_custkey, eff_from, o_orderkey"""))
+
+  /** Point-in-time join over the [[q40]] SCD2 history — the consumer
+    * side of versioned dims: each order joins the status version valid
+    * AT its date (`eff_from <= t < eff_to`, open current interval).
+    * The interval chain partitions time per key, so every order
+    * matches EXACTLY one version — the join can't fan out. Plan: one
+    * equi-shuffle on the key with the interval bound as residual
+    * predicate; versions-per-key is small and bounded, so the
+    * per-key probe stays cheap at any SF. */
+  val q41 = QueryDef(
+    "q41_pit_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+      val hist = graft.ops.Scd2.history(o, Seq("o_custkey"),
+          ts = "o_orderdate", tie = "o_orderkey", attrs = Seq("o_orderstatus"))
+        .select(col("o_custkey").as("h_custkey"),
+          col("o_orderkey").as("ver_key"),
+          col("o_orderstatus").as("status_then"),
+          col("eff_from"), col("eff_to"))
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(hist, col("o_custkey") === col("h_custkey") &&
+          col("o_orderdate") >= col("eff_from") &&
+          (col("eff_to").isNull || col("o_orderdate") < col("eff_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("status_then"), col("ver_key"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+               row_number() OVER w AS rn,
+               lag(o_orderstatus) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      s AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM v WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+      h AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               o_orderdate AS eff_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS eff_to
+        FROM s)
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             h.o_orderstatus AS status_then, h.o_orderkey AS ver_key
+      FROM orders o JOIN h ON h.o_custkey = o.o_custkey
+       AND o.o_orderdate >= h.eff_from
+       AND (h.eff_to IS NULL OR o.o_orderdate < h.eff_to)
+      ORDER BY o.o_orderkey"""))
 }
