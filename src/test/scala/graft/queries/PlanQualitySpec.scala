@@ -105,6 +105,31 @@ class PlanQualitySpec extends SparkSpec {
   // real deployment the equivalent win comes from writing the shingle
   // table bucketed by doc_id, where the scan DOES expose partitioning.
 
+  test("runtime bloom filter injects on a selectively-filtered shuffle join") {
+    // the 100 TB behavior: when the fact side is too big to broadcast
+    // AND big enough to matter (applicationSideScanSizeThreshold
+    // defaults to 10GB — never crossed at test SF, so the spec lowers
+    // it to simulate scale), Spark builds a bloom filter from the
+    // filtered dim side and pushes might_contain() onto the fact scan,
+    // skipping fact rows before the shuffle. Our plans must leave this
+    // rewrite reachable: plain equi-joins, no hints that pin the shape.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "1")
+      spark.conf.set(keys(1), "-1")
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("season-partitioned layout prunes partitions on a season filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     import spark.implicits._
