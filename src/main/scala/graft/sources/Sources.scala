@@ -96,6 +96,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC scan — the other columnar warehouse format Spark ships
+    * natively (vectorized reader, predicate pushdown and column
+    * pruning like parquet). Schema comes from the file footer. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** First `n` text lines of `path` (file or directory of files),
     * via the Hadoop FS API so any Spark-readable filesystem works. */
   private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {

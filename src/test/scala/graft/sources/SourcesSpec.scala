@@ -119,4 +119,20 @@ class SourcesSpec extends SparkSpec {
         |""".stripMargin)
     assert(Sources.jsonlTolerant(spark, mixed, schema).count() === 2)
   }
+
+  test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Sources.writeOrc(orders, s"$dir/orders")
+    val back = Sources.orc(spark, s"$dir/orders")
+    assert(back.schema === orders.schema)
+    assert(back.count() === orders.count())
+    val filtered = back.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      plan.take(2000))
+    assert(filtered.count() ===
+      orders.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
+  }
 }
