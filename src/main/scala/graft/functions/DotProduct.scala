@@ -96,7 +96,9 @@ object GraftFunctions {
     "graft_minhash_sig" -> { exprs =>
       MinHashSigAgg(exprs(0), litInt(exprs(1), "graft_minhash_sig", "k")) },
     "graft_vec_sum" -> { exprs =>
-      VecSumAgg(exprs(0), litInt(exprs(1), "graft_vec_sum", "dim")) })
+      VecSumAgg(exprs(0), litInt(exprs(1), "graft_vec_sum", "dim")) },
+    "graft_bloom_bits" -> { exprs =>
+      BloomBitsAgg(exprs(0), litInt(exprs(1), "graft_bloom_bits", "numBits")) })
 
   /** Direct (per-session) registration; idempotent. */
   def register(spark: SparkSession): Unit =

@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41)
+    q40, q41, q42, q43)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -828,4 +828,66 @@ object Relational {
        AND o.o_orderdate >= h.eff_from
        AND (h.eff_to IS NULL OR o.o_orderdate < h.eff_to)
       ORDER BY o.o_orderkey"""))
+
+  /** Unpivot (melt) — the inverse of [[q04]]'s conditional-agg pivot:
+    * the per-user wide event counts melt back into long
+    * `(user_id, metric, cnt)` rows via Spark's native
+    * `Dataset.unpivot` (planned as a single `Expand` — each input row
+    * fans to 3 output rows in-place, NO shuffle and no join; the only
+    * exchanges are the aggregate's and the final sort's).
+    * 100 TB: Expand is embarrassingly parallel and row-local; the
+    * melt multiplies rows ×k but never repartitions them. */
+  val q42 = QueryDef(
+    "q42_unpivot",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val wide = e.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("n_clicks"), col("n_views"), col("n_errors")),
+          "metric", "cnt")
+        .orderBy(col("user_id"), col("metric"))
+    },
+    Some("""
+      WITH wide AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY user_id)
+      SELECT user_id, metric, cnt
+      FROM (UNPIVOT wide ON n_clicks, n_views, n_errors
+            INTO NAME metric VALUE cnt)
+      ORDER BY user_id, metric"""))
+
+  /** Semi join (the missing sibling of [[q14]]'s anti join), spelled
+    * as the [[graft.ops.BloomSemi]] composite: customers holding at
+    * least one high-value order, with the probe side pre-filtered by
+    * an in-plan bloom bitset of the build keys before the exact
+    * `left_semi` removes false positives. Result is EXACTLY the plain
+    * EXISTS — the bloom only cuts the probe rows entering the join
+    * shuffle, which at 100 TB is the difference between shuffling the
+    * whole customer table and shuffling ~the matching fraction.
+    * BloomSemiSpec pins the equality, the superset property, and that
+    * the prefilter actually prunes. */
+  val q43 = QueryDef(
+    "q43_bloom_semi_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 350000).select(col("o_custkey"))
+      graft.ops.BloomSemi.semiJoin(c, col("c_custkey"), big, col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 350000)
+      ORDER BY c_custkey"""))
 }
