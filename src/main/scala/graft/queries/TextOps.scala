@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, d01, d02)
+      t14, t15, t16, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -711,4 +711,61 @@ object TextOps {
       c AS (
         SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word)
       SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100"""))
+
+  /** TF-IDF top terms per document — the classic keyword/feature
+    * extraction over a corpus: tf = in-doc term count, df = number of
+    * docs containing the term, score = tf·ln(N/df), top-3 terms per
+    * doc. Both engines round the score to 4 digits BEFORE the ranking
+    * window so ordering is decided on identical values (ln is the one
+    * libm-backed function here; at 4 digits a cross-engine ulp
+    * difference cannot reorder, and ties fall to the word
+    * tiebreaker).
+    *
+    * Plan at scale: explode → one shuffle to (doc_id, word) tf pairs;
+    * df reuses the tf table with a second word-keyed aggregate (far
+    * smaller input than re-exploding the corpus); N joins in as a
+    * broadcast scalar; the rank window shuffles tf-table-sized rows
+    * on doc_id. Nothing touches the raw corpus twice. */
+  val t16 = QueryDef(
+    "t16_tfidf_topterms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(tokens).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.join(dfreq, Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("word"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+      tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM toks WHERE word <> '' GROUP BY doc_id, word),
+      dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+      r AS (SELECT doc_id, word, tf, df, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, word) AS rk
+            FROM scored)
+      SELECT doc_id, rk, word, tf, df, tfidf
+      FROM r WHERE rk <= 3
+      ORDER BY doc_id, rk"""))
 }
