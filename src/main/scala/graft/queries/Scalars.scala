@@ -15,7 +15,8 @@ import QueryDef.{dsum, dsumSql}
 object Scalars {
 
   def defs: Seq[QueryDef] =
-    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36)
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
+      q44)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -333,4 +334,49 @@ object Scalars {
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))
+
+  /** Typed-Dataset aggregation: per-event-type count/mean/variance via
+    * the `Aggregator` API over a case-class Dataset
+    * ([[graft.functions.DecimalStatsAgg]] —
+    * `groupByKey(_.key).agg(toColumn)`), completing the API-surface
+    * ladder: SQL text (q28) / DataFrame ops (everything) / Catalyst
+    * expressions (q33/q34/t07) / typed Dataset (here).
+    *
+    * Parity discipline: the value is cast to DECIMAL(18,6) by
+    * Catalyst BEFORE entering typed code (so JVM arithmetic never
+    * re-implements cast semantics), sums stay exact decimals through
+    * reduce/merge, and mean/variance leave `finish` as raw doubles
+    * that are rounded by Spark's own `round` — the oracle spells the
+    * identical IEEE sequence on DuckDB's exact decimal sums. Plan
+    * note: typed aggregation still gets map-side partial buffers
+    * (ObjectHashAggregate), one shuffle on the group key. */
+  val q44 = QueryDef(
+    "q44_typed_agg",
+    (s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_type").as("key"),
+          col("value").cast(DecimalType(18, 6)).as("value"))
+        .as[graft.functions.DecValue]
+      ds.groupByKey(_.key)
+        .agg(graft.functions.DecimalStatsAgg.toColumn.name("stats"))
+        .toDF("event_type", "stats")
+        .select(col("event_type"), col("stats.n_vals").as("n_vals"),
+          round(col("stats.mean"), 6).as("mean"),
+          round(col("stats.var_samp"), 6).as("var_samp"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE value IS NOT NULL),
+      a AS (
+        SELECT event_type, count(*) AS n_vals,
+               CAST(sum(v) AS DOUBLE) AS s,
+               CAST(sum(v * v) AS DOUBLE) AS ss
+        FROM d GROUP BY event_type)
+      SELECT event_type, n_vals,
+             round(s / n_vals, 6) AS mean,
+             round((ss - s * s / n_vals) / (n_vals - 1), 6) AS var_samp
+      FROM a ORDER BY event_type"""))
 }
