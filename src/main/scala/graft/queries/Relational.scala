@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43)
+    q40, q41, q42, q43, q45)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -890,4 +890,49 @@ object Relational {
                     WHERE o.o_custkey = c.c_custkey
                       AND o.o_totalprice > 350000)
       ORDER BY c_custkey"""))
+
+  /** Data-quality report over the star schema — [[graft.ops.Checks]]
+    * as a query: PK uniqueness, NOT NULL, referential integrity,
+    * accepted values, and a row invariant, one
+    * `(check_name, violations)` row each (the constraints the
+    * reference declares as PostgreSQL DDL, run as explicit lake-side
+    * validation). The accepted-values check intentionally FIRES on
+    * real data (event types beyond click/view/purchase), so the
+    * oracle pins a non-zero violation count, not just zeros. */
+  val q45 = QueryDef(
+    "q45_dq_checks",
+    (s, d) => {
+      import graft.ops.Checks
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      Checks.report(Seq(
+        Checks.pkUnique(c, Seq("c_custkey"), "pk_customer_unique"),
+        Checks.referential(o, "o_custkey", c, "c_custkey", "fk_orders_customer"),
+        Checks.notNull(o, "o_custkey", "notnull_orders_custkey"),
+        Checks.acceptedValues(Tables.events(s, d), "event_type",
+          Seq("click", "view", "purchase"), "accepted_event_types"),
+        Checks.invariant(Tables.lineitem(s, d), col("l_quantity") > 0,
+          "inv_lineitem_qty_pos")))
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'pk_customer_unique' AS check_name,
+               CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+        FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'fk_orders_customer', count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'notnull_orders_custkey',
+               count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        UNION ALL
+        SELECT 'accepted_event_types',
+               count(CASE WHEN event_type IS NULL
+                            OR event_type NOT IN ('click','view','purchase')
+                          THEN 1 END) FROM events
+        UNION ALL
+        SELECT 'inv_lineitem_qty_pos',
+               count(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 END)
+        FROM lineitem)
+      SELECT check_name, violations FROM checks ORDER BY check_name"""))
 }

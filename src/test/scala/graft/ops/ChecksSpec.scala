@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viol(df: org.apache.spark.sql.DataFrame): Long =
+    df.select("violations").as[Long].head()
+
+  test("pkUnique counts extra rows per duplicated key") {
+    val df = Seq(1, 1, 1, 2, 3).toDF("k")
+    assert(viol(Checks.pkUnique(df, Seq("k"), "pk")) == 2L)
+    assert(viol(Checks.pkUnique(df.distinct(), Seq("k"), "pk")) == 0L)
+  }
+
+  test("pkUnique on an empty table reports zero, not null") {
+    val df = Seq.empty[Int].toDF("k")
+    assert(viol(Checks.pkUnique(df, Seq("k"), "pk")) == 0L)
+  }
+
+  test("referential counts orphans including null fks") {
+    val child = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    assert(viol(Checks.referential(child, "fk", parent, "pk", "fk")) == 2L)
+  }
+
+  test("acceptedValues flags out-of-set and null") {
+    val df = Seq(Some("a"), Some("b"), Some("zz"), None).toDF("v")
+    assert(viol(Checks.acceptedValues(df, "v", Seq("a", "b"), "av")) == 2L)
+  }
+
+  test("invariant treats NULL predicate as violation") {
+    val df = Seq(Some(5), Some(-1), None).toDF("x")
+    assert(viol(Checks.invariant(df, col("x") > 0, "inv")) == 2L)
+  }
+
+  test("report unions checks in stable name order") {
+    val df = Seq(1, 1).toDF("k")
+    val r = Checks.report(Seq(
+      Checks.pkUnique(df, Seq("k"), "b_pk"),
+      Checks.notNull(df, "k", "a_nn")))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("a_nn", 0L), ("b_pk", 1L)))
+  }
+}
