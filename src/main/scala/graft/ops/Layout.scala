@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-layout maintenance for parquet table directories — the
+  * small-file compactor every streaming/incremental writer needs:
+  * micro-batch loads ([[graft.streaming.Streams]] foreachBatch) and
+  * per-trigger appends accrete hundreds of KB-sized files, and at
+  * 100 TB an over-fragmented table turns every downstream scan into
+  * a listing + task-scheduling storm (one task per tiny file).
+  *
+  * Sizing is measured, not guessed: the current on-disk byte count
+  * (which already reflects parquet encoding + compression) divided by
+  * the target file size gives the output file count; round-robin
+  * `repartition(n)` balances rows so every output file lands near the
+  * target regardless of input skew. An optional cluster-by sorts
+  * within partitions (NO extra shuffle — sort is partition-local) so
+  * min/max row-group stats stay selective for data-skipping readers.
+  */
+object Layout {
+
+  /** Total bytes under `dir` (recursive, data files only). */
+  def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
+
+  /** Output file count that lands files near `targetFileBytes`. */
+  def targetFiles(totalBytes: Long, targetFileBytes: Long): Int =
+    math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+  /** Compact the parquet table at `inDir` into `outDir` with files of
+    * ~`targetFileBytes`, optionally sorted within partitions by
+    * `clusterBy` for row-group stat locality. Returns the file count
+    * written. Content is preserved row-for-row. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long,
+      clusterBy: Seq[String] = Nil): Int = {
+    val n = targetFiles(dirBytes(spark, inDir), targetFileBytes)
+    val df = spark.read.parquet(inDir)
+    val repart = df.repartition(n)
+    val clustered =
+      if (clusterBy.isEmpty) repart
+      else repart.sortWithinPartitions(clusterBy.map(df(_)): _*)
+    clustered.write.mode("overwrite").parquet(outDir)
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(out).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+}

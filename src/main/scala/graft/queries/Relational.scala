@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45)
+    q40, q41, q42, q43, q45, q46)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -935,4 +935,38 @@ object Relational {
                count(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 END)
         FROM lineitem)
       SELECT check_name, violations FROM checks ORDER BY check_name"""))
+
+  /** Distribution-rank window family over one per-nation window —
+    * `ntile` (quartile bucketing), `percent_rank`, `cume_dist`, and a
+    * `lag` delta, completing §2.6 beyond rank/row_number/frames: the
+    * quantile-style windows a feature pipeline uses for per-group
+    * normalization. All four share ONE window spec, so Catalyst plans
+    * a single shuffle on the partition key + one sort — adding a
+    * function to the same window is free; a second window spec would
+    * double the exchange. Ties: acctbal is not unique per nation, so
+    * the order includes the key to make every function's output
+    * deterministic across engines. */
+  val q46 = QueryDef(
+    "q46_window_family",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          round(col("c_acctbal") - lag(col("c_acctbal"), 1).over(w), 2)
+            .as("bal_step"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             round(c_acctbal - lag(c_acctbal, 1) OVER w, 2) AS bal_step
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_nationkey, c_custkey"""))
 }
