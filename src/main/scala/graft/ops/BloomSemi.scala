@@ -11,10 +11,9 @@ import org.apache.spark.sql.functions._
   *  1. build side folds its keys into a `numBits`-wide bitset
   *     ([[graft.functions.BloomBitsAgg]] — constant-size buffer,
   *     map-side combined, one row out);
-  *  2. the one-row bitset broadcasts to every probe partition
-  *     (BroadcastNestedLoopJoin over a single row = a glorified
-  *     broadcast variable, but staying entirely inside the plan —
-  *     no driver-side collect, no eager action);
+  *  2. the one-row bitset enters the probe plan as a scalar subquery
+  *     (shipped to every probe task with the plan — staying entirely
+  *     inside the query, no driver-side collect, no eager action);
   *  3. probe rows test all k bits with codegen'd built-ins and only
   *     survivors reach the exact semi join, which removes the bloom's
   *     false positives.
@@ -51,16 +50,28 @@ object BloomSemi {
 
   /** `probe` rows whose `key` passes the bloom membership test — a
     * superset of the true semi-join survivors (false positives pass,
-    * false negatives are impossible). */
+    * false negatives are impossible).
+    *
+    * The bitset enters the plan as a SCALAR SUBQUERY inside a plain
+    * `filter`, not as a broadcast join: a join carrying the bit-test
+    * as its condition is subject to join reordering, and Catalyst
+    * will happily float the selective exact semi join BELOW it —
+    * leaving the bloom to run on the semi join's OUTPUT, pruning
+    * nothing (observed: composite shuffle ≈ plain shuffle). A Filter
+    * node can never be reordered with a join it sits under, so the
+    * bit-test stays glued to the probe scan — the same spelling
+    * Spark's own InjectRuntimeFilter uses for its runtime bloom. */
   def prefilter(probe: DataFrame, key: Column, bloom: DataFrame,
       numBits: Int, k: Int): DataFrame = {
+    val bits = org.apache.spark.sql.GraftBridge.scalarSubquery(
+      bloom.select(col("bloom_bits")))
     val pass = (0 until k).map { i =>
       val idx = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
-      val word = element_at(col("bloom_bits"), (idx / 64).cast("int") + 1)
+      val word = element_at(bits, (idx / 64).cast("int") + 1)
       call_function("shiftright", word, (idx % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
-    probe.crossJoin(broadcast(bloom)).filter(pass).drop("bloom_bits")
+    probe.filter(pass)
   }
 
   /** The full composite: bloom-prefiltered exact semi join of `probe`

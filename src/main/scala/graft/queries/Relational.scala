@@ -865,31 +865,32 @@ object Relational {
       ORDER BY user_id, metric"""))
 
   /** Semi join (the missing sibling of [[q14]]'s anti join), spelled
-    * as the [[graft.ops.BloomSemi]] composite: customers holding at
-    * least one high-value order, with the probe side pre-filtered by
-    * an in-plan bloom bitset of the build keys before the exact
+    * as the [[graft.ops.BloomSemi]] composite: the big fact (orders)
+    * probed against a selective build set (one nation's customers,
+    * ~4% of probe rows match), with the probe side pre-filtered by an
+    * in-plan bloom bitset of the build keys before the exact
     * `left_semi` removes false positives. Result is EXACTLY the plain
     * EXISTS — the bloom only cuts the probe rows entering the join
     * shuffle, which at 100 TB is the difference between shuffling the
-    * whole customer table and shuffling ~the matching fraction.
-    * BloomSemiSpec pins the equality, the superset property, and that
-    * the prefilter actually prunes. */
+    * whole fact table and shuffling ~the matching fraction.
+    * BloomSemiSpec pins the equality and superset properties;
+    * ShuffleAuditSpec pins the measured byte reduction. */
   val q43 = QueryDef(
     "q43_bloom_semi_join",
     (s, d) => {
-      val c = Tables.customer(s, d)
-      val big = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 350000).select(col("o_custkey"))
-      graft.ops.BloomSemi.semiJoin(c, col("c_custkey"), big, col("o_custkey"))
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+      val o = Tables.orders(s, d)
+      val nat3 = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+      graft.ops.BloomSemi.semiJoin(o, col("o_custkey"), nat3, col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     },
     Some("""
-      SELECT c_custkey, c_name FROM customer c
-      WHERE EXISTS (SELECT 1 FROM orders o
-                    WHERE o.o_custkey = c.c_custkey
-                      AND o.o_totalprice > 350000)
-      ORDER BY c_custkey"""))
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey
+                      AND c.c_nationkey = 3)
+      ORDER BY o_orderkey"""))
 
   /** Data-quality report over the star schema — [[graft.ops.Checks]]
     * as a query: PK uniqueness, NOT NULL, referential integrity,

@@ -51,4 +51,25 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(broadcast.shuffleWrite * 2 < shuffled.shuffleWrite,
       s"broadcast=${broadcast.shuffleWrite}B shuffled=${shuffled.shuffleWrite}B")
   }
+
+  test("q43's bloom prefilter cuts semi-join shuffle bytes vs the plain semi join") {
+    // broadcast threshold off so the exact semi join is a shuffle join
+    // in both plans (at real scale the build side outgrows broadcast —
+    // that regime is exactly when the bloom matters); the 4%-selective
+    // build means the composite shuffles ~the matching fraction of the
+    // probe plus the constant bitset buffers, vs the full probe table.
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val sf01 = "/root/testdata/sf0.01"
+      val probe = Tables.orders(spark, sf01)
+      val build = Tables.customer(spark, sf01)
+        .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+      val composite = ShuffleAudit.measure(
+        BloomSemi.semiJoin(probe, col("o_custkey"), build, col("c_custkey")))
+      val plain = ShuffleAudit.measure(
+        probe.join(build, col("o_custkey") === col("c_custkey"), "left_semi"))
+      assert(composite.shuffleWrite > 0)
+      assert(composite.shuffleWrite * 2 < plain.shuffleWrite,
+        s"composite=${composite.shuffleWrite}B plain=${plain.shuffleWrite}B")
+    }
+  }
 }
