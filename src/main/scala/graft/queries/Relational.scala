@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46)
+    q40, q41, q42, q43, q45, q46, q47)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -970,4 +970,53 @@ object Relational {
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_nationkey, c_custkey"""))
+
+  /** Blocked fuzzy match (entity resolution) — the scale
+    * generalization of the reference's hand-maintained team-name
+    * variant map (Transform.py:407-423 hardcodes 'Utd'→'United' etc.;
+    * at corpus scale the variants aren't known upfront): a
+    * deterministic dirty feed (2nd char dropped + lowercased) is
+    * matched back to the clean dimension by edit distance. The
+    * BLOCKING join is the scale insight: candidates pair only within
+    * an equi-key block (here first letter — in production a
+    * soundex/prefix/length band), so the plan is a plain shuffle
+    * equi-join producing O(n·block) pairs, never the O(n²) cross
+    * join; `levenshtein` runs on candidates only, and best-match =
+    * min-distance per dirty name via one window. */
+  val q47 = QueryDef(
+    "q47_fuzzy_match",
+    (s, d) => {
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val dirty = n.select(lower(concat(substring(col("n_name"), 1, 1),
+        expr("substring(n_name, 3)"))).as("dirty_name"))
+      val cand = dirty
+        .join(n, substring(col("dirty_name"), 1, 1) ===
+          lower(substring(col("n_name"), 1, 1)))
+        .withColumn("dist", levenshtein(col("dirty_name"), lower(col("n_name"))))
+        .filter(col("dist") <= 3)
+      val w = Window.partitionBy(col("dirty_name"))
+        .orderBy(col("dist"), col("n_name"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dirty_name"), col("n_name").as("matched"), col("dist"))
+        .orderBy(col("dirty_name"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT lower(substr(n_name, 1, 1) || substr(n_name, 3)) AS dirty_name
+        FROM nation),
+      cand AS (
+        SELECT d.dirty_name, n.n_name,
+               levenshtein(d.dirty_name, lower(n.n_name)) AS dist
+        FROM dirty d
+        JOIN nation n
+          ON substr(d.dirty_name, 1, 1) = lower(substr(n.n_name, 1, 1))
+        WHERE levenshtein(d.dirty_name, lower(n.n_name)) <= 3),
+      r AS (
+        SELECT dirty_name, n_name, dist,
+               row_number() OVER (PARTITION BY dirty_name
+                 ORDER BY dist, n_name) AS rn
+        FROM cand)
+      SELECT dirty_name, n_name AS matched, dist
+      FROM r WHERE rn = 1
+      ORDER BY dirty_name"""))
 }
