@@ -946,7 +946,16 @@ object Relational {
     * function to the same window is free; a second window spec would
     * double the exchange. Ties: acctbal is not unique per nation, so
     * the order includes the key to make every function's output
-    * deterministic across engines. */
+    * deterministic across engines.
+    *
+    * Deliberately UNROUNDED outputs: percent_rank/cume_dist/lag-diff
+    * are single IEEE operations on identical integers/doubles, so
+    * both engines produce bit-identical values — while rounding them
+    * CREATES divergence at decimal half-boundaries (hit at sf0.1:
+    * round(0.0640625, 6) differs between Spark's shortest-string
+    * HALF_UP and DuckDB's binary-value rounding). Round only what
+    * accumulation order can perturb; never round what is already
+    * exact. */
   val q46 = QueryDef(
     "q46_window_family",
     (s, d) => {
@@ -955,18 +964,17 @@ object Relational {
         .orderBy(col("c_acctbal"), col("c_custkey"))
       c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cdist"),
-          round(col("c_acctbal") - lag(col("c_acctbal"), 1).over(w), 2)
-            .as("bal_step"))
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          (col("c_acctbal") - lag(col("c_acctbal"), 1).over(w)).as("bal_step"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     },
     Some("""
       SELECT c_nationkey, c_custkey, c_acctbal,
              ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cdist,
-             round(c_acctbal - lag(c_acctbal, 1) OVER w, 2) AS bal_step
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cdist,
+             c_acctbal - lag(c_acctbal, 1) OVER w AS bal_step
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_nationkey, c_custkey"""))
