@@ -145,4 +145,37 @@ class PlanQualitySpec extends SparkSpec {
       .metrics("numFiles").value
     assert(read.count() === 1 && scanned <= 1)
   }
+
+  test("q42 unpivot plans as a single Expand with no melt-side shuffle") {
+    val p = plan("q42_unpivot")
+    assert(p.contains("Expand"), p.take(2000))
+    // exactly the aggregate's exchange + the final sort's range
+    // exchange — the melt itself adds none
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
+  }
+
+  test("q43 bloom prefilter is a Filter below the semi join, never a join input") {
+    val p = plan("q43_bloom_semi_join")
+    // the bitset rides a scalar subquery inside a Filter: no
+    // cartesian/BNLJ anywhere, and the bloom bit-test (shiftright on
+    // the subquery result) sits in a Filter node
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(2000))
+    assert(p.contains("shiftright"), p.take(2000))
+  }
+
+  test("q47 fuzzy match pairs candidates through an equi-join block (no cross join)") {
+    val p = plan("q47_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q46's four window functions share one exchange + one sort") {
+    val p = plan("q46_window_family")
+    // one hash exchange for the window, one range exchange for the
+    // final ORDER BY; a second window spec would add a third
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert("Window".r.findAllIn(p).size >= 1, p.take(2000))
+  }
 }
