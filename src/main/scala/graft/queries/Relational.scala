@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1027,4 +1027,69 @@ object Relational {
       SELECT dirty_name, n_name AS matched, dist
       FROM r WHERE rn = 1
       ORDER BY dirty_name"""))
+
+  /** Correlated scalar subquery through Catalyst's DECORRELATION:
+    * each customer's order count and latest order date as inline
+    * `(SELECT ...)` expressions. Spark can't execute a correlated
+    * subquery per-row — RewriteCorrelatedScalarSubquery turns each
+    * into an aggregate + LEFT OUTER equi-join, so the plan is two
+    * shuffled joins, NOT 1500 nested lookups: the SQL author writes
+    * the per-row idiom, the engine runs the set-based plan a 100 TB
+    * input needs. Dialect note: both subqueries aggregate (count/max
+    * over the correlated group), which both engines accept; bare
+    * `LIMIT 1` correlated subqueries are the non-portable spelling. */
+  val q48 = QueryDef(
+    "q48_correlated_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v48")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v48")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders_v48 o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT max(o_orderdate) FROM orders_v48 o
+                WHERE o.o_custkey = c.c_custkey) AS last_order
+        FROM customer_v48 c
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             (SELECT max(o_orderdate) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS last_order
+      FROM customer c
+      ORDER BY c_custkey"""))
+
+  /** Explicit GROUPING SETS — the generalization of [[q31]]'s ROLLUP
+    * to arbitrary group combinations: per (status, priority), per
+    * status, and per priority in ONE pass. Catalyst plans a single
+    * Expand (each row replicated once per grouping set with its
+    * unused keys nulled) feeding ONE hash aggregate — one shuffle
+    * total, vs three scans + a union for the naive spelling.
+    * `grouping_id()` disambiguates real NULL keys from subtotal
+    * rows in both engines. */
+  val q49 = QueryDef(
+    "q49_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v49")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping__id AS gid,
+               count(*) AS n_orders,
+               ${QueryDef.dsumSql("o_totalprice")} AS revenue
+        FROM orders_v49
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+    },
+    Some(s"""
+      SELECT o_orderstatus, o_orderpriority,
+             grouping(o_orderstatus, o_orderpriority) AS gid,
+             count(*) AS n_orders,
+             ${QueryDef.dsumSql("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority))
+      ORDER BY gid, o_orderstatus, o_orderpriority"""))
 }
