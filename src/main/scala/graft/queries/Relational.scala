@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1092,4 +1092,46 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), (o_orderpriority))
       ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
+  /** Nested-array aggregation + higher-order functions, zero UDFs
+    * (§2.10 discipline on collection types): per-order quantity
+    * vectors built DETERMINISTICALLY — `collect_list` alone has no
+    * ordering guarantee across partition merges, so the portable
+    * spelling is sort_array over (linenumber, qty) structs — qty as
+    * the EXPLICIT tiebreak, since the testdata duplicates line
+    * numbers within an order and an under-specified sort diverges
+    * between engines — then a
+    * `transform` projection; `filter`/`array_max` HOFs derive
+    * per-order features. Everything stays codegen-able expression
+    * work inside one aggregate — the array column shape (bounded by
+    * lines-per-order, NOT by table size) is the collection analog of
+    * the sketch buffers: per-group state stays O(group width) at any
+    * SF. */
+  val q50 = QueryDef(
+    "q50_array_hof",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
+        .select(col("l_orderkey"),
+          transform(col("pairs"), p => p.getField("l_quantity")).as("qtys"))
+        .select(col("l_orderkey"), col("qtys"),
+          size(col("qtys")).cast("long").as("n_items"),
+          size(filter(col("qtys"), x => x >= 30)).cast("long").as("n_big"),
+          array_max(col("qtys")).as("max_qty"))
+        .filter(col("n_items") >= 5)
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT l_orderkey,
+               list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey, qtys,
+             len(qtys) AS n_items,
+             len(list_filter(qtys, x -> x >= 30)) AS n_big,
+             list_max(qtys) AS max_qty
+      FROM g WHERE len(qtys) >= 5
+      ORDER BY l_orderkey"""))
 }
