@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1134,4 +1134,58 @@ object Relational {
              list_max(qtys) AS max_qty
       FROM g WHERE len(qtys) >= 5
       ORDER BY l_orderkey"""))
+
+  /** Time-series gap filling — the resample/reindex primitive of
+    * dashboard time axes (the reference's ui.py charts assume a dense
+    * season axis; a lake-side pipeline must MATERIALIZE missing
+    * periods): per-nation monthly order counts with absent months
+    * present as explicit zeros. The dense grid is dimension ×
+    * calendar: the calendar spine derives from a one-row min/max
+    * aggregate exploded through `sequence` (a broadcast-scalar-sized
+    * build — the deliberate cross join is dim×months, never
+    * fact-sized), counts aggregate fact-side with ONE shuffle, and
+    * the grid left-joins counts so gaps surface as 0 rather than
+    * missing rows. */
+  val q51 = QueryDef(
+    "q51_gap_fill",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
+      val counts = o.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("month"))
+        .agg(count(lit(1)).as("cnt"))
+      val months = o.agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 month"))).as("month"))
+      val grid = Tables.nation(s, d).select(col("n_nationkey"))
+        .crossJoin(broadcast(months))
+      grid.join(counts,
+          grid("n_nationkey") === counts("c_nationkey") &&
+            grid("month") === counts("month"), "left")
+        .select(grid("n_nationkey"), grid("month"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy(col("n_nationkey"), col("month"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+        FROM orders),
+      counts AS (
+        SELECT c.c_nationkey, o.month, count(*) AS cnt
+        FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.month),
+      spine AS (
+        SELECT CAST(unnest(generate_series(
+                 (SELECT min(month) FROM o),
+                 (SELECT max(month) FROM o),
+                 INTERVAL 1 MONTH)) AS DATE) AS month),
+      grid AS (SELECT n.n_nationkey, s.month FROM nation n CROSS JOIN spine s)
+      SELECT g.n_nationkey, g.month,
+             CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_orders
+      FROM grid g
+      LEFT JOIN counts c
+        ON g.n_nationkey = c.c_nationkey AND g.month = c.month
+      ORDER BY g.n_nationkey, g.month"""))
 }
