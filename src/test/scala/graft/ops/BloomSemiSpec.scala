@@ -45,6 +45,25 @@ class BloomSemiSpec extends SparkSpec {
     assert(composite.sameElements(plain))
   }
 
+  test("property: composite == plain semi join for random key sets (incl. saturation)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keysGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-5L, 40L)))
+    val p = Prop.forAll(keysGen, keysGen,
+      Gen.oneOf(64, 256, 4096), Gen.choose(1, 4)) { (pk, bk, bits, k) =>
+      val probeDf = pk.toDF("pk")
+      val buildDf = bk.toDF("bk")
+      val composite = BloomSemi.semiJoin(probeDf, col("pk"), buildDf,
+          col("bk"), numBits = bits, k = k)
+        .as[Long].collect().sorted.toSeq
+      val plain = probeDf.join(buildDf, col("pk") === col("bk"), "left_semi")
+        .as[Long].collect().sorted.toSeq
+      composite == plain
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom_bits works from SQL text via the registered function") {
     graft.functions.GraftFunctions.register(spark)
     build.select(BloomSemi.bitPositions(col("c_custkey"), 1 << 12, 3)
