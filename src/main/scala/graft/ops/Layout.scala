@@ -39,6 +39,11 @@ object Layout {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long,
       clusterBy: Seq[String] = Nil): Int = {
+    // lazy scans read source files as tasks run — an in-place overwrite
+    // would delete them mid-read; compact to a sibling dir and swap
+    // (Pipeline.mergeSwap is the swapping pattern)
+    require(new Path(inDir) != new Path(outDir),
+      s"compact: outDir must differ from inDir ($inDir); write aside and swap")
     val n = targetFiles(dirBytes(spark, inDir), targetFileBytes)
     val df = spark.read.parquet(inDir)
     val repart = df.repartition(n)

@@ -26,6 +26,13 @@ class LayoutSpec extends SparkSpec {
     assert(before.sameElements(after), "compaction changed table content")
   }
 
+  test("compact refuses in-place overwrite (reads would race deletes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout3").toString
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$dir/t", s"$dir/t", 1024L)
+    }
+  }
+
   test("targetFiles sizing arithmetic") {
     assert(Layout.targetFiles(0L, 128L) == 1)
     assert(Layout.targetFiles(129L, 128L) == 2)
