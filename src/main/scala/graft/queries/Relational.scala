@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1188,4 +1188,36 @@ object Relational {
       LEFT JOIN counts c
         ON g.n_nationkey = c.c_nationkey AND g.month = c.month
       ORDER BY g.n_nationkey, g.month"""))
+
+  /** INTERSECT / EXCEPT — the set operations completing §2.4 next to
+    * union/distinct/dedup: high-balance customers split into those
+    * who do and don't hold orders, tagged and unioned into one
+    * result. Catalyst plans `intersect` as a distinct + left-SEMI
+    * join and `except` as distinct + left-ANTI — both one equi-
+    * shuffle on the compared row, no materialized set structures, so
+    * the set algebra scales exactly like the joins it lowers to. */
+  val q52 = QueryDef(
+    "q52_set_ops",
+    (s, d) => {
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val withOrders = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"))
+      rich.intersect(withOrders).withColumn("tag", lit("both"))
+        .unionAll(rich.except(withOrders)
+          .withColumn("tag", lit("only_balance")))
+        .orderBy(col("tag"), col("c_custkey"))
+    },
+    Some("""
+      WITH rich AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      wo AS (SELECT o_custkey AS c_custkey FROM orders)
+      SELECT c_custkey, 'both' AS tag
+      FROM (SELECT c_custkey FROM rich
+            INTERSECT SELECT c_custkey FROM wo)
+      UNION ALL
+      SELECT c_custkey, 'only_balance' AS tag
+      FROM (SELECT c_custkey FROM rich
+            EXCEPT SELECT c_custkey FROM wo)
+      ORDER BY tag, c_custkey"""))
 }
