@@ -18,8 +18,10 @@ case class DecValue(key: String, value: Option[BigDecimal])
 case class DecStatsBuf(n: Long, sum: BigDecimal, sumsq: BigDecimal)
 
 /** Finished moments: non-null count plus mean/variance built from the
-  * exact sums in ONE deterministic double expression each. */
-case class DecStats(n_vals: Long, mean: Double, var_samp: Double)
+  * exact sums in ONE deterministic double expression each. var_samp is
+  * None (SQL NULL) for n <= 1 — the portable spelling: a NaN here
+  * would meet the oracle's division-by-zero ±inf and diverge. */
+case class DecStats(n_vals: Long, mean: Double, var_samp: Option[Double])
 
 /** `org.apache.spark.sql.expressions.Aggregator` — the TYPED
   * custom-aggregate rung of the ladder (next to the Catalyst-level
@@ -51,12 +53,12 @@ object DecimalStatsAgg extends Aggregator[DecValue, DecStatsBuf, DecStats] {
 
   override def finish(b: DecStatsBuf): DecStats = {
     val n = b.n
-    if (n == 0) DecStats(0L, Double.NaN, Double.NaN)
+    if (n == 0) DecStats(0L, Double.NaN, None)
     else {
       val s = b.sum.toDouble
       val ss = b.sumsq.toDouble
       val mean = s / n
-      val v = if (n > 1) (ss - s * s / n) / (n - 1) else Double.NaN
+      val v = if (n > 1) Some((ss - s * s / n) / (n - 1)) else None
       DecStats(n, mean, v)
     }
   }

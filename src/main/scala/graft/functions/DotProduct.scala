@@ -106,11 +106,22 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
     }
 
+  /** Implementing class per function — DESCRIBE FUNCTION metadata
+    * must name the actual expression class, not a shared one. */
+  private val implClass: Map[String, String] = Map(
+    "graft_dot" -> classOf[DotProduct].getName,
+    "graft_rolling_minhash" -> classOf[RollingMinHash].getName,
+    "graft_topk_min" -> classOf[TopKMinAgg].getName,
+    "graft_capped_docs" -> classOf[CappedDocsAgg].getName,
+    "graft_minhash_sig" -> classOf[MinHashSigAgg].getName,
+    "graft_vec_sum" -> classOf[VecSumAgg].getName,
+    "graft_bloom_bits" -> classOf[BloomBitsAgg].getName)
+
   /** Extension-path registration (spark.sql.extensions). */
   def injectAll(ext: SparkSessionExtensions): Unit =
     builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name), b))
+        new ExpressionInfo(implClass(name), name), b))
     }
 
   /** Column-API entry: `dot(a, b)` after [[register]]. Inputs are cast

@@ -35,11 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object BloomSemi {
 
+  /** Bit position of hash probe `i` for `key` — THE single hashing
+    * definition; [[bitPositions]] (build) and [[prefilter]] (probe)
+    * both call it, so the two sides cannot drift. */
+  private def position(key: Column, numBits: Int, i: Int): Column =
+    pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+
   /** The k bit positions of `key` in a `numBits`-wide bloom filter,
     * as an array<bigint> — shared by build ([[buildBits]]) and probe
     * ([[prefilter]]) sides. */
   def bitPositions(key: Column, numBits: Int, k: Int): Column =
-    array((0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(numBits.toLong))): _*)
+    array((0 until k).map(i => position(key, numBits, i)): _*)
 
   /** One-row DataFrame holding the bloom bitset (`bloom_bits`
     * array<bigint>) of `key` over `build`. */
@@ -66,7 +72,7 @@ object BloomSemi {
     val bits = org.apache.spark.sql.GraftBridge.scalarSubquery(
       bloom.select(col("bloom_bits")))
     val pass = (0 until k).map { i =>
-      val idx = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+      val idx = position(key, numBits, i)
       val word = element_at(bits, (idx / 64).cast("int") + 1)
       call_function("shiftright", word, (idx % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

@@ -21,9 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
-  private def one(name: String, violations: Column): Column =
-    violations.as("violations")
-
   /** Rows where `key` is duplicated (PRIMARY-KEY uniqueness): number
     * of EXTRA rows beyond the first per key — 0 ⇔ unique. */
   def pkUnique(df: DataFrame, keys: Seq[String], name: String): DataFrame =
@@ -60,6 +57,10 @@ object Checks {
       .select(lit(name).as("check_name"), col("violations"))
 
   /** One report: all checks unioned, stable order. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty,
+      "Checks.report: no checks given (a dynamically-assembled check " +
+        "list filtered everything out?)")
     checks.reduce(_.unionAll(_)).orderBy(col("check_name"))
+  }
 }

@@ -70,6 +70,12 @@ object ConnectedComponents {
     * Returns (`node`, `component`) where `component` is the smallest
     * node id in the node's component. */
   def labels(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // every node of the input, BEFORE self-loops are dropped: a node
+    // appearing only as (x, x) still belongs in the output, as its
+    // own singleton component
+    val allNodes = edges.select(col("src").cast("long").as("node"))
+      .union(edges.select(col("dst").cast("long").as("node")))
+      .distinct()
     val init = edges
       .select(greatest(col("src"), col("dst")).cast("long").as("u"),
         least(col("src"), col("dst")).cast("long").as("v"))
@@ -91,6 +97,8 @@ object ConnectedComponents {
     val roots = cur.select(col("v").as("node")).distinct()
       .join(follow, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    follow.union(roots)
+    // nodes with no surviving edge (self-loop-only) label themselves
+    allNodes.join(follow.union(roots), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 }

@@ -41,8 +41,16 @@ object Layout {
       clusterBy: Seq[String] = Nil): Int = {
     // lazy scans read source files as tasks run — an in-place overwrite
     // would delete them mid-read; compact to a sibling dir and swap
-    // (Pipeline.mergeSwap is the swapping pattern)
-    require(new Path(inDir) != new Path(outDir),
+    // (Pipeline.mergeSwap is the swapping pattern). Compare QUALIFIED
+    // paths: raw Path equality is literal URI equality, and spellings
+    // like "file:/t" vs "/t" or relative-vs-absolute would slip past
+    // the guard into the very data loss it exists to prevent.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(dir: String) = {
+      val p = new Path(dir)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
       s"compact: outDir must differ from inDir ($inDir); write aside and swap")
     val n = targetFiles(dirBytes(spark, inDir), targetFileBytes)
     val df = spark.read.parquet(inDir)

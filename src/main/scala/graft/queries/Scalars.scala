@@ -354,7 +354,12 @@ object Scalars {
     "q44_typed_agg",
     (s, d) => {
       import s.implicits._
+      // null values filtered BEFORE typed code, mirroring the oracle's
+      // WHERE: an event type whose values are ALL null must be absent
+      // from both sides (not present with n=0), and inside the
+      // aggregate every group then has n >= 1
       val ds = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type").as("key"),
           col("value").cast(DecimalType(18, 6)).as("value"))
         .as[graft.functions.DecValue]
@@ -377,6 +382,8 @@ object Scalars {
         FROM d GROUP BY event_type)
       SELECT event_type, n_vals,
              round(s / n_vals, 6) AS mean,
-             round((ss - s * s / n_vals) / (n_vals - 1), 6) AS var_samp
+             CASE WHEN n_vals <= 1 THEN NULL
+                  ELSE round((ss - s * s / n_vals) / (n_vals - 1), 6)
+             END AS var_samp
       FROM a ORDER BY event_type"""))
 }

@@ -35,7 +35,14 @@ class DecimalStatsAggSpec extends SparkSpec {
       .collect().head._2
     assert(out.n_vals == 2L)
     assert(out.mean == 2.0)
-    assert(out.var_samp == 0.5)
+    assert(out.var_samp.contains(0.5))
+  }
+
+  test("singleton group yields var_samp None (SQL NULL), not NaN/inf") {
+    val ds = Seq(DecValue("a", Some(BigDecimal("7.25")))).toDS()
+    val out = ds.groupByKey(_.key).agg(DecimalStatsAgg.toColumn.name("s"))
+      .collect().head._2
+    assert(out.n_vals == 1L && out.mean == 7.25 && out.var_samp.isEmpty)
   }
 
   test("typed aggregation plans map-side partial buffers (ObjectHashAggregate)") {

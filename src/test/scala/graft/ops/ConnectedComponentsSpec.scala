@@ -60,4 +60,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.labels(
       spark.createDataset(Seq.empty[(Long, Long)]).toDF("src", "dst")).isEmpty)
   }
+
+  test("a node appearing ONLY in self-loops is labeled as its own singleton") {
+    assert(run(Seq((9L, 9L))) === Map(9L -> 9L))
+    assert(run(Seq((9L, 9L), (1L, 2L))) === Map(9L -> 9L, 1L -> 1L, 2L -> 1L))
+  }
 }

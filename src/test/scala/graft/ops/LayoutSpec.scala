@@ -31,6 +31,10 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.compact(spark, s"$dir/t", s"$dir/t", 1024L)
     }
+    // different spellings of the same directory must not slip past
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"file:$dir/t", s"$dir/t", 1024L)
+    }
   }
 
   test("targetFiles sizing arithmetic") {
