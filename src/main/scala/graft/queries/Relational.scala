@@ -1106,7 +1106,10 @@ object Relational {
     * work inside one aggregate — the array column shape (bounded by
     * lines-per-order, NOT by table size) is the collection analog of
     * the sketch buffers: per-group state stays O(group width) at any
-    * SF. */
+    * SF. The array is SERIALIZED at the output boundary
+    * (`concat_ws` / `array_to_string`) so every emitted column is a
+    * sortable scalar — external result checkers canonicalize by
+    * sorting columns, and a raw array column is unhashable there. */
   val q50 = QueryDef(
     "q50_array_hof",
     (s, d) => {
@@ -1116,7 +1119,8 @@ object Relational {
           struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
         .select(col("l_orderkey"),
           transform(col("pairs"), p => p.getField("l_quantity")).as("qtys"))
-        .select(col("l_orderkey"), col("qtys"),
+        .select(col("l_orderkey"),
+          concat_ws(",", col("qtys").cast("array<string>")).as("qtys"),
           size(col("qtys")).cast("long").as("n_items"),
           size(filter(col("qtys"), x => x >= 30)).cast("long").as("n_big"),
           array_max(col("qtys")).as("max_qty"))
@@ -1128,7 +1132,7 @@ object Relational {
         SELECT l_orderkey,
                list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
         FROM lineitem GROUP BY l_orderkey)
-      SELECT l_orderkey, qtys,
+      SELECT l_orderkey, array_to_string(qtys, ',') AS qtys,
              len(qtys) AS n_items,
              len(list_filter(qtys, x -> x >= 30)) AS n_big,
              list_max(qtys) AS max_qty

@@ -134,7 +134,13 @@ object Similarity {
             transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
-      broadcast(probes).join(cand, Seq("sig"))
+      // No broadcast hint: the probe side is defined as a slice of the
+      // corpus (N/50 rows × P probes), so it SCALES with SF — a forced
+      // broadcast would grow without bound at 100 TB. The signature
+      // equi-join shuffles both sides on `sig`; AQE may still pick a
+      // size-based broadcast at small SF, which is fine because that
+      // decision is made from measured stats, not a hard hint.
+      probes.join(cand, Seq("sig"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)

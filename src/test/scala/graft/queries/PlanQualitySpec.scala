@@ -171,6 +171,42 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("every broadcast() hint in src/main names a bounded relation (allowlist)") {
+    // the 100 TB gate for HARD hints: a broadcast() on a relation that
+    // scales with SF grows without bound at scale (round-4 defect:
+    // s02 broadcast its probe side = corpus/50 rows). Each allowlisted
+    // (file, argument) pair is bounded by construction:
+    //   dims (nation/region/teams/players — fixed cardinality),
+    //   one-row scalars (corpus count), constant-C builds (centroids,
+    //   month spine), driver offsets (P longs), and the ONE quarantined
+    //   exception: s01's brute-force calibration baseline, documented
+    //   as weak-by-design in Similarity.scala.
+    val allowed = Set(
+      ("Facts.scala", "teams"), ("Facts.scala", "opps"),
+      ("Facts.scala", "games"), ("Facts.scala", "players"),
+      ("Pack.scala", "partials"),          // P partition offsets (longs)
+      ("Similarity.scala", "q"),           // s01 quarantined baseline
+      ("Similarity.scala", "cent"),        // C centroids
+      ("TextOps.scala", "n"),              // one-row corpus count
+      ("Relational.scala", "n"), ("Relational.scala", "r"),
+      ("Relational.scala", "cn"), ("Relational.scala", "sn"),
+      ("Relational.scala", "months"))      // calendar spine
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val pat = """broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+    val found = scala.collection.mutable.Set[(String, String)]()
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p))
+        pat.findAllMatchIn(text).foreach { m =>
+          found += ((p.getFileName.toString, m.group(1)))
+        }
+      }
+    }
+    val rogue = found.diff(allowed)
+    assert(rogue.isEmpty,
+      s"broadcast() on non-allowlisted relation(s): $rogue — is each bounded at 100 TB?")
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the

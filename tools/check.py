@@ -46,6 +46,21 @@ def main():
                 print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug}; CAST to BIGINT")
                 n_bad += 1
                 continue
+            # Nested-type guard: the driver's pandas-based checker sorts
+            # rows by every column; an array/struct/map-typed output column
+            # crashes it ("unhashable type: numpy.ndarray") — cost us q50 in
+            # round 4. Reject nested output so this replica is strictly
+            # HARDER than the driver's gate, never laxer.
+            sp_types = con.execute(
+                f"DESCRIBE SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+            nested = [r[0] for r in sp_types
+                      if any(t in r[1] for t in ("[]", "STRUCT", "MAP", "LIST"))]
+            if nested:
+                print(f"FAIL {name}: spark output has nested-typed column(s) "
+                      f"{nested}; serialize at the output boundary "
+                      f"(concat_ws / to_json)")
+                n_bad += 1
+                continue
             sp = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
             sp_cols = [c[0] for c in sp.description]
             sp_rows = sp.fetchall()
