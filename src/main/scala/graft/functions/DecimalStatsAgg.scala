@@ -18,10 +18,11 @@ case class DecValue(key: String, value: Option[BigDecimal])
 case class DecStatsBuf(n: Long, sum: BigDecimal, sumsq: BigDecimal)
 
 /** Finished moments: non-null count plus mean/variance built from the
-  * exact sums in ONE deterministic double expression each. var_samp is
-  * None (SQL NULL) for n <= 1 — the portable spelling: a NaN here
-  * would meet the oracle's division-by-zero ±inf and diverge. */
-case class DecStats(n_vals: Long, mean: Double, var_samp: Option[Double])
+  * exact sums in ONE deterministic double expression each. Both mean
+  * and var_samp are Options — None (SQL NULL) for the empty /
+  * singleton group — the portable spelling: SQL `avg` of zero rows is
+  * NULL, and a NaN or ±inf here would diverge from any SQL oracle. */
+case class DecStats(n_vals: Long, mean: Option[Double], var_samp: Option[Double])
 
 /** `org.apache.spark.sql.expressions.Aggregator` — the TYPED
   * custom-aggregate rung of the ladder (next to the Catalyst-level
@@ -53,13 +54,13 @@ object DecimalStatsAgg extends Aggregator[DecValue, DecStatsBuf, DecStats] {
 
   override def finish(b: DecStatsBuf): DecStats = {
     val n = b.n
-    if (n == 0) DecStats(0L, Double.NaN, None)
+    if (n == 0) DecStats(0L, None, None)
     else {
       val s = b.sum.toDouble
       val ss = b.sumsq.toDouble
       val mean = s / n
       val v = if (n > 1) Some((ss - s * s / n) / (n - 1)) else None
-      DecStats(n, mean, v)
+      DecStats(n, Some(mean), v)
     }
   }
 

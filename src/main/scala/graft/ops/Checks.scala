@@ -35,11 +35,15 @@ object Checks {
 
   /** Child rows whose `fk` has no match in `parent.pk` (FOREIGN KEY):
     * anti-join count. NULL fks are orphans here by choice — a
-    * nullable fk should be filtered by the caller first. */
+    * nullable fk should be filtered by the caller first. The parent
+    * key is aliased before the join so fk and pk may share a column
+    * name (the common warehouse case) without an ambiguous-reference
+    * analysis error. */
   def referential(child: DataFrame, fk: String,
       parent: DataFrame, pk: String, name: String): DataFrame =
     child.select(col(fk))
-      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .join(parent.select(col(pk).as("__graft_pk")),
+        col(fk) === col("__graft_pk"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"))
 

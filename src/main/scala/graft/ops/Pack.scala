@@ -17,27 +17,36 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Data crosses the cluster once (the range shuffle); the driver
   * sees P longs, never rows.
   *
-  * Both passes re-run the same deterministic sort lineage
-  * (RangePartitioner samples with partition-indexed seeds), so no
-  * persist is needed for consistency — at warehouse scale the sorted
-  * input would be a written table anyway.
+  * The sorted input is pinned with an eager `localCheckpoint` before
+  * pass 1: both passes MUST observe the identical partitioning and
+  * row order, and two independent jobs over the same lazy lineage may
+  * legitimately differ (a non-deterministic upstream, or AQE choosing
+  * different range boundaries per job) — which would silently
+  * misalign the broadcast offsets. Checkpointed blocks make the
+  * partition boundaries a materialized fact, not a replayed promise.
   */
 object Pack {
 
-  /** Adds `outCol` = exclusive prefix sum of `valueCol` (a LONG
-    * column) over the total order `order` — row i gets the sum of
-    * all earlier rows' values, first row 0. */
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` (a
+    * NON-NULLABLE LONG column — a null value row fails fast) over the
+    * total order `order` — row i gets the sum of all earlier rows'
+    * values, first row 0. */
   def exclusivePrefixSum(df: DataFrame, order: Seq[Column],
                          valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
+      .localCheckpoint() // eager: pins partitioning + order for both passes
     val vIdx = sorted.schema.fieldIndex(valueCol)
     // pass 1: one partial sum per partition — P longs to the driver
     val partials = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         var s = 0L
-        it.foreach(s += _.getLong(vIdx))
+        it.foreach { r =>
+          require(!r.isNullAt(vIdx),
+            s"exclusivePrefixSum: null in value column '$valueCol'")
+          s += r.getLong(vIdx)
+        }
         Iterator.single(pid -> s)
       }
       .collect().sortBy(_._1).map(_._2)

@@ -34,7 +34,7 @@ class DecimalStatsAggSpec extends SparkSpec {
     val out = ds.groupByKey(_.key).agg(DecimalStatsAgg.toColumn.name("s"))
       .collect().head._2
     assert(out.n_vals == 2L)
-    assert(out.mean == 2.0)
+    assert(out.mean.contains(2.0))
     assert(out.var_samp.contains(0.5))
   }
 
@@ -42,7 +42,14 @@ class DecimalStatsAggSpec extends SparkSpec {
     val ds = Seq(DecValue("a", Some(BigDecimal("7.25")))).toDS()
     val out = ds.groupByKey(_.key).agg(DecimalStatsAgg.toColumn.name("s"))
       .collect().head._2
-    assert(out.n_vals == 1L && out.mean == 7.25 && out.var_samp.isEmpty)
+    assert(out.n_vals == 1L && out.mean.contains(7.25) && out.var_samp.isEmpty)
+  }
+
+  test("empty group (all nulls) yields mean None (SQL NULL), not NaN") {
+    val ds = Seq(DecValue("a", None), DecValue("a", None)).toDS()
+    val out = ds.groupByKey(_.key).agg(DecimalStatsAgg.toColumn.name("s"))
+      .collect().head._2
+    assert(out.n_vals == 0L && out.mean.isEmpty && out.var_samp.isEmpty)
   }
 
   test("typed aggregation plans map-side partial buffers (ObjectHashAggregate)") {

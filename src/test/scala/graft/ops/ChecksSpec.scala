@@ -26,6 +26,16 @@ class ChecksSpec extends SparkSpec {
     assert(viol(Checks.referential(child, "fk", parent, "pk", "fk")) == 2L)
   }
 
+  test("referential works when fk and pk share a column name") {
+    // the common warehouse case: child.order_key REFERENCES
+    // parent.order_key — unqualified col() on both sides would raise
+    // an ambiguous-reference analysis error
+    val child = Seq(1, 2, 9).toDF("order_key")
+    val parent = Seq(1, 2, 3).toDF("order_key")
+    assert(viol(Checks.referential(
+      child, "order_key", parent, "order_key", "fk")) == 1L)
+  }
+
   test("acceptedValues flags out-of-set and null") {
     val df = Seq(Some("a"), Some("b"), Some("zz"), None).toDF("v")
     assert(viol(Checks.acceptedValues(df, "v", Seq("a", "b"), "av")) == 2L)
