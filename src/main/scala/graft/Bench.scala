@@ -29,10 +29,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Key order puts the headline total LAST: harness logs keep only the
-    // final ~2KB of output, and with 68 queries the map alone exceeds
-    // that — leading keys would be truncated out of the captured tail.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    // The 15 most expensive queries, repeated compactly near the END of
+    // the line: harness logs keep only the final ~2KB, and the full map
+    // exceeds that — without this the expensive tail is invisible to
+    // anyone reading the truncated log.
+    val top15 = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + s"""":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    // Key order puts top15 + the headline total LAST: harness logs keep
+    // only the final ~2KB of output, and with 90+ queries the map alone
+    // exceeds that — leading keys would be truncated out of the tail.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}""")
     spark.stop()
   }
 }

@@ -20,6 +20,18 @@ class RegistrySpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md's registry inventory matches Registry.all (docs can't go stale)") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val m = """\((\d+) registry queries, (\d+) DuckDB-oracle-checked""".r
+      .findFirstMatchIn(text)
+    assert(m.isDefined, "SURVEY.md must state '(N registry queries, M DuckDB-oracle-checked'")
+    assert(m.get.group(1).toInt === Registry.all.size,
+      s"SURVEY.md says ${m.get.group(1)} queries; registry has ${Registry.all.size}")
+    assert(m.get.group(2).toInt === Registry.oracles.size,
+      s"SURVEY.md says ${m.get.group(2)} oracle-checked; registry has ${Registry.oracles.size}")
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs on sf0.001 and returns rows") {
       val df = q.build(spark, sfDir)
