@@ -37,15 +37,18 @@ case class TopKMinAgg(
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
   /** Insert-sorted with dedup: skip if ≥ current k-th smallest or
-    * already present; otherwise shift-insert. k is tiny (4 here) so
-    * the linear probe beats branchy binary search. */
+    * already present; otherwise shift-insert at the binary-search
+    * position (buf is always ascending, MaxValue-padded). Binary
+    * search + arraycopy keeps the per-insert cost O(log k + move)
+    * so the aggregate stays cheap at BOTH ends of the k range —
+    * k=4 fingerprints (t07) and k=4096 bottom-k Jaccard sets (d03).
+    */
   private def insert(buf: Array[Long], x: Long): Unit = {
     if (x >= buf(k - 1)) return
-    var i = 0
-    while (i < k && buf(i) < x) i += 1
-    if (i < k && buf(i) == x) return // distinct-only
-    var j = k - 1
-    while (j > i) { buf(j) = buf(j - 1); j -= 1 }
+    val pos = java.util.Arrays.binarySearch(buf, 0, k, x)
+    if (pos >= 0) return // distinct-only
+    val i = -(pos + 1)
+    System.arraycopy(buf, i, buf, i + 1, k - 1 - i)
     buf(i) = x
   }
 

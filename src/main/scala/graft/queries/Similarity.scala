@@ -331,6 +331,10 @@ object Similarity {
     * plans from the same seed, so the oracle replays it verbatim. */
   private[queries] val MINHASH_K = 16
   private[queries] val MINHASH_P = 2305843009213693951L // 2^61 - 1
+  /** Bottom-k cap on the per-doc h60 set in the LSH verify stage:
+    * exact Jaccard below the cap, bottom-k minwise estimate above it,
+    * fixed 8·k-byte agg buffer either way. */
+  private[queries] val JACCARD_SET_K = 4096
   private[queries] val (minhashA, minhashB) = {
     val rnd = new java.util.Random(2024)
     (Seq.fill(MINHASH_K)((rnd.nextInt(1 << 20) | 1).toLong),
@@ -385,9 +389,18 @@ object Similarity {
       // (8-byte longs, not strings); candidate pairs join the two
       // arrays and intersect them — O(|cand| · |set|) instead of an
       // inverted-index equality join whose output is quadratic in
-      // near-dup cluster size
+      // near-dup cluster size. The per-doc set is BOUNDED: the k
+      // smallest distinct h60 per doc (TopKMinAgg's fixed k-slot
+      // buffer) instead of collect_set's O(doc-shingles) state — for
+      // docs under the cap (every realistic doc; JACCARD_SET_K =
+      // 4096 shingles ≈ 4 KB of text) the intersection is EXACT,
+      // beyond it this degrades gracefully into the classic bottom-k
+      // minwise estimate over the same n_a+n_b-n_common denominator,
+      // and the agg buffer is 32 KB forever, immune to the
+      // adversarial 10 MB document.
       val sets = sh.groupBy("doc_id")
-        .agg(collect_set(col("h60")).as("ss"), count(lit(1)).as("n_sh"))
+        .agg(graft.functions.TopKMinAgg.topKMin(col("h60"), JACCARD_SET_K).as("ss"),
+          count(lit(1)).as("n_sh"))
       val sa = sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n_sh").as("n_a"))
       val sb = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n_sh").as("n_b"))
       val pairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -423,12 +436,20 @@ object Similarity {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      capped AS (
+        -- twin of the Spark side's bottom-k h60 set (TopKMinAgg):
+        -- the k smallest DISTINCT h60 per doc
+        SELECT doc_id, h60 FROM (
+          SELECT doc_id, h60,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY h60) AS rk
+          FROM (SELECT DISTINCT doc_id, h60 FROM sh))
+        WHERE rk <= $JACCARD_SET_K),
       inter AS (
         -- DISTINCT h60: matches array_intersect set semantics should
         -- two hash tuples ever share an h60 within a doc
         SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
                count(DISTINCT sa.h60) AS n_common
-        FROM sh sa JOIN sh sb ON sa.h60 = sb.h60 AND sa.doc_id < sb.doc_id
+        FROM capped sa JOIN capped sb ON sa.h60 = sb.h60 AND sa.doc_id < sb.doc_id
         JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
         GROUP BY 1, 2),
       pairs AS (

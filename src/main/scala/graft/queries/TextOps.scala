@@ -25,6 +25,11 @@ object TextOps {
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
+  /** Hard per-doc chunk cap for t11: bounds the reassembly agg buffer
+    * (and every downstream per-doc state) for adversarial single-row
+    * documents; 32768 chunks ≈ 320k tokens, far above any real doc. */
+  private[queries] val CHUNK_CAP = 32768
+
   /** Deterministic train/val/test assignment — the split primitive of
     * every training-data pipeline: bucket = md5(doc_id) mod 100, so a
     * document's split is a pure function of its id (stable across
@@ -390,11 +395,14 @@ object TextOps {
     * Scale design: chunk document-frequency is counted and joined on
     * a 60-bit md5 fingerprint (8-byte shuffle keys, never the chunk
     * string); reassembly sorts each doc's kept chunks INSIDE an
-    * aggregation buffer (array_sort over ≤ n_chunks structs — bounded
-    * by doc length, the same bound the text column itself already
-    * imposes on a row). Per-doc output is one row regardless of how
-    * much was dropped, so the stage composes with t10's corpus-level
-    * dedup/split downstream. */
+    * aggregation buffer (array_sort over ≤ n_chunks structs). That
+    * buffer is bounded by a HARD per-doc cap — chunks beyond
+    * CHUNK_CAP (32768 chunks = ~320k tokens) are truncated at the
+    * chunking step in both engines — so the adversarial 10 MB single
+    * document costs a bounded buffer, not an unbounded collect_list
+    * (same policy as d03's bottom-k verify sets). Per-doc output is
+    * one row regardless of how much was dropped, so the stage
+    * composes with t10's corpus-level dedup/split downstream. */
   val t11 = QueryDef(
     "t11_chunk_dedup",
     (s, d) => {
@@ -402,6 +410,7 @@ object TextOps {
         .select(col("doc_id"), tokens.as("w"))
       val pos = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
         .withColumn("chunk_id", expr("i div 10"))
+        .filter(col("chunk_id") < CHUNK_CAP)
       val chunks = pos.groupBy(col("doc_id"), col("chunk_id"))
         .agg(concat_ws(" ",
           expr("transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)")).as("chunk"))
@@ -428,11 +437,13 @@ object TextOps {
       WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
       pos AS (
-        SELECT doc_id, e.i AS i, e.tok AS tok, (e.i - 1) // 10 AS chunk_id
-        FROM (SELECT doc_id,
-                unnest(list_transform(range(1, len(w) + 1),
-                  i -> {'i': i, 'tok': w[i]})) AS e
-              FROM toks)),
+        SELECT * FROM (
+          SELECT doc_id, e.i AS i, e.tok AS tok, (e.i - 1) // 10 AS chunk_id
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w) + 1),
+                    i -> {'i': i, 'tok': w[i]})) AS e
+                FROM toks))
+        WHERE chunk_id < """ + CHUNK_CAP + """),
       chunks AS (
         SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY i) AS chunk
         FROM pos GROUP BY doc_id, chunk_id),

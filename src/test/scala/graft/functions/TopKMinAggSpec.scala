@@ -23,6 +23,19 @@ class TopKMinAggSpec extends SparkSpec {
     }
   }
 
+  test("large k (d03's bottom-k Jaccard sets) equals the expression form") {
+    // k larger than some groups (short arrays) and smaller than others
+    // (real truncation), across the merge path
+    val big = 512
+    val rows = (1 to 3000).map(i => ((i * 31) % 5, ((i * 2654435761L) % 100003)))
+    val df = spark.createDataset(rows).repartition(11).toDF("g", "h")
+    val ours = df.groupBy("g").agg(TopKMinAgg.topKMin(col("h"), big).as("mins"))
+    val ref = df.groupBy("g").agg(slice(array_sort(collect_set(col("h"))), 1, big).as("mins"))
+    val o = ours.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val e = ref.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(o === e)
+  }
+
   test("non-bigint input is an analysis error, not a runtime ClassCastException") {
     val df = spark.createDataset(Seq((1, 2), (1, 3))).toDF("g", "h") // h: int
     val e = intercept[org.apache.spark.sql.AnalysisException] {
