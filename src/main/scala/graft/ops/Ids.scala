@@ -26,20 +26,19 @@ object Ids {
   def sequential(df: DataFrame, order: Seq[Column], idCol: String): DataFrame =
     df.withColumn(idCol, row_number().over(Window.orderBy(order: _*)))
 
-  /** Contiguous 1..N ids without a single-partition window: sort, then
-    * add per-partition offsets computed from partition sizes (the
-    * RDD zipWithIndex technique expressed over Dataset rows).
+  /** Contiguous 1..N ids without a single-partition window: a dense
+    * id is the exclusive prefix sum of the constant 1, plus one —
+    * so this delegates to the shared two-phase partition-offset scan
+    * ([[Pack.exclusivePrefixSum]]: range-partition, P partial counts
+    * to the driver, broadcast offsets, partition-local numbering).
+    * One primitive, two consumers (ids here, byte/token offsets in
+    * sequence packing).
     */
   def dense(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val spark = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val withIds = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(withIds, schema)
+    val ONE = "__graft_one"
+    Pack.exclusivePrefixSum(df.withColumn(ONE, lit(1L)), order, ONE, idCol)
+      .withColumn(idCol, col(idCol) + 1L)
+      .drop(ONE)
   }
 
   /** Stable, shuffle-free 64-bit ids from the natural key. */
