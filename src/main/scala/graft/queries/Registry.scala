@@ -4,8 +4,8 @@ package graft.queries
   * maps from this; ScalaTest iterates it for smoke coverage. */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs ++ Scalars.defs ++ TextOps.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Streaming.defs ++ StarGate.defs
+    Relational.defs ++ Scalars.defs ++ TextOps.defs ++ Curation.defs ++
+      Similarity.defs ++ Multimodal.defs ++ Streaming.defs ++ StarGate.defs
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracles = all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap

@@ -187,7 +187,10 @@ class PlanQualitySpec extends SparkSpec {
       ("Pack.scala", "partials"),          // P partition offsets (longs)
       ("Similarity.scala", "q"),           // s01 quarantined baseline
       ("Similarity.scala", "cent"),        // C centroids
+      ("Similarity.scala", "cb"),          // s05 codebook (K·M = 40 rows, constant)
       ("TextOps.scala", "n"),              // one-row corpus count
+      ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)
+      ("Curation.scala", "tot"),           // one-row corpus/token total
       ("Relational.scala", "n"), ("Relational.scala", "r"),
       ("Relational.scala", "cn"), ("Relational.scala", "sn"),
       ("Relational.scala", "months"))      // calendar spine

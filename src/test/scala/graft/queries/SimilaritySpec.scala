@@ -87,4 +87,39 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 = $recall%.3f")
     assert(recall >= 0.25, f"IVF recall $recall%.3f below 0.25")
   }
+
+  test("s05 PQ: codes in range, one code per subspace, trained codebook beats K=1") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.queries("s05_pq_encode")(spark, sfDir)
+    val rows = out.collect()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    assert(rows.length === emb.count())
+    for (r <- rows; i <- 0 to 3) {
+      val c = r.getAs[Int](s"c$i")
+      assert(c >= 0 && c <= 9, s"code c$i=$c out of label range")
+    }
+    // mean distortion with the trained K=10 codebook must beat the
+    // single-global-centroid (K=1) quantizer — i.e. training did work
+    val dv = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sub = dv.select(col("vec_id"),
+        explode(sequence(lit(0), lit(3))).as("m"), col("v"))
+      .withColumn("vs", slice(col("v"), col("m") * 16 + 1, lit(16)))
+    val gm = sub.groupBy("m")
+      .agg(graft.functions.VecSumAgg.vecSum(
+        transform(col("vs"), x =>
+          x.cast(org.apache.spark.sql.types.DecimalType(28, 6))), 16).as("vsum"),
+        count(lit(1)).as("nv"))
+      .select(col("m"),
+        transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
+    val k1 = sub.join(gm, Seq("m"))
+      .withColumn("d2", aggregate(
+        zip_with(col("vs"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .groupBy("vec_id").agg(sum(col("d2")).as("err"))
+      .agg(avg(col("err"))).collect()(0).getDouble(0)
+    val pq = rows.map(_.getAs[Double]("recon_err")).sum / rows.length
+    info(f"PQ distortion $pq%.4f vs K=1 baseline $k1%.4f")
+    assert(pq < k1, f"trained PQ distortion $pq%.4f not below K=1 baseline $k1%.4f")
+  }
 }
