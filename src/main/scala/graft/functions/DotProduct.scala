@@ -139,6 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
+    ext.injectOptimizerRule(_ => graft.plans.EliminateUniqueLeftJoin)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -210,6 +210,23 @@ class PlanQualitySpec extends SparkSpec {
       s"broadcast() on non-allowlisted relation(s): $rogue — is each bounded at 100 TB?")
   }
 
+  test("p01 league table drops unused dim subtrees (unique-left-join elimination)") {
+    // under the deployed extensions (GraftSession), the fact builder's
+    // LEFT JOINs to dim_match and dim_player are provably-unique and
+    // unused by the league aggregate — EliminateUniqueLeftJoin must
+    // delete both subtrees. supplier feeds ONLY dim_player, so its
+    // scan vanishing is the end-to-end witness.
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteRowNumberTopK, graft.plans.EliminateUniqueLeftJoin)
+    s2.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
+    val p = Registry.queries("p01_star_league_table")(s2, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("supplier"), "dim_player subtree (supplier scan) must be gone")
+    val scans = "Relation".r.findAllIn(p).size
+    assert(scans <= 7, s"expected <= 7 scans after elimination, got $scans")
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the
