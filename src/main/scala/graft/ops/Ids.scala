@@ -44,4 +44,20 @@ object Ids {
   /** Stable, shuffle-free 64-bit ids from the natural key. */
   def hashed(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.withColumn(idCol, xxhash64(keys.map(col): _*))
+
+  /** Dense 1..N_k rank within each key group, without the per-group
+    * single-reducer sort of `row_number() OVER (PARTITION BY keys)`:
+    * delegates to [[Pack.keyedExclusivePrefixSum]] (range-partition by
+    * (keys, order) so one group spans many partitions, per-key-run
+    * partials, broadcast offsets). The scalable rank for FEW keys with
+    * HUGE groups — domain quotas, per-language sampling; for
+    * high-cardinality keys keep the window. */
+  def densePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                  idCol: String): DataFrame = {
+    val ONE = "__graft_one"
+    Pack.keyedExclusivePrefixSum(df.withColumn(ONE, lit(1L)), keys, order,
+        ONE, idCol)
+      .withColumn(idCol, col(idCol) + 1L)
+      .drop(ONE)
+  }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -89,12 +88,17 @@ object Curation {
     * is a pure function of (corpus, weights), re-derivable for any
     * reproducibility audit, one `epoch` column per copy.
     *
-    * Plan at scale: one rank window per domain (few domains, many
-    * rows — a skewed domain swaps in TopKPerKey's physical operator,
-    * q33, when the quota is a small fraction); per-domain counts and
-    * the corpus total join back as broadcast one-row/dim-sized
-    * relations; the epoch explode is in-row. No shuffle carries more
-    * than (id, lang, rank). */
+    * Plan at scale: the per-domain rank is the dangerous part — a
+    * `row_number() OVER (PARTITION BY lang)` window funnels EVERY row
+    * of a domain through one reducer's sort (5 languages at 100 TB =
+    * 5 serialized 20 TB sorts), so the rank runs on
+    * [[graft.ops.Ids.densePerKey]] instead: range-partition by
+    * (lang, hash), per-key-run partial counts (driver sees P+K longs,
+    * never rows), broadcast offsets, partition-local numbering — the
+    * keyed two-phase scan shared with sequence packing. Per-domain
+    * counts and the corpus total join back as broadcast one-row/
+    * dim-sized relations; the epoch explode is in-row. No shuffle
+    * carries more than (id, lang, hash). */
   val t18 = QueryDef(
     "t18_mixture_sample",
     (s, d) => {
@@ -108,8 +112,8 @@ object Curation {
         .cast("long")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), rkh.as("rkh"), wPct.as("w_pct"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("rkh"), col("doc_id"))
-      val ranked = docs.withColumn("rk", row_number().over(w))
+      val ranked = graft.ops.Ids.densePerKey(
+        docs, Seq("lang"), Seq(col("rkh"), col("doc_id")), "rk")
       val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_d"))
       val tot = docs.agg(count(lit(1)).as("t"))
       ranked.join(broadcast(cnt), "lang")

@@ -40,4 +40,57 @@ class PackSpec extends SparkSpec {
     } finally spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
   }
+
+  test("keyed prefix sum equals the partitioned window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map { i =>
+      (s"k${rnd.nextInt(4)}", i.toLong, rnd.nextInt(100).toLong)
+    }.toDF("g", "k", "v").repartition(13)
+    val scanned = Pack.keyedExclusivePrefixSum(
+        df, Seq("g"), Seq(col("k")), "v", "ps")
+      .select("g", "k", "ps").as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val windowed = df.withColumn("ps",
+        coalesce(sum(col("v")).over(
+          Window.partitionBy(col("g")).orderBy(col("k"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "k", "ps").as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(scanned.size === 5000)
+    assert(scanned === windowed)
+  }
+
+  test("densePerKey ranks 1..N_k inside each group, seam-correct across partitions") {
+    import spark.implicits._
+    val coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val df = (1 to 3000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "k")
+      val out = Ids.densePerKey(df, Seq("g"), Seq(col("k")), "rk")
+      assert(out.rdd.getNumPartitions > 1)
+      val perKey = out.select("g", "rk").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      for ((g, ranks) <- perKey)
+        assert(ranks === (1L to 1000L).toArray, s"group $g ranks broken")
+      // rank order agrees with the sort key order inside each group
+      val rows = out.select("g", "k", "rk").as[(String, Long, Long)].collect()
+      for ((_, grp) <- rows.groupBy(_._1))
+        assert(grp.sortBy(_._2).map(_._3).toSeq === grp.sortBy(_._2).indices.map(_ + 1L))
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+  }
+
+  test("keyed prefix sum rejects null values fast") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, java.lang.Long.valueOf(1L)),
+      ("a", 2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "k", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Pack.keyedExclusivePrefixSum(df, Seq("g"), Seq(col("k")), "v", "ps")
+        .collect()
+    }
+    assert(ex.getMessage.contains("null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null")))
+  }
 }
