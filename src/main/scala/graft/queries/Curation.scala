@@ -1,34 +1,79 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators for the training-data pipeline surface:
   * eval-set decontamination, dataset-mixture construction with
-  * oversampling, unigram-LM quality scoring, and aggressive
-  * canonicalization dedup. These extend the reference's data-hygiene
-  * semantics (scr/processing.py's dedup/normalize passes) to the ops a
-  * 100 TB pretraining corpus needs before tokenization.
+  * oversampling, unigram-LM quality scoring, aggressive
+  * canonicalization dedup — and their composition into the full
+  * pretraining-data recipe (t20). These extend the reference's
+  * data-hygiene semantics (scr/processing.py's dedup/normalize passes)
+  * to the ops a 100 TB pretraining corpus needs before tokenization.
+  *
+  * Each operator's core is factored out ([[contamFlags]], [[logprob]],
+  * [[mixture]]) so the standalone gate queries and the composed recipe
+  * run the IDENTICAL logic — and the oracle SQL mirrors that with
+  * shared CTE constants, so a semantic drift between the solo and
+  * composed forms is structurally impossible.
   *
   * Scale design notes are per-operator; the common theme is that every
-  * join here is an equi-join on a hash or a dimension-sized key, every
+  * join is an equi-join on a hash or a dimension-sized key, every
   * aggregation is algebraic (map-side combinable), and no state grows
   * with corpus size.
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(t17, t18, t19, d08)
+  def defs: Seq[QueryDef] = Seq(t17, t18, t19, t20, d08)
 
   /** t08's split assignment, recomputed from doc_id alone: split is a
     * pure function of the id, so membership never needs a join back to
     * a split table. */
-  private def bucketOf(id: org.apache.spark.sql.Column) =
+  private def bucketOf(id: Column) =
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(100))
 
   private val bucketSql =
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  // =================================================================
+  // t17 — decontamination
+  // =================================================================
+
+  /** Per-train-doc contamination table: (doc_id, n_hit, n_sh,
+    * hit_ratio, contaminated) for every train doc sharing ≥1 shingle
+    * with the test split. */
+  private def contamFlags(s: SparkSession, d: String): DataFrame = {
+    val sh = Shingles.hashed(s, d)
+      .select(col("doc_id"), col("h60"), bucketOf(col("doc_id")).as("bucket"))
+    val testSh = sh.filter(col("bucket") >= 95).select("h60").distinct()
+    val trainSh = sh.filter(col("bucket") < 95).select("doc_id", "h60")
+    val tot = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hit = trainSh.join(testSh, "h60")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    hit.join(tot, "doc_id")
+      .withColumn("hit_ratio",
+        round(col("n_hit").cast("double") / col("n_sh"), 4))
+      .withColumn("contaminated",
+        col("n_hit") >= 8 || col("n_hit").cast("double") / col("n_sh") >= 0.5)
+  }
+
+  /** Oracle twin of [[contamFlags]] as a WITH-chunk (expects
+    * [[Shingles.oracleCte]] bound before it); exposes `contam`. */
+  private val contamCte: String = s"""
+      c_b AS (SELECT doc_id, h60, $bucketSql AS bucket FROM sh),
+      c_testsh AS (SELECT DISTINCT h60 FROM c_b WHERE bucket >= 95),
+      c_train AS (SELECT doc_id, h60 FROM c_b WHERE bucket < 95),
+      c_tot AS (SELECT doc_id, count(*) AS n_sh FROM c_train GROUP BY doc_id),
+      c_hit AS (SELECT t.doc_id, count(*) AS n_hit
+                FROM c_train t JOIN c_testsh USING (h60) GROUP BY t.doc_id),
+      contam AS (
+        SELECT h.doc_id, h.n_hit, c_tot.n_sh,
+               round(CAST(h.n_hit AS DOUBLE) / c_tot.n_sh, 4) AS hit_ratio,
+               (h.n_hit >= 8 OR CAST(h.n_hit AS DOUBLE) / c_tot.n_sh >= 0.5) AS contaminated
+        FROM c_hit h JOIN c_tot USING (doc_id))"""
 
   /** Train/test DECONTAMINATION — the leakage audit every pretraining
     * run performs: find training documents that share word-3-gram
@@ -47,36 +92,73 @@ object Curation {
     * per-doc state beyond two longs. */
   val t17 = QueryDef(
     "t17_decontaminate",
-    (s, d) => {
-      val sh = Shingles.hashed(s, d)
-        .select(col("doc_id"), col("h60"), bucketOf(col("doc_id")).as("bucket"))
-      val testSh = sh.filter(col("bucket") >= 95).select("h60").distinct()
-      val trainSh = sh.filter(col("bucket") < 95).select("doc_id", "h60")
-      val tot = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val hit = trainSh.join(testSh, "h60")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      hit.join(tot, "doc_id")
-        .withColumn("hit_ratio",
-          round(col("n_hit").cast("double") / col("n_sh"), 4))
-        .withColumn("contaminated",
-          col("n_hit") >= 8 || col("n_hit").cast("double") / col("n_sh") >= 0.5)
-        .select(col("doc_id"), col("n_hit"), col("n_sh"),
-          col("hit_ratio"), col("contaminated"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => contamFlags(s, d)
+      .select(col("doc_id"), col("n_hit"), col("n_sh"),
+        col("hit_ratio"), col("contaminated"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH ${Shingles.oracleCte},
-      b AS (SELECT doc_id, h60, $bucketSql AS bucket FROM sh),
-      testsh AS (SELECT DISTINCT h60 FROM b WHERE bucket >= 95),
-      train AS (SELECT doc_id, h60 FROM b WHERE bucket < 95),
-      tot AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
-      hit AS (SELECT t.doc_id, count(*) AS n_hit
-              FROM train t JOIN testsh USING (h60) GROUP BY t.doc_id)
-      SELECT h.doc_id, h.n_hit, tot.n_sh,
-             round(CAST(h.n_hit AS DOUBLE) / tot.n_sh, 4) AS hit_ratio,
-             (h.n_hit >= 8 OR CAST(h.n_hit AS DOUBLE) / tot.n_sh >= 0.5) AS contaminated
-      FROM hit h JOIN tot USING (doc_id)
+      $contamCte
+      SELECT doc_id, n_hit, n_sh, hit_ratio, contaminated
+      FROM contam
       ORDER BY doc_id"""))
+
+  // =================================================================
+  // t18 — dataset mixture
+  // =================================================================
+
+  /** Weighted per-domain resample of `docs0` (needs doc_id + lang):
+    * integer quotas from the literal lang weights, hash-ranked
+    * selection, whole-epoch oversampling. Returns
+    * (doc_id, lang, epoch). */
+  private def mixture(docs0: DataFrame): DataFrame = {
+    val wPct = when(col("lang") === "en", 40)
+      .when(col("lang") === "zh", 25)
+      .when(col("lang") === "de", 15)
+      .when(col("lang") === "es", 10)
+      .when(col("lang") === "fr", 10).otherwise(0)
+    val rkh = conv(substring(
+      md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val docs = docs0.select(col("doc_id"), col("lang"),
+      rkh.as("rkh"), wPct.as("w_pct"))
+    val ranked = graft.ops.Ids.densePerKey(
+      docs, Seq("lang"), Seq(col("rkh"), col("doc_id")), "rk")
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_d"))
+    val tot = docs.agg(count(lit(1)).as("t"))
+    ranked.join(broadcast(cnt), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", expr("(w_pct * t) div 100"))
+      .withColumn("copies",
+        expr("quota div n_d") +
+          when(col("rk") <= expr("quota % n_d"), 1).otherwise(0))
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
+  /** Oracle twin of [[mixture]] over source relation `src`; exposes
+    * `mix` = (doc_id, lang, epoch). */
+  private def mixtureCte(src: String): String = s"""
+      m_d AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rkh,
+               CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 15
+                         WHEN 'es' THEN 10 WHEN 'fr' THEN 10 ELSE 0 END AS w_pct
+        FROM $src),
+      m_r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rkh, doc_id) AS rk FROM m_d),
+      m_cnt AS (SELECT lang, count(*) AS n_d FROM m_d GROUP BY lang),
+      m_tot AS (SELECT count(*) AS t FROM m_d),
+      m_c AS (
+        SELECT m_r.doc_id, m_r.lang,
+               (m_r.w_pct * m_tot.t) // 100 // m_cnt.n_d
+                 + CASE WHEN m_r.rk <= ((m_r.w_pct * m_tot.t) // 100) % m_cnt.n_d
+                        THEN 1 ELSE 0 END AS copies
+        FROM m_r JOIN m_cnt USING (lang) CROSS JOIN m_tot),
+      mix AS (
+        SELECT doc_id, lang,
+               unnest(generate_series(1, CAST(copies AS BIGINT))) AS epoch
+        FROM m_c WHERE copies >= 1)"""
 
   /** Dataset-MIXTURE construction — resample the corpus to target
     * per-domain weights (domain = lang here; en 40%, zh 25%, de 15%,
@@ -101,52 +183,57 @@ object Curation {
     * carries more than (id, lang, hash). */
   val t18 = QueryDef(
     "t18_mixture_sample",
-    (s, d) => {
-      val wPct = when(col("lang") === "en", 40)
-        .when(col("lang") === "zh", 25)
-        .when(col("lang") === "de", 15)
-        .when(col("lang") === "es", 10)
-        .when(col("lang") === "fr", 10).otherwise(0)
-      val rkh = conv(substring(
-        md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), rkh.as("rkh"), wPct.as("w_pct"))
-      val ranked = graft.ops.Ids.densePerKey(
-        docs, Seq("lang"), Seq(col("rkh"), col("doc_id")), "rk")
-      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_d"))
-      val tot = docs.agg(count(lit(1)).as("t"))
-      ranked.join(broadcast(cnt), "lang")
-        .crossJoin(broadcast(tot))
-        .withColumn("quota", expr("(w_pct * t) div 100"))
-        .withColumn("copies",
-          expr("quota div n_d") +
-            when(col("rk") <= expr("quota % n_d"), 1).otherwise(0))
-        .filter(col("copies") >= 1)
-        .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(1L), col("copies"))).as("epoch"))
-        .orderBy(col("doc_id"), col("epoch"))
-    },
-    Some("""
-      WITH d AS (
-        SELECT doc_id, lang,
-               CAST(concat('0x', substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rkh,
-               CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 15
-                         WHEN 'es' THEN 10 WHEN 'fr' THEN 10 ELSE 0 END AS w_pct
-        FROM documents),
-      r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rkh, doc_id) AS rk FROM d),
-      cnt AS (SELECT lang, count(*) AS n_d FROM d GROUP BY lang),
-      tot AS (SELECT count(*) AS t FROM documents),
-      c AS (
-        SELECT r.doc_id, r.lang,
-               (r.w_pct * tot.t) // 100 // cnt.n_d
-                 + CASE WHEN r.rk <= ((r.w_pct * tot.t) // 100) % cnt.n_d
-                        THEN 1 ELSE 0 END AS copies
-        FROM r JOIN cnt USING (lang) CROSS JOIN tot)
-      SELECT doc_id, lang,
-             unnest(generate_series(1, CAST(copies AS BIGINT))) AS epoch
-      FROM c WHERE copies >= 1
+    (s, d) => mixture(Tables.documents(s, d).select(col("doc_id"), col("lang")))
+      .orderBy(col("doc_id"), col("epoch")),
+    Some(s"""
+      WITH ${mixtureCte("documents")}
+      SELECT doc_id, lang, epoch
+      FROM mix
       ORDER BY doc_id, epoch"""))
+
+  // =================================================================
+  // t19 — unigram-LM quality
+  // =================================================================
+
+  /** Per-doc unigram-LM score table: (doc_id, n_tok, avg_logp). */
+  private def logprob(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = graft.ops.Salt.saltedCount(
+      w, Seq(col("word")), col("doc_id"), 16, "n_w")
+    val tot = vocab.agg(sum(col("n_w")).as("n_tok_total"))
+    w.join(vocab, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("logp",
+        round(log(col("n_w").cast("double") / col("n_tok_total")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("logp").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 4).as("avg_logp"))
+  }
+
+  /** Oracle twin of [[logprob]]; exposes `qscore`. */
+  private val logprobCte: String = """
+      q_toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+      q_w AS (SELECT doc_id, word FROM q_toks WHERE word <> ''),
+      q_vocab AS (SELECT word, count(*) AS n_w FROM q_w GROUP BY word),
+      q_tot AS (SELECT count(*) AS n_tok_total FROM q_w),
+      q_lp AS (
+        SELECT q_w.doc_id,
+               round(ln(CAST(q_vocab.n_w AS DOUBLE) / q_tot.n_tok_total), 6) AS logp
+        FROM q_w JOIN q_vocab USING (word) CROSS JOIN q_tot),
+      qscore AS (
+        SELECT doc_id, count(*) AS n_tok,
+               round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logp
+        FROM q_lp GROUP BY doc_id)"""
+
+  /** The quality gate both t19 and t20 apply, spelled once. */
+  private val KEEP_THRESHOLD = -3.55
 
   /** Unigram-LM QUALITY SCORE — the perplexity-filter primitive
     * (KenLM-style scoring reduced to its unigram core, which is the
@@ -167,43 +254,109 @@ object Curation {
     * one decimal + one long. */
   val t19 = QueryDef(
     "t19_unigram_logprob",
-    (s, d) => {
-      val w = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        .filter(col("word") =!= "")
-      val vocab = graft.ops.Salt.saltedCount(
-        w, Seq(col("word")), col("doc_id"), 16, "n_w")
-      val tot = vocab.agg(sum(col("n_w")).as("n_tok_total"))
-      w.join(vocab, "word")
-        .crossJoin(broadcast(tot))
-        .withColumn("logp",
-          round(log(col("n_w").cast("double") / col("n_tok_total")), 6))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("logp").cast(DecimalType(18, 6))).cast("double") /
-            count(lit(1)), 4).as("avg_logp"))
-        .withColumn("keep", col("avg_logp") >= -3.55)
-        .select(col("doc_id"), col("n_tok"), col("avg_logp"), col("keep"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        FROM documents),
-      w AS (SELECT doc_id, word FROM toks WHERE word <> ''),
-      vocab AS (SELECT word, count(*) AS n_w FROM w GROUP BY word),
-      tot AS (SELECT count(*) AS n_tok_total FROM w),
-      lp AS (
-        SELECT w.doc_id,
-               round(ln(CAST(vocab.n_w AS DOUBLE) / tot.n_tok_total), 6) AS logp
-        FROM w JOIN vocab USING (word) CROSS JOIN tot)
-      SELECT doc_id, count(*) AS n_tok,
-             round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logp,
-             (round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) >= -3.55) AS keep
-      FROM lp GROUP BY doc_id
+    (s, d) => logprob(s, d)
+      .withColumn("keep", col("avg_logp") >= KEEP_THRESHOLD)
+      .select(col("doc_id"), col("n_tok"), col("avg_logp"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $logprobCte
+      SELECT doc_id, n_tok, avg_logp,
+             (avg_logp >= $KEEP_THRESHOLD) AS keep
+      FROM qscore
       ORDER BY doc_id"""))
+
+  // =================================================================
+  // t20 — the composed pretraining-data recipe
+  // =================================================================
+
+  /** PRETRAINING-DATA RECIPE — the composition the solo operators
+    * exist for, as one plan: take the train split (t08 buckets),
+    * drop documents that fail the unigram-LM quality gate (t19) or
+    * are contaminated against the test split (t17), then
+    * mixture-resample the survivors to the target language weights
+    * with epoch oversampling (t18). Output is the per-language
+    * accounting report every corpus build publishes: candidates,
+    * drops by reason (non-disjoint counts), survivors, selected docs,
+    * emitted rows, deepest epoch.
+    *
+    * The recipe calls the SAME factored cores the solo gate queries
+    * run ([[contamFlags]]/[[logprob]]/[[mixture]]), and its oracle
+    * composes the same shared CTE constants — solo and composed forms
+    * cannot drift apart. Scale shape: union of the solo shapes (the
+    * shingle table is the persisted shared build; the mixture rank
+    * runs the keyed prefix scan); the extra joins here are
+    * doc_id-keyed annotates and the final report is a 5-row
+    * aggregate. */
+  val t20 = QueryDef(
+    "t20_pretrain_recipe",
+    (s, d) => {
+      val train = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .filter(bucketOf(col("doc_id")) < 95)
+      val qual = logprob(s, d)
+        .select(col("doc_id"), (col("avg_logp") >= KEEP_THRESHOLD).as("keep"))
+      val contam = contamFlags(s, d)
+        .select(col("doc_id"), col("contaminated"))
+      val ann = train
+        .join(qual, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("keep"), lit(false)).as("keep"),
+          coalesce(col("contaminated"), lit(false)).as("contam"))
+      val base = ann.groupBy("lang").agg(
+        count(lit(1)).as("n_train"),
+        count(when(!col("keep"), 1)).as("n_quality_fail"),
+        count(when(col("contam"), 1)).as("n_contaminated"),
+        count(when(col("keep") && !col("contam"), 1)).as("n_survivors"))
+      val mix = mixture(
+        ann.filter(col("keep") && !col("contam")).select("doc_id", "lang"))
+      val mixAgg = mix.groupBy("lang").agg(
+        countDistinct(col("doc_id")).as("n_selected"),
+        count(lit(1)).as("n_rows"),
+        max(col("epoch")).as("max_epoch"))
+      base.join(mixAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"), col("n_quality_fail"),
+          col("n_contaminated"), col("n_survivors"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("max_epoch"), lit(0L)).as("max_epoch"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ${Shingles.oracleCte},
+      $contamCte,
+      $logprobCte,
+      tr AS (SELECT doc_id, lang FROM documents WHERE $bucketSql < 95),
+      ann AS (
+        SELECT tr.doc_id, tr.lang,
+               coalesce(q.avg_logp >= $KEEP_THRESHOLD, FALSE) AS keep,
+               coalesce(ct.contaminated, FALSE) AS contam
+        FROM tr
+        LEFT JOIN qscore q USING (doc_id)
+        LEFT JOIN contam ct USING (doc_id)),
+      surv AS (SELECT doc_id, lang FROM ann WHERE keep AND NOT contam),
+      ${mixtureCte("surv")},
+      rep1 AS (
+        SELECT lang, count(*) AS n_train,
+               count(CASE WHEN NOT keep THEN 1 END) AS n_quality_fail,
+               count(CASE WHEN contam THEN 1 END) AS n_contaminated,
+               count(CASE WHEN keep AND NOT contam THEN 1 END) AS n_survivors
+        FROM ann GROUP BY lang),
+      rep2 AS (
+        SELECT lang, count(DISTINCT doc_id) AS n_selected,
+               count(*) AS n_rows, max(epoch) AS max_epoch
+        FROM mix GROUP BY lang)
+      SELECT r1.lang, r1.n_train, r1.n_quality_fail, r1.n_contaminated,
+             r1.n_survivors,
+             coalesce(r2.n_selected, 0) AS n_selected,
+             coalesce(r2.n_rows, 0) AS n_rows,
+             coalesce(r2.max_epoch, 0) AS max_epoch
+      FROM rep1 r1 LEFT JOIN rep2 r2 USING (lang)
+      ORDER BY lang"""))
+
+  // =================================================================
+  // d08 — canonical dedup
+  // =================================================================
 
   // ASCII-punctuation class shared by both engines (Java regex ∩ RE2,
   // the t12 discipline): the four printable-ASCII punct ranges. Unicode

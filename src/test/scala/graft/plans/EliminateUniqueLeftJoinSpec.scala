@@ -97,6 +97,40 @@ class EliminateUniqueLeftJoinSpec extends SparkSpec {
     assert(!hasJoin(df))
   }
 
+  test("property: eliminated result == un-eliminated result over random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random fact/dim key multisets (incl. unmatched keys on both
+    // sides and duplicate dim keys pre-dedup), random unique-making
+    // construction — result must equal the plain session's, always
+    val keysGen = Gen.listOf(Gen.chooseNum(0, 20))
+    val styleGen = Gen.oneOf("window", "groupBy", "dropDup")
+    val p = Prop.forAll(keysGen, keysGen, styleGen) {
+      (fk: List[Int], dk: List[Int], style: String) =>
+        def build(ss: org.apache.spark.sql.SparkSession): Set[(Int, Int)] = {
+          import ss.implicits._
+          val fact = fk.zipWithIndex.toDF("k", "tag")
+          val dimRaw = dk.zipWithIndex.toDF("dk", "payload")
+          val dim = style match {
+            case "window" =>
+              val w = Window.partitionBy(col("dk")).orderBy(col("payload"))
+              dimRaw.withColumn("rn", row_number().over(w))
+                .filter(col("rn") === 1).drop("rn")
+            case "groupBy" =>
+              dimRaw.groupBy("dk").agg(max(col("payload")).as("payload"))
+            case _ => dimRaw.dropDuplicates("dk")
+          }
+          fact.join(dim, col("k") === col("dk"), "left_outer")
+            .select("k", "tag")
+            .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        }
+        build(s2) == build(spark)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopKPerKey k=1 right side proves uniqueness (GraftSession rule order)") {
     val s3 = spark.newSession()
     s3.experimental.extraOptimizations =

@@ -94,6 +94,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(logp(1L) - expect1) < 1e-4)
   }
 
+  test("t20: recipe accounting is internally consistent per language") {
+    val rows = Curation.t20.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val totalTrain = rows.map(_.getAs[Long]("n_train")).sum
+    // every train doc is accounted for in exactly one language row
+    val bucket = pmod(conv(substring(
+      md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+    assert(totalTrain === docs.filter(bucket < 95).count())
+    val totalSurv = rows.map(_.getAs[Long]("n_survivors")).sum
+    for (r <- rows) {
+      val (nTrain, nQual, nCont, nSurv) = (r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_quality_fail"), r.getAs[Long]("n_contaminated"),
+        r.getAs[Long]("n_survivors"))
+      // drops are non-disjoint: survivors bounded by both forms
+      assert(nSurv <= nTrain - math.max(nQual, nCont))
+      assert(nSurv >= nTrain - nQual - nCont)
+      // selected docs come from survivors; emitted rows cover them
+      assert(r.getAs[Long]("n_selected") <= nSurv)
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_selected"))
+      // quota arithmetic: n_rows = w_pct * totalSurvivors div 100
+      val w = Map("en" -> 40L, "zh" -> 25L, "de" -> 15L, "es" -> 10L, "fr" -> 10L)
+      assert(r.getAs[Long]("n_rows") === w(r.getAs[String]("lang")) * totalSurv / 100)
+    }
+  }
+
   test("d08: every original doc collapses with its perturbed twin (n_copies >= 2)") {
     val out = Curation.d08.build(spark, sfDir)
     assert(out.filter(col("n_copies") < 2).count() === 0,

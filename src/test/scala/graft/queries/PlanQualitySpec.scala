@@ -185,6 +185,7 @@ class PlanQualitySpec extends SparkSpec {
       ("Facts.scala", "teams"), ("Facts.scala", "opps"),
       ("Facts.scala", "games"), ("Facts.scala", "players"),
       ("Pack.scala", "partials"),          // P partition offsets (longs)
+      ("Pack.scala", "offsetMap"),         // P+K key-run offsets (longs)
       ("Similarity.scala", "q"),           // s01 quarantined baseline
       ("Similarity.scala", "cent"),        // C centroids
       ("Similarity.scala", "cb"),          // s05 codebook (K·M = 40 rows, constant)
