@@ -110,12 +110,19 @@ object Similarity {
     *
     * Approximate → no SQL oracle; recall vs exact baseline is asserted
     * in SimilaritySpec. */
+  /** s02's hyperplanes: B=4 seeded Gaussians, hoisted so the oracle
+    * interpolates the identical literals (the d05 pattern —
+    * Double.toString round-trips exactly through DuckDB's parser). */
+  private[queries] val s02Planes: Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(7)
+    Seq.fill(4)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
+  }
+
   val s02 = QueryDef(
     "s02_cosine_topk_lsh",
     (s, d) => {
-      val B = 4; val P = 4; val dim = 64
-      val rnd = new java.util.Random(7)
-      val planes = Seq.fill(B)(Seq.fill(dim)(rnd.nextGaussian()))
+      val B = 4; val P = 4
+      val planes = s02Planes
       val e = docVectors(s, d)
       val projed = e.select(
         (col("vec_id") +: col("v") +: col("n") +:
@@ -148,7 +155,55 @@ object Similarity {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rn"))
     },
-    None)
+    // Full hash-compared oracle (was recall-spec-only through round 5):
+    // every step is deterministic given the interpolated plane
+    // literals — projections are the same left-to-right IEEE dot fold
+    // in both engines (DotProductSpec), sign bits and |margin| sorts
+    // therefore agree bit-for-bit, multi-probe flips are pure integer
+    // XOR, and the rerank reuses s01/s03's proven cosine DAG.
+    Some {
+      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
+      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
+        s"list_dot_product(v, ${lst(p)}) AS p$j"
+      }.mkString(",\n               ")
+      val sigBits = (0 until 4).map(j =>
+        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      val flStructs = (0 until 4).map(j =>
+        s"{'m': abs(p$j), 'bit': ${1 << j}}").mkString(", ")
+      s"""
+      WITH en AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS n
+        FROM embeddings),
+      pj AS (
+        SELECT vec_id, v, n,
+               $pj
+        FROM en),
+      sigd AS (SELECT *, ($sigBits) AS sig FROM pj),
+      cand AS (SELECT sig, vec_id AS neighbor_id, v AS nv, n AS cn FROM sigd),
+      pr AS (
+        SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
+               list_sort([$flStructs]) AS fl
+        FROM sigd WHERE vec_id % 50 = 0),
+      probes AS (
+        SELECT query_id, qv, qn,
+               unnest([sig, xor(sig, fl[1].bit), xor(sig, fl[2].bit),
+                       xor(sig, fl[3].bit)]) AS sig
+        FROM pr),
+      scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               list_dot_product(p.qv, c.nv) / (p.qn * c.cn) AS cosine
+        FROM probes p JOIN cand c USING (sig)
+        WHERE c.neighbor_id <> p.query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored)
+      SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""
+    })
 
   /** IVF ANN — the second bucketed scale path next to [[s02]]'s LSH:
     * a coarse quantizer of C per-label centroids (decimal-exact lane
