@@ -15,7 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  def defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  def defs: Seq[QueryDef] =
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+
+  /** Streaming corpus ingest — quality gate + watermark-bounded
+    * near-exact dedup over a documents stream, the online twin of the
+    * batch curation family (see
+    * [[graft.streaming.Streams.corpusIngest]]); the oracle checks the
+    * converged per-language surviving-fingerprint counts. */
+  val st09 = QueryDef(
+    "st09_stream_corpus_ingest",
+    (s, d) => graft.streaming.Streams.corpusIngest(s, s"$d/documents.parquet")
+      .orderBy(col("lang")),
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id, lang, text FROM documents),
+      q AS (SELECT * FROM all_docs
+            WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 32),
+      d AS (SELECT DISTINCT lang,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM q)
+      SELECT lang, count(*) AS n_docs
+      FROM d GROUP BY lang
+      ORDER BY lang"""))
 
   /** Streaming dedup with watermark-bounded state (the streaming twin
     * of batch DISTINCT; see [[graft.streaming.Streams.distinctKeyDays]]). */

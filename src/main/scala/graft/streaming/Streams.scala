@@ -86,18 +86,20 @@ object Streams {
     * ships events.parquet as a bare file, so it is exposed through a
     * cached temp-dir symlink. (Production streams point at
     * directories/Kafka already.) */
-  private def runStream(spark: SparkSession, eventsDir: String,
-                        mode: OutputMode)
-                       (build: DataFrame => DataFrame)
-                       (finish: DataFrame => DataFrame): DataFrame = {
+  /** [[runStream]] without the events-specific `ets` derivation:
+    * `build` receives the RAW file-replayed stream (so it can union,
+    * re-key, or fabricate its own event time first). */
+  private def runRawStream(spark: SparkSession, dir: String,
+                           mode: OutputMode)
+                          (build: DataFrame => DataFrame)
+                          (finish: DataFrame => DataFrame): DataFrame = {
     val s = spark.newSession()
     spark.conf.getOption("spark.sql.session.timeZone")
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(dir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(eventsDir).schema
-    val source = s.readStream.schema(schema).parquet(streamDir(eventsDir))
-      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+    val schema = s.read.parquet(dir).schema
+    val source = s.readStream.schema(schema).parquet(streamDir(dir))
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = build(source).writeStream
       .format("memory").queryName(name)
@@ -109,6 +111,44 @@ object Streams {
     s.catalog.dropTempView(name)
     result
   }
+
+  private def runStream(spark: SparkSession, eventsDir: String,
+                        mode: OutputMode)
+                       (build: DataFrame => DataFrame)
+                       (finish: DataFrame => DataFrame): DataFrame =
+    runRawStream(spark, eventsDir, mode)(src => build(src
+      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))))(finish)
+
+  /** Streaming CORPUS INGEST — the online twin of the batch curation
+    * family: documents replayed as a stream, a quality gate (token
+    * count ≥ 32, the t01/t02 primitive as a pure streaming
+    * projection), then bounded-state near-exact dedup
+    * (`dropDuplicatesWithinWatermark` on the d01 whitespace-normalized
+    * fingerprint, keyed per language) — state is purged as the
+    * watermark passes, the only honest dedup on an unbounded ingest.
+    * The corpus has no duplicate texts, so (t12/d08 precedent) the
+    * stream self-unions an id-offset twin per document and the dedup
+    * provably collapses every pair; per-language fingerprint counts
+    * are winner-independent, keeping the oracle exact. Event time is
+    * fabricated deterministically from doc_id (testdata has no ingest
+    * timestamp; production reads Kafka event time). */
+  def corpusIngest(spark: SparkSession, docsDir: String): DataFrame =
+    runRawStream(spark, docsDir, OutputMode.Append()) { raw =>
+      val docs = raw.select(col("doc_id"), col("lang"), col("text"))
+      val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
+        col("lang"), col("text"))
+      docs.unionAll(twins)
+        .withColumn("ets",
+          timestamp_seconds(lit(1600000000L) + pmod(col("doc_id"), lit(86400L))))
+        .withWatermark("ets", "25 hours")
+        .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 32)
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .dropDuplicatesWithinWatermark(Seq("lang", "fp"))
+        .select(col("lang"), col("fp"))
+    } { sink =>
+      sink.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }
 
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete()) { src =>

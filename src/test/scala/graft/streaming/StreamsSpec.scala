@@ -132,6 +132,29 @@ class StreamsSpec extends SparkSpec {
     assert(out.sorted === Seq(1L, 1L, 2L, 3L))
   }
 
+  test("corpusIngest equals the batch quality-gate + distinct formulation") {
+    import org.apache.spark.sql.functions._
+    val got = corpusIngest(spark, s"$sfDir/documents.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val both = docs.unionAll(docs.select(
+      (col("doc_id") + 1000000000L).as("doc_id"), col("lang"), col("text")))
+    val expect = both
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 32)
+      .select(col("lang"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .distinct()
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // the twin collapse means every surviving fingerprint counted ONCE:
+    // survivors are at most the per-lang distinct original docs
+    val origPerLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- got) assert(n <= origPerLang(lang))
+  }
+
   test("incrementalLoad converges the warehouse table to the batch aggregation") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("graft-swh").toString
