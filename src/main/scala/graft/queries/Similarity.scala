@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, d03, d04, d05, d06, d07, q34)
+  def defs: Seq[QueryDef] =
+    Seq(s01, s02, s03, s04, s05, d03, d04, d05, d06, d07, d09, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -785,6 +786,93 @@ object Similarity {
       FROM p WHERE cosine >= 0.35
       ORDER BY label, vec_a, vec_b"""
     })
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    * then remove near-duplicates ONLY within each cluster — pairwise
+    * cosine never runs globally, which is the entire reason the
+    * method survives web scale. Reference semantics: the
+    * dedup-the-corpus capability family (scr/Transform.py dedup
+    * steps), lifted from exact-key to embedding space.
+    *
+    * Stages (all deterministic, so the oracle replays them verbatim):
+    *  1. coarse quantizer = [[s03]]'s per-label decimal-exact
+    *     centroids (C cells, constant-width VecSumAgg buffers,
+    *     map-side combined);
+    *  2. assignment = N·C codegen'd dot products against the
+    *     broadcast centroid table, argmax via one window shuffle
+    *     keyed on vec_id;
+    *  3. within-cell pair scan: equi-join on cell restricted to
+    *     `earlier_id < id`, cosine ≥ τ marks the later doc removed —
+    *     keep-lowest-id, the same greedy keep-first discipline as
+    *     U3/U4's keyed dedup, so survivors are order-independent.
+    *
+    * 100 TB shape: pair work is Σ|cell|², bounded by the cell cap the
+    * quantizer enforces (C scales with N so |cell| stays ~constant);
+    * a hot cell sub-buckets with [[d05]]'s hyperplane signatures. The
+    * dup-id set is a semi-join-shaped DISTINCT on vec_id — linear
+    * state. Output is one scalar-columns row per vector (keep ∈
+    * {0,1}), the shape a downstream `filter(keep = 1)` consumes. */
+  val d09 = QueryDef(
+    "d09_semdedup",
+    (s, d) => {
+      val TAU = 0.35d // d05's verified near-dup threshold on this corpus
+      val e = docVectors(s, d)
+      val cent = Tables.embeddings(s, d)
+        .select(col("label").as("cell"),
+          transform(col("embedding"),
+            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+        .groupBy("cell")
+        .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
+          count(lit(1)).as("nv"))
+        .select(col("cell"),
+          transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("cell"), col("vec_id"), col("v"), col("n"))
+      val earlier = assign.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("n").as("nb"))
+      val dups = assign.join(earlier, Seq("cell"))
+        .filter(col("vec_b") < col("vec_id"))
+        .filter(round(dot(col("v"), col("vb")) / (col("n") * col("nb")), 6) >= TAU)
+        .select(col("vec_id")).distinct()
+      assign.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT label AS cell, generate_subscripts(embedding, 1) AS lane,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
+        FROM embeddings),
+      lanes AS (
+        SELECT cell, lane, CAST(sum(ed) AS DOUBLE) / count(*) AS cval
+        FROM u GROUP BY cell, lane),
+      cent AS (SELECT cell, list(cval ORDER BY lane) AS cv FROM lanes GROUP BY cell),
+      centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+      en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) AS n
+             FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, n, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) / (n * cn) DESC, cell) AS crn
+        FROM en CROSS JOIN centn),
+      assign AS (SELECT cell, vec_id, v, n FROM ranked WHERE crn = 1),
+      dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.35)
+      SELECT a.vec_id, a.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+      FROM assign a LEFT JOIN dups d USING (vec_id)
+      ORDER BY a.vec_id"""))
 
   /** Minhash signatures via the custom TypedImperativeAggregate
     * ([[graft.functions.MinHashSigAgg]]): one primitive Array[Long]

@@ -122,4 +122,35 @@ class SimilaritySpec extends SparkSpec {
     info(f"PQ distortion $pq%.4f vs K=1 baseline $k1%.4f")
     assert(pq < k1, f"trained PQ distortion $pq%.4f not below K=1 baseline $k1%.4f")
   }
+
+  test("d09 semdedup: keep flags match the brute-force within-cluster recompute") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.queries("d09_semdedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // recompute naively: within each assigned cell, a doc is removed
+    // iff SOME earlier doc in the same cell has cosine >= tau
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = out.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCell) {
+      val ids = members.map(_._1).sorted
+      // keep-first discipline: the lowest id in every cell is always kept
+      assert(out(ids.head)._2 === 1, s"min id ${ids.head} of cell not kept")
+      for (id <- ids) {
+        val hasEarlierDup = ids.takeWhile(_ < id)
+          .exists(j => math.rint(cos(e(id), e(j)) * 1e6) / 1e6 >= 0.35)
+        val expected = if (hasEarlierDup) 0 else 1
+        assert(out(id)._2 === expected, s"vec $id keep=${out(id)._2}, expected $expected")
+      }
+    }
+    val removed = out.values.count(_._2 == 0)
+    info(s"removed $removed of ${out.size}")
+    assert(removed > 0, "threshold never fired — dedup untested")
+  }
 }
