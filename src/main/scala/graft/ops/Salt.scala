@@ -55,4 +55,30 @@ object Salt {
       .groupBy(keys: _*)
       .agg(sum(col("__pcnt")).cast("bigint").as(cntName))
   }
+
+  /** Skew-salted equi-JOIN — the join half of the skew toolkit
+    * (SURVEY §7.3 (8)). A plain shuffle join on a low-cardinality /
+    * skewed key sends every row of a hot key to ONE reducer; salting
+    * shuffles the fact on `(keys, salt)` with salt drawn from a
+    * high-cardinality fact column, and replicates the (small) `dim`
+    * side ×`buckets` via explode so every fact partition still finds
+    * its dim row. Exact: each fact row meets each matching dim row in
+    * exactly one salt bucket.
+    *
+    * When to reach for it instead of the built-ins: AQE's skew-join
+    * split only fires on sort-merge joins AFTER observing runtime
+    * stats, and never inside Structured Streaming; a broadcast join
+    * needs the dim to fit in memory. Salted shuffle covers the
+    * remaining corner — dim too big to broadcast, skew known up
+    * front, or a streaming stateful join. The dim replication
+    * multiplies dim shuffle bytes by `buckets`, so `buckets` trades
+    * hot-key spread against dim duplication (16-64 is typical). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltSource: Column, buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val sf = fact.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    sf.join(sd, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44)
+      q44, q53, q54)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -247,6 +247,33 @@ object Scalars {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY lvl, l_returnflag, l_linestatus"""))
 
+  /** CUBE — all 4 grouping combinations of (returnflag, linestatus)
+    * in ONE pass (completes the grouping-analytics family next to
+    * [[q31]] ROLLUP and q49 GROUPING SETS). Spark expands the cube
+    * into a single Expand + hash aggregate — each input row fans out
+    * to its 2^k grouping projections map-side, so the full lattice
+    * still costs one shuffle keyed on (grouping-id, keys), not 4
+    * scans. grouping_id disambiguates real NULL keys from subtotal
+    * rows — the standard CUBE-consumer discipline. */
+  val q54 = QueryDef(
+    "q54_cube_revenue",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_extendedprice")} AS revenue,
+             count(*) AS n_rows,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS lvl
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY lvl, l_returnflag, l_linestatus"""))
+
   /** Exact percentiles (linear interpolation) of order totals per
     * status — distribution profiling. Exact sort-based percentile
     * (both engines interpolate identically over the sorted set);
@@ -293,6 +320,39 @@ object Scalars {
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))
+
+  /** Skew-salted JOIN over the same 5 hot event_type keys as [[q36]]
+    * ([[graft.ops.Salt.saltedJoin]]): the fact shuffles on
+    * (event_type, salt-of-user_id) so no single reducer owns a whole
+    * event_type; the 5-row weight dim replicates ×16 to meet every
+    * salt bucket. Result provably equals the plain join (the oracle
+    * runs the unsalted SQL); SaltSpec pins equality under disabled
+    * auto-broadcast plus the ×buckets dim replication shape. The
+    * post-join per-type weighted aggregate proves row-level join
+    * fidelity, not just key reachability. */
+  val q53 = QueryDef(
+    "q53_skew_salted_join",
+    (s, d) => {
+      val ev = graft.Tables.events(s, d)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("int"))
+      graft.ops.Salt.saltedJoin(ev, dim, Seq("event_type"),
+          col("user_id"), 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          QueryDef.dsum(col("value") * col("w")).as("wsum"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT DISTINCT event_type, CAST(len(event_type) AS INT) AS w
+        FROM events)
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             ${QueryDef.dsumSql("e.value * d.w")} AS wsum
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type
+      ORDER BY e.event_type"""))
 
   /** The sketch twin of [[q32]]: approx_percentile (Greenwald-Khanna
     * with accuracy 100, mergeable partial sketches) — at 100 TB the

@@ -31,6 +31,44 @@ class SaltSpec extends SparkSpec {
     assert(exchanges >= 2, s"expected salted + final exchanges:\n${plan.take(2000)}")
   }
 
+  test("salted join equals the plain join with auto-broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path — the scenario saltedJoin exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.events(spark, sfDir)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("int"))
+      val salted = Salt.saltedJoin(ev, dim, Seq("event_type"), col("user_id"), 16)
+        .select(col("event_id"), col("w"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val plain = ev.join(dim, Seq("event_type"))
+        .select(col("event_id"), col("w"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(salted === plain)
+      // exactness means no row met its dim twin twice: counts agree too
+      assert(salted.size === ev.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join replicates the dim ×buckets and salts the fact key") {
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev.select(col("event_type")).distinct()
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until 16).map(lit(_)): _*)))
+    assert(sd.count() === dim.count() * 16)
+    // every (key, salt) pair exists exactly once on the dim side —
+    // the invariant that makes the salted equi-join exact
+    assert(sd.groupBy(col("event_type"), col("__salt")).count()
+      .filter(col("count") =!= 1).count() === 0)
+    // fact rows of ONE hot key spread across (nearly) all 16 salt
+    // buckets — sf0.001's few hundred clicks may miss a residue class,
+    // so the bound is "spread wide", not "hit every bucket"
+    val spread = ev.filter(col("event_type") === "click")
+      .select(pmod(col("user_id"), lit(16)).as("s")).distinct().count()
+    assert(spread >= 12L, s"hot key concentrated in $spread/16 salt buckets")
+  }
+
   test("bucketed range attribution equals the naive theta join") {
     import graft.queries.Registry
     val bucketed = Registry.queries("q37_range_attribution")(spark, sfDir)
