@@ -33,6 +33,9 @@ object Pack {
     * values, first row 0. */
   def exclusivePrefixSum(df: DataFrame, order: Seq[Column],
                          valueCol: String, outCol: String): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"exclusivePrefixSum: value column '$valueCol' must be LongType, " +
+        s"got ${df.schema(valueCol).dataType.simpleString} — cast it first")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -81,6 +84,17 @@ object Pack {
   def keyedExclusivePrefixSum(df: DataFrame, keys: Seq[String],
                               order: Seq[Column], valueCol: String,
                               outCol: String): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"keyedExclusivePrefixSum: value column '$valueCol' must be LongType, " +
+        s"got ${df.schema(valueCol).dataType.simpleString} — cast it first")
+    // key runs are detected with JVM == and looked up as map keys:
+    // Array[Byte] compares by reference there, so a binary key column
+    // would silently misalign offsets — reject rather than corrupt
+    keys.foreach { k =>
+      require(df.schema(k).dataType != org.apache.spark.sql.types.BinaryType,
+        s"keyedExclusivePrefixSum: binary key column '$k' unsupported " +
+          "(JVM array equality is by reference) — hex-encode or hash it first")
+    }
     val spark = df.sparkSession
     val part = keys.map(df.col) ++ order
     val sorted = df.repartitionByRange(part: _*)

@@ -27,12 +27,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Salt {
 
+  /** Total, null-safe salt in 0..buckets-1 from ANY source column:
+    * xxhash64 maps every value (null included — it hashes to the
+    * seed) to a long, pmod brings it into range. A bare
+    * `pmod(source, buckets)` would emit NULL salts for null sources
+    * (silently dropping the row from an inner join) and out-of-range
+    * salts for non-integral sources — this form cannot. */
+  private def saltOf(saltSource: Column, buckets: Int): Column =
+    pmod(xxhash64(saltSource), lit(buckets.toLong))
+
   /** Exact decimal sum + row count per `keys`, two-phase over
-    * `pmod(saltSource, buckets)`. */
+    * the hash salt of `saltSource`. */
   def saltedSumCount(df: DataFrame, keys: Seq[Column], value: Column,
                      saltSource: Column, buckets: Int,
                      sumName: String, cntName: String): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val salted = df.withColumn("__salt", saltOf(saltSource, buckets))
     val partial = salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(sum(value.cast(DecimalType(18, 4))).as("__psum"),
@@ -48,7 +57,7 @@ object Salt {
     * (counts are algebraic, so the regrouping is trivially exact). */
   def saltedCount(df: DataFrame, keys: Seq[Column], saltSource: Column,
                   buckets: Int, cntName: String): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val salted = df.withColumn("__salt", saltOf(saltSource, buckets))
     salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pcnt"))
@@ -72,13 +81,24 @@ object Salt {
     * remaining corner — dim too big to broadcast, skew known up
     * front, or a streaming stateful join. The dim replication
     * multiplies dim shuffle bytes by `buckets`, so `buckets` trades
-    * hot-key spread against dim duplication (16-64 is typical). */
+    * hot-key spread against dim duplication (16-64 is typical).
+    *
+    * Only `inner` and `left` are exact under salting: a right/full
+    * join would emit every UNMATCHED dim row once per replica
+    * (×buckets) — rejected up front rather than silently wrong. The
+    * salt itself is the total hash of `saltSource`, so null or
+    * non-integral sources can never leak rows out of the join. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltSource: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
-    val sf = fact.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin: joinType '$joinType' unsupported — the exploded dim " +
+        "replication makes right/full joins emit unmatched dim rows " +
+        s"$buckets times; use inner or left")
+    val sf = fact.withColumn("__salt", saltOf(saltSource, buckets))
     val sd = dim.withColumn("__salt",
-      explode(array((0 until buckets).map(lit(_)): _*)))
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
     sf.join(sd, keys :+ "__salt", joinType).drop("__salt")
   }
 }

@@ -813,10 +813,15 @@ object Similarity {
     * dup-id set is a semi-join-shaped DISTINCT on vec_id — linear
     * state. Output is one scalar-columns row per vector (keep ∈
     * {0,1}), the shape a downstream `filter(keep = 1)` consumes. */
+  /** d09's cosine threshold — d05's verified near-dup threshold on
+    * this corpus, interpolated into BOTH engines (the s02Planes /
+    * KEEP_THRESHOLD discipline: one constant, zero drift). */
+  private val SEMDEDUP_TAU = 0.35d
+
   val d09 = QueryDef(
     "d09_semdedup",
     (s, d) => {
-      val TAU = 0.35d // d05's verified near-dup threshold on this corpus
+      val TAU = SEMDEDUP_TAU
       val e = docVectors(s, d)
       val cent = Tables.embeddings(s, d)
         .select(col("label").as("cell"),
@@ -846,7 +851,7 @@ object Similarity {
           when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
         .orderBy(col("vec_id"))
     },
-    Some("""
+    Some(s"""
       WITH u AS (
         SELECT label AS cell, generate_subscripts(embedding, 1) AS lane,
                CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
@@ -869,7 +874,7 @@ object Similarity {
       dups AS (
         SELECT DISTINCT a.vec_id
         FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
-        WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.35)
+        WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= $SEMDEDUP_TAU)
       SELECT a.vec_id, a.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
       FROM assign a LEFT JOIN dups d USING (vec_id)
       ORDER BY a.vec_id"""))

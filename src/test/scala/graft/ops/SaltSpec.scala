@@ -61,12 +61,32 @@ class SaltSpec extends SparkSpec {
     // the invariant that makes the salted equi-join exact
     assert(sd.groupBy(col("event_type"), col("__salt")).count()
       .filter(col("count") =!= 1).count() === 0)
-    // fact rows of ONE hot key spread across (nearly) all 16 salt
-    // buckets — sf0.001's few hundred clicks may miss a residue class,
-    // so the bound is "spread wide", not "hit every bucket"
+    // fact rows of ONE hot key spread across many of the 16 salt
+    // buckets — sf0.001 has only a handful of distinct click users, so
+    // the hash can miss buckets; the claim is "spread", not coverage
     val spread = ev.filter(col("event_type") === "click")
-      .select(pmod(col("user_id"), lit(16)).as("s")).distinct().count()
-    assert(spread >= 12L, s"hot key concentrated in $spread/16 salt buckets")
+      .select(pmod(xxhash64(col("user_id")), lit(16L)).as("s")).distinct().count()
+    assert(spread >= 8L, s"hot key concentrated in $spread/16 salt buckets")
+  }
+
+  test("salted join keeps rows whose salt source is NULL or non-integral") {
+    // the salt is a TOTAL function now: a null source hashes to the
+    // xxhash64 seed and a double source hashes bit-wise — neither can
+    // produce a NULL/out-of-range salt that drops a matching fact row
+    import spark.implicits._
+    val fact = Seq(("a", Some(1.5)), ("a", None), ("b", Some(2.0)))
+      .toDF("k", "src")
+    val dim = Seq(("a", 10), ("b", 20)).toDF("k", "w")
+    val out = Salt.saltedJoin(fact, dim, Seq("k"), col("src"), 8)
+    assert(out.count() === 3)
+  }
+
+  test("salted join rejects right/full join types up front") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("k", "src")
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(df, df.select(col("k")), Seq("k"), col("src"), 8, "full_outer")
+    }
   }
 
   test("bucketed range attribution equals the naive theta join") {
