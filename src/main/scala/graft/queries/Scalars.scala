@@ -209,19 +209,37 @@ object Scalars {
   /** Cardinality sketch: HyperLogLog++ distinct-count estimates per
     * group — the scale substitute for exact COUNT DISTINCT when the
     * key cardinality itself is huge (A3's 100 TB escape hatch; SURVEY
-    * §2.5). Approximate → no SQL oracle; SketchSpec bounds the error
-    * against the exact counts (rsd 5%). */
+    * §2.5). The sketch value itself is approximate, so it can't be
+    * hash-compared raw; instead BOTH engines emit the exact count
+    * (hash-compared) and a `within_bound` flag — Spark computes
+    * |HLL − exact|/exact ≤ 3·rsd from the real sketch, the oracle
+    * asserts the literal 1 the bound guarantees. A sketch regression
+    * past the bound flips the flag and fails the row hash, so the
+    * gate genuinely checks the sketch without pretending it's exact
+    * (SketchSpec additionally pins the raw error). */
   val q29 = QueryDef(
     "q29_approx_distinct",
     (s, d) => {
       val li = graft.Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("__approx"),
           count(lit(1)).as("n_rows"))
+        .withColumn("within_bound",
+          (abs(col("__approx") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.15).cast("int"))
+        .drop("__approx")
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             count(*) AS n_rows,
+             CAST(1 AS INT) AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** Hierarchical totals in one pass: ROLLUP over (returnflag,
     * linestatus) emits leaf, subtotal, and grand-total rows with a
@@ -358,21 +376,45 @@ object Scalars {
     * with accuracy 100, mergeable partial sketches) — at 100 TB the
     * exact percentile's per-group sort of every value is the
     * bottleneck; the GK sketch is one bounded-size buffer per group,
-    * map-side combined like any aggregate. Approximate → no SQL
-    * oracle; SketchSpec bounds its rank error against q32's exact
-    * values (the same pairing as q29 ↔ exact COUNT DISTINCT). */
+    * map-side combined like any aggregate. Gate discipline mirrors
+    * [[q29]]: both engines emit the EXACT percentiles (hash-compared)
+    * plus a `within_bound` flag — Spark checks the GK value lands
+    * between the exact quantiles at rank p±2ε (ε = 1/accuracy is the
+    * GK guarantee; the factor 2 absorbs interpolation at the window
+    * edges), the oracle asserts the literal 1. A sketch drifting past
+    * its rank guarantee flips the flag and fails the row hash. */
   val q35 = QueryDef(
     "q35_approx_percentiles",
     (s, d) => {
       val o = graft.Tables.orders(s, d)
+      // ε = 1/accuracy = 0.01 ⇒ window half-width 0.02; p99's upper
+      // edge caps at 1.0 (the max)
       o.groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("approx_percentile(o_totalprice, 0.5, 100)"), 2).as("p50"),
-          round(expr("approx_percentile(o_totalprice, 0.9, 100)"), 2).as("p90"),
-          round(expr("approx_percentile(o_totalprice, 0.99, 100)"), 2).as("p99"))
+          expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("__ex"),
+          expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 100)").as("__ap"),
+          expr("percentile(o_totalprice, array(0.48, 0.88, 0.97))").as("__lo"),
+          expr("percentile(o_totalprice, array(0.52, 0.92, 1.0))").as("__hi"))
+        .select(
+          col("o_orderstatus"),
+          round(element_at(col("__ex"), 1), 2).as("p50"),
+          round(element_at(col("__ex"), 2), 2).as("p90"),
+          round(element_at(col("__ex"), 3), 2).as("p99"),
+          (0 until 3).map { i =>
+            element_at(col("__ap"), i + 1).between(
+              element_at(col("__lo"), i + 1), element_at(col("__hi"), i + 1))
+          }.reduce(_ && _).cast("int").as("within_bound"))
         .orderBy(col("o_orderstatus"))
     },
-    None)
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+             CAST(1 AS INT) AS within_bound
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
