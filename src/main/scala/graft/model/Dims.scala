@@ -16,15 +16,21 @@ import org.apache.spark.sql.functions._
   *  - dim_season ships as a static seed — the reference never builds it
   *    (trap 9)
   *
-  * Dims are small (≤ thousands of rows): the sequential-id windows are
-  * single-partition by design, exactly like the reference's
-  * np.arange — see Ids.scaladoc for the 100 TB alternatives.
+  * Ids are assigned with [[Ids.dense]] — contiguous 1..N in sort
+  * order, output-identical to the reference's np.arange, but computed
+  * as a two-phase partition-offset scan instead of a single-partition
+  * window. The football dims are small enough that the window would
+  * also work, but these builders are the template consumers reuse on
+  * SF-scaling inputs (StarGate derives its dims from customer/orders),
+  * so the builders themselves must not embed a serial bottleneck.
   */
 object Dims {
 
   /** dim_player (Transform.py:69-130): season-stats players ∪
     * match-stats players (born only in season source), keep-first with
-    * season priority, alphabetical sequential ids. */
+    * season priority, alphabetical dense ids (int, 1..N — the exact
+    * values the reference's np.arange assigns, without its serial
+    * bottleneck). */
   def player(seasonStats: DataFrame, matchStats: DataFrame): DataFrame = {
     val season = seasonStats
       .select(col("player"), col("pos"), col("nation"),
@@ -34,8 +40,9 @@ object Dims {
       .unionKeepFirst(season, matches, Seq("player"), Seq(col("player")))
       .na.drop(Seq("player"))
       .filter(col("player") =!= "player") // embedded duplicate header row (P4)
-    Ids.sequential(deduped, Seq(col("player")), "player_id")
-      .select(col("player_id"), col("player"), col("pos"), col("nation"), col("born"))
+    Ids.dense(deduped, Seq(col("player")), "player_id")
+      .select(col("player_id").cast("int").as("player_id"),
+        col("player"), col("pos"), col("nation"), col("born"))
   }
 
   /** dim_team (Transform.py:245-264): strip wiki 'Q' ids, clean club
@@ -70,16 +77,19 @@ object Dims {
     val games = Dedup.keepFirst(
       teamMatch.select(col("game"), col("date"), col("round"), col("day")),
       Seq("game"), Seq(col("date").asc_nulls_last, col("game")))
-    // phase 1: provisional ids over all games (reproduces :351).
-    // round stays RAW here ("Matchweek 23") — the reference zero-fills
-    // only in the fact builder (:482); their committed dim_match.csv
-    // carries the raw label.
-    val phase1 = Ids.sequential(games, Seq(col("game")), "game_id")
-      .withColumn("date", Normalize.datePart(col("date")))
-    // phase 2: date filter then RE-assign (reproduces :364-372)
-    Ids.sequential(phase1.na.drop(Seq("date")).drop("game_id"),
-        Seq(col("game")), "game_id")
-      .select(col("game_id"), col("game"), col("date"), col("round"), col("day"))
+    // phase 1 (reproduces :351): parse the date part over ALL games.
+    // The reference also assigns provisional np.arange ids here, but
+    // drops them before phase 2 re-assigns — they are unobservable, so
+    // no id pass runs over the unfiltered set. round stays RAW
+    // ("Matchweek 23") — the reference zero-fills only in the fact
+    // builder (:482); their committed dim_match.csv carries the raw
+    // label.
+    val phase1 = games.withColumn("date", Normalize.datePart(col("date")))
+    // phase 2: date filter then assign — ids shift AFTER the filter
+    // (trap 2), dense 1..N by game exactly like the re-run np.arange
+    Ids.dense(phase1.na.drop(Seq("date")), Seq(col("game")), "game_id")
+      .select(col("game_id").cast("int").as("game_id"),
+        col("game"), col("date"), col("round"), col("day"))
   }
 
   /** dim_season: static seed — the reference has NO builder for it

@@ -5,12 +5,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fact builders — Transform.py's fact stage (scr/Transform.py:378-798)
-  * as broadcast-join pipelines against the dims.
+  * as join pipelines against the dims.
   *
   * Join-key normalization (J9) runs on BOTH sides before every dim
-  * join; dims are tiny so every join hints broadcast — at the 100 TB
-  * north-star the fact side streams through map-side hash joins with
-  * zero fact shuffle.
+  * join. Whether the dim side carries a HARD broadcast hint is the
+  * CALLER's call (`hintDims`): the football pipeline's dims are
+  * bounded (teams/players/games of a league), so it hints and the
+  * fact side streams through map-side hash joins with zero fact
+  * shuffle; a caller whose "dims" scale with the data (StarGate
+  * derives them from customer/orders) passes `hintDims = false` and
+  * lets Spark pick — auto-broadcast below the threshold, shuffle join
+  * beyond it. A pinned broadcast on an unbounded relation is the one
+  * 100 TB failure mode no runtime stat can undo.
   *
   * SURVEY §7.4 traps preserved: unplayed fixtures survive until the
   * final result-null drop (trap 6); the round label is normalized to
@@ -38,12 +44,18 @@ object Facts {
     Normalize.normKey(Normalize.cleanClubName(
       Normalize.mapValues(Normalize.normKey(col(c)), teamNameVariants)))
 
+  /** Caller-gated dim hint: `broadcast(df)` only when the caller
+    * vouches the dim is bounded at scale (PlanQualitySpec allowlists
+    * this one site on that contract). */
+  private def bc(df: DataFrame, hintDims: Boolean): DataFrame =
+    if (hintDims) broadcast(df) else df
+
   /** fact_team_match (Transform.py:378-508): captain→player, team and
     * opponent→role-playing dim_team joins, game→dim_match; two-stage
     * null filtering — rows missing join keys drop EARLY, rows missing
     * stats (unplayed fixtures) drop only at the final result filter. */
   def teamMatch(raw: DataFrame, dimTeam: DataFrame, dimMatch: DataFrame,
-                dimPlayer: DataFrame): DataFrame = {
+                dimPlayer: DataFrame, hintDims: Boolean = true): DataFrame = {
     val base = raw
       .na.drop(Seq("team", "opponent", "game")) // early: join keys only (P9)
       .withColumn("team_key", normed("team"))
@@ -56,10 +68,10 @@ object Facts {
       col("player").as("captain_name"))
     val games = dimMatch.select(col("game_id"), col("game"))
     base
-      .join(broadcast(teams), Seq("team_key"), "left")
-      .join(broadcast(opps), Seq("opp_key"), "left")
-      .join(broadcast(games), Seq("game"), "left")
-      .join(broadcast(players), base("Captain") === players("captain_name"), "left")
+      .join(bc(teams, hintDims), Seq("team_key"), "left")
+      .join(bc(opps, hintDims), Seq("opp_key"), "left")
+      .join(bc(games, hintDims), Seq("game"), "left")
+      .join(bc(players, hintDims), base("Captain") === players("captain_name"), "left")
       .select(
         Normalize.tryInt(col("season")).as("season"),
         col("game_id"), col("team_id"), col("opponent_id"),
@@ -79,13 +91,14 @@ object Facts {
   /** fact_team_point (Transform.py:703-798): season-code conversion,
     * dotted-rank cleaning, "GF:GA" composite split, normalized join to
     * dim_team (J5 left join + null-drop ≈ inner). */
-  def teamPoint(raw: DataFrame, dimTeam: DataFrame): DataFrame = {
+  def teamPoint(raw: DataFrame, dimTeam: DataFrame,
+                hintDims: Boolean = true): DataFrame = {
     val (gf, ga) = Normalize.splitPair(col("gf_ga"))
     val teams = dimTeam.select(col("team_id"),
       Normalize.normKey(col("team_name")).as("team_key"))
     raw
       .withColumn("team_key", normed("Team"))
-      .join(broadcast(teams), Seq("team_key"), "left")
+      .join(bc(teams, hintDims), Seq("team_key"), "left")
       .na.drop(Seq("team_id"))
       .select(
         Normalize.convertSeason(col("season_label")).as("season_id"),
@@ -157,10 +170,11 @@ object Facts {
     * Q-strip, null-dropped), player→dim_player (null-dropped with
     * game_id — the reference's two-stage filter order preserved).
     *
-    * 100 TB shape: the fact side is never shuffled — all three dims
-    * broadcast; stat typing is codegen'd try_cast projections. */
+    * 100 TB shape: with `hintDims` (bounded dims) the fact side is
+    * never shuffled — all three dims broadcast; stat typing is
+    * codegen'd try_cast projections. */
   def playerMatch(raw: DataFrame, dimTeam: DataFrame, dimMatch: DataFrame,
-                  dimPlayer: DataFrame): DataFrame = {
+                  dimPlayer: DataFrame, hintDims: Boolean = true): DataFrame = {
     val resolved = graft.ops.Resolve.columns(raw, playerMatchColumns) match {
       case Left(missing) =>
         sys.error(s"fact_player_match: unresolvable columns: ${missing.mkString(", ")}")
@@ -183,12 +197,12 @@ object Facts {
     val players = dimPlayer.select(col("player_id"),
       Normalize.normKey(col("player")).as("player_key"))
     base
-      .join(broadcast(games), Seq("game_key"), "left")
-      .join(broadcast(teams), Seq("team_key"), "left")
+      .join(bc(games, hintDims), Seq("game_key"), "left")
+      .join(bc(teams, hintDims), Seq("team_key"), "left")
       .na.drop(Seq("team_id")) // unmatched team names (reference warns + filters)
       .withColumn("team_id", Normalize.stripQ(col("team_id").cast("string")))
       .na.drop(Seq("team_id")) // second pass after Q-strip coercion
-      .join(broadcast(players), Seq("player_key"), "left")
+      .join(bc(players, hintDims), Seq("player_key"), "left")
       .na.drop(Seq("player_id", "game_id"))
       .select(
         (Normalize.tryInt(col("season")).as("season") ::

@@ -52,9 +52,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * optimization batch, so it interleaves to fixed point with column
   * pruning: pruning narrows the Project above the join until condition
   * 1 holds, then this rule removes the join, then pruning collapses
-  * further (in p01_star_league_table that chain deletes the whole
-  * dim_match AND dim_player subtrees — two windows, a union and two
-  * scans — from the league-table plan).
+  * further. (The dim builders now materialize ids via the checkpointed
+  * two-phase scan, so THEIR subtrees reach consumers as opaque RDDs —
+  * the rule's warehouse payoff is for dims arriving as lazy plans:
+  * keep-first windows, dropDuplicates, groupBys, TopKPerKey —
+  * EliminateUniqueLeftJoinSpec covers each shape.)
   */
 object EliminateUniqueLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
 

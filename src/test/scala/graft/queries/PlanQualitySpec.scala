@@ -182,8 +182,9 @@ class PlanQualitySpec extends SparkSpec {
     //   exception: s01's brute-force calibration baseline, documented
     //   as weak-by-design in Similarity.scala.
     val allowed = Set(
-      ("Facts.scala", "teams"), ("Facts.scala", "opps"),
-      ("Facts.scala", "games"), ("Facts.scala", "players"),
+      ("Facts.scala", "df"),  // bc(): caller-gated hint — football dims
+                              // (bounded) pass hintDims=true; StarGate's
+                              // SF-scaling dims pass false (no pin)
       ("Pack.scala", "partials"),          // P partition offsets (longs)
       ("Pack.scala", "offsetMap"),         // P+K key-run offsets (longs)
       ("Similarity.scala", "q"),           // s01 quarantined baseline
@@ -211,21 +212,29 @@ class PlanQualitySpec extends SparkSpec {
       s"broadcast() on non-allowlisted relation(s): $rogue — is each bounded at 100 TB?")
   }
 
-  test("p01 league table drops unused dim subtrees (unique-left-join elimination)") {
-    // under the deployed extensions (GraftSession), the fact builder's
-    // LEFT JOINs to dim_match and dim_player are provably-unique and
-    // unused by the league aggregate — EliminateUniqueLeftJoin must
-    // delete both subtrees. supplier feeds ONLY dim_player, so its
-    // scan vanishing is the end-to-end witness.
-    val s2 = spark.newSession()
-    s2.experimental.extraOptimizations =
-      Seq(graft.plans.RewriteRowNumberTopK, graft.plans.EliminateUniqueLeftJoin)
-    s2.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
-    val p = Registry.queries("p01_star_league_table")(s2, sfDir)
-      .queryExecution.optimizedPlan.toString
-    assert(!p.contains("supplier"), "dim_player subtree (supplier scan) must be gone")
-    val scans = "Relation".r.findAllIn(p).size
-    assert(scans <= 7, s"expected <= 7 scans after elimination, got $scans")
+  test("p01 star pipeline is scale-honest: no global-id window, no pinned broadcast") {
+    // the round-5 defect: p01's dims were built with a single-partition
+    // row_number window (sequential ids) and the fact builder pinned
+    // broadcast() hints onto orders/customer-derived relations. Now the
+    // dims build through Ids.dense (two-phase offset scan — no empty-
+    // PARTITION-BY Window can appear anywhere) and StarGate passes
+    // hintDims = false, so with auto-broadcast disabled NOTHING in the
+    // plan may still broadcast: every join is free to degrade to a
+    // shuffle join, the only shape that survives 100 TB.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val qe = Registry.queries("p01_star_league_table")(spark, sfDir).queryExecution
+      val globalWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"empty-PARTITION-BY window in p01's plan: $globalWindows")
+      val p = qe.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"pinned broadcast survives disabled auto-broadcast:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("q46's four window functions share one exchange + one sort") {
