@@ -168,6 +168,104 @@ object StarGate {
        |ftm_final AS (
        |  SELECT * FROM ftm WHERE result IS NOT NULL)""".stripMargin
 
+  /** Raw player-match stat rows as CTE body (SQL twin of
+    * [[rawPlayerMatchStats]]): one appearance per order — the
+    * ordering customer plays in the order's game for their nation's
+    * team — in the reference's flattened-MultiIndex header shape,
+    * with the scraper's dirt: embedded header rows (season='season'),
+    * NULL seasons (must SURVIVE the header filter — pandas `!=` keeps
+    * NaN), NULL/unknown teams, 'n/a' stat garbage, NULL stats. */
+  private val rawPlayerMatchStatsSql: String =
+    """SELECT CASE WHEN o_orderkey % 503 = 0 THEN 'season'
+      |            WHEN o_orderkey % 211 = 0 THEN NULL
+      |            ELSE CAST(2021 + o_orderkey % 4 AS VARCHAR) END AS season,
+      |       'game-' || lpad(CAST(o_orderkey // 2 AS VARCHAR), 10, '0') AS game,
+      |       CASE WHEN o_orderkey % 101 = 0 THEN NULL
+      |            WHEN o_orderkey % 89 = 0 THEN 'Atlantis FC'
+      |            ELSE ' ' || n_name || ' F.C.' END AS team,
+      |       c_name AS player,
+      |       CAST(o_orderkey % 91 AS VARCHAR) AS "min",
+      |       CAST(o_orderkey % 5 AS VARCHAR) AS "Performance_Gls",
+      |       CAST(o_orderkey % 9 AS VARCHAR) || '.' || CAST(o_orderkey % 10 AS VARCHAR) AS "Expected_xG",
+      |       CAST(o_orderkey % 7 AS VARCHAR) || '.' || CAST(o_orderkey % 4 AS VARCHAR) AS "Expected_xAG",
+      |       CAST(o_orderkey % 3 AS VARCHAR) AS "Performance_Ast",
+      |       CAST(o_orderkey % 2 AS VARCHAR) AS "Performance_PK",
+      |       CAST((o_orderkey + 1) % 2 AS VARCHAR) AS "Performance_PKatt",
+      |       CAST(o_orderkey % 8 AS VARCHAR) AS "Performance_Sh",
+      |       CAST(o_orderkey % 4 AS VARCHAR) AS "Performance_SoT",
+      |       CAST(o_orderkey % 2 AS VARCHAR) AS "Performance_CrdY",
+      |       CASE WHEN o_orderkey % 29 = 0 THEN '1' ELSE '0' END AS "Performance_CrdR",
+      |       CASE WHEN o_orderkey % 37 = 0 THEN 'n/a'
+      |            ELSE CAST(20 + o_orderkey % 60 AS VARCHAR) END AS "Performance_Touches",
+      |       CAST(o_orderkey % 6 AS VARCHAR) AS "Performance_Tkl",
+      |       CAST(o_orderkey % 5 AS VARCHAR) AS "Performance_Int",
+      |       CAST(o_orderkey % 4 AS VARCHAR) AS "Performance_Blocks",
+      |       CAST(o_orderkey % 9 AS VARCHAR) AS "SCA_SCA",
+      |       CAST(o_orderkey % 3 AS VARCHAR) AS "SCA_GCA",
+      |       CAST(10 + o_orderkey % 40 AS VARCHAR) AS "Passes_Cmp",
+      |       CAST(20 + o_orderkey % 45 AS VARCHAR) AS "Passes_Att",
+      |       CAST(50 + o_orderkey % 50 AS VARCHAR) || '.' || CAST(o_orderkey % 10 AS VARCHAR) AS "Passes_Cmp%",
+      |       CAST(o_orderkey % 12 AS VARCHAR) AS "Passes_PrgP",
+      |       CAST(5 + o_orderkey % 30 AS VARCHAR) AS "Carries_Carries",
+      |       CAST(o_orderkey % 10 AS VARCHAR) AS "Carries_PrgC",
+      |       CAST(o_orderkey % 7 AS VARCHAR) AS "Take-Ons_Att",
+      |       CASE WHEN o_orderkey % 43 = 0 THEN NULL
+      |            ELSE CAST(o_orderkey % 4 AS VARCHAR) END AS "Take-Ons_Succ"
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** fact_player_match as CTE bodies (SQL twin of Facts.playerMatch
+    * over [[rawPlayerMatchStatsSql]]): header-row filter (NULL season
+    * passes), normalized game/team/player left joins, team_id null
+    * drop + Q-strip replay, final player_id/game_id drop — the
+    * builder's two-stage filter order (order of WHERE conjuncts is
+    * immaterial: the left joins never change row count). */
+  private val factPlayerMatchSql: String =
+    s"""pm AS (
+       |  SELECT * FROM pm_raw
+       |  WHERE season IS NULL OR lower(season) <> 'season'),
+       |pm_keys AS (
+       |  SELECT p.*, ${normedSql("p.team")} AS team_key,
+       |         lower(trim(p.game)) AS game_key,
+       |         lower(trim(p.player)) AS player_key
+       |  FROM pm p),
+       |fpm AS (
+       |  SELECT try_cast(p.season AS INT) AS season,
+       |         dm.game_id,
+       |         try_cast(replace(CAST(t.team_id AS VARCHAR), 'Q', '') AS INT) AS team_id,
+       |         pl.player_id,
+       |         try_cast(p."min" AS INT) AS min_played,
+       |         try_cast(p."Performance_Gls" AS INT) AS goals,
+       |         CAST(try_cast(p."Expected_xG" AS DOUBLE) AS DECIMAL(5,2)) AS "xG",
+       |         CAST(try_cast(p."Expected_xAG" AS DOUBLE) AS DECIMAL(5,2)) AS "xA",
+       |         try_cast(p."Performance_Ast" AS INT) AS assists,
+       |         try_cast(p."Performance_PK" AS INT) AS penalty_made,
+       |         try_cast(p."Performance_PKatt" AS INT) AS penalty_attempted,
+       |         try_cast(p."Performance_Sh" AS INT) AS shots,
+       |         try_cast(p."Performance_SoT" AS INT) AS shots_on_target,
+       |         try_cast(p."Performance_CrdY" AS INT) AS yellow_cards,
+       |         try_cast(p."Performance_CrdR" AS INT) AS red_cards,
+       |         try_cast(p."Performance_Touches" AS INT) AS touches,
+       |         try_cast(p."Performance_Tkl" AS INT) AS tackles,
+       |         try_cast(p."Performance_Int" AS INT) AS interceptions,
+       |         try_cast(p."Performance_Blocks" AS INT) AS blocks,
+       |         try_cast(p."SCA_SCA" AS INT) AS shot_creating_actions,
+       |         try_cast(p."SCA_GCA" AS INT) AS goal_creating_actions,
+       |         try_cast(p."Passes_Cmp" AS INT) AS passes_completed,
+       |         try_cast(p."Passes_Att" AS INT) AS passes_attempted,
+       |         CAST(try_cast(p."Passes_Cmp%" AS DOUBLE) AS DECIMAL(5,2)) AS pass_completion_percent,
+       |         try_cast(p."Passes_PrgP" AS INT) AS progressive_passes,
+       |         try_cast(p."Carries_Carries" AS INT) AS carries,
+       |         try_cast(p."Carries_PrgC" AS INT) AS progressive_carries,
+       |         try_cast(p."Take-Ons_Att" AS INT) AS take_ons_attempted,
+       |         try_cast(p."Take-Ons_Succ" AS INT) AS take_ons_successful
+       |  FROM pm_keys p
+       |  LEFT JOIN dim_match dm ON lower(trim(dm.game)) = p.game_key
+       |  LEFT JOIN team_keys t ON p.team_key = t.team_key
+       |  LEFT JOIN dim_player pl ON lower(trim(pl.player)) = p.player_key
+       |  WHERE t.team_id IS NOT NULL)""".stripMargin
+
   // ---------------------------------------------------------------
   // Spark-side raw synthesis (twins of the SQL above)
   // ---------------------------------------------------------------
@@ -230,6 +328,58 @@ object StarGate {
         col("n_name").as("nation"),
         when(col("c_custkey") % 53 === 0, lit("unknown"))
           .otherwise((col("c_custkey") % 30 + 1970).cast("string")).as("born"))
+
+  /** Twin of [[rawPlayerMatchStatsSql]] — the flattened-header raw
+    * player-match stat table [[graft.model.Facts.playerMatch]]
+    * resolves through [[graft.ops.Resolve]]. */
+  private def rawPlayerMatchStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val k = col("o_orderkey")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        when(k % 503 === 0, lit("season"))
+          .when(k % 211 === 0, lit(null).cast("string"))
+          .otherwise((k % 4 + 2021).cast("string")).as("season"),
+        concat(lit("game-"),
+          lpad(floor(k / 2).cast("string"), 10, "0")).as("game"),
+        when(k % 101 === 0, lit(null).cast("string"))
+          .when(k % 89 === 0, lit("Atlantis FC"))
+          .otherwise(concat(lit(" "), col("n_name"), lit(" F.C."))).as("team"),
+        col("c_name").as("player"),
+        (k % 91).cast("string").as("min"),
+        (k % 5).cast("string").as("Performance_Gls"),
+        concat((k % 9).cast("string"), lit("."),
+          (k % 10).cast("string")).as("Expected_xG"),
+        concat((k % 7).cast("string"), lit("."),
+          (k % 4).cast("string")).as("Expected_xAG"),
+        (k % 3).cast("string").as("Performance_Ast"),
+        (k % 2).cast("string").as("Performance_PK"),
+        ((k + 1) % 2).cast("string").as("Performance_PKatt"),
+        (k % 8).cast("string").as("Performance_Sh"),
+        (k % 4).cast("string").as("Performance_SoT"),
+        (k % 2).cast("string").as("Performance_CrdY"),
+        when(k % 29 === 0, lit("1")).otherwise(lit("0")).as("Performance_CrdR"),
+        when(k % 37 === 0, lit("n/a"))
+          .otherwise((k % 60 + 20).cast("string")).as("Performance_Touches"),
+        (k % 6).cast("string").as("Performance_Tkl"),
+        (k % 5).cast("string").as("Performance_Int"),
+        (k % 4).cast("string").as("Performance_Blocks"),
+        (k % 9).cast("string").as("SCA_SCA"),
+        (k % 3).cast("string").as("SCA_GCA"),
+        (k % 40 + 10).cast("string").as("Passes_Cmp"),
+        (k % 45 + 20).cast("string").as("Passes_Att"),
+        concat((k % 50 + 50).cast("string"), lit("."),
+          (k % 10).cast("string")).as("Passes_Cmp%"),
+        (k % 12).cast("string").as("Passes_PrgP"),
+        (k % 30 + 5).cast("string").as("Carries_Carries"),
+        (k % 10).cast("string").as("Carries_PrgC"),
+        (k % 7).cast("string").as("Take-Ons_Att"),
+        when(k % 43 === 0, lit(null).cast("string"))
+          .otherwise((k % 4).cast("string")).as("Take-Ons_Succ"))
+  }
 
   private def rawPlayerMatch(s: SparkSession, d: String): DataFrame = {
     val sup = Tables.supplier(s, d)
@@ -435,5 +585,36 @@ object StarGate {
       WHERE try_cast(split_part(r.rank_raw, '.', 1) AS INT) IS NOT NULL
       ORDER BY season_id, "Match_Category", t.team_id"""))
 
-  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04)
+  /** fact_player_match under the gate (reference Transform.py:511-700
+    * — the 26-stat Resolve'd fact, the last model-layer builder that
+    * was spec-only): customer-derived raw player-match rows in the
+    * flattened-MultiIndex header shape run through the REAL
+    * [[graft.model.Facts.playerMatch]] — Resolve lookup, header-row
+    * drop with NULL-season passthrough, three normalized dim joins,
+    * staged team_id/player_id/game_id null drops, 26 try-cast stat
+    * projections — and the oracle replays every stage in SQL.
+    * (game_id, player_id, min_played) is a total order: only
+    * consecutive orderkeys share a game, so their min stats differ. */
+  val p05 = QueryDef(
+    "p05_star_fact_player_match",
+    (s, d) => {
+      val (_, dimTeam, dimMatch, dimPlayer) = star(s, d)
+      Facts.playerMatch(rawPlayerMatchStats(s, d), dimTeam, dimMatch,
+          dimPlayer, hintDims = false)
+        .orderBy(col("game_id"), col("player_id"), col("min_played"))
+    },
+    Some(s"""
+      WITH raw AS ($rawTeamMatchSql),
+      dim_team AS ($dimTeamSql),
+      $dimMatchSql,
+      $dimPlayerSql,
+      team_keys AS (
+        SELECT team_id, lower(trim(team_name)) AS team_key FROM dim_team),
+      pm_raw AS ($rawPlayerMatchStatsSql),
+      $factPlayerMatchSql
+      SELECT * FROM fpm
+      WHERE player_id IS NOT NULL AND game_id IS NOT NULL
+      ORDER BY game_id, player_id, min_played"""))
+
+  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
 }

@@ -221,19 +221,31 @@ class PlanQualitySpec extends SparkSpec {
     // hintDims = false, so with auto-broadcast disabled NOTHING in the
     // plan may still broadcast: every join is free to degrade to a
     // shuffle join, the only shape that survives 100 TB.
+    // NOTE: the shared star build persists `raw`; if another suite built
+    // it under the default threshold, its CACHED plan may legitimately
+    // contain auto-chosen broadcasts (threshold decisions, not pins) —
+    // so the physical assertion walks qe.sparkPlan, which does not
+    // descend into InMemoryTableScan's cached subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Window => LWindow}
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val qe = Registry.queries("p01_star_league_table")(spark, sfDir).queryExecution
       val globalWindows = qe.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
+        case w: LWindow if w.partitionSpec.isEmpty => w
       }
       assert(globalWindows.isEmpty,
         s"empty-PARTITION-BY window in p01's plan: $globalWindows")
-      val p = qe.executedPlan.toString
-      assert(!p.contains("BroadcastExchange"),
-        s"pinned broadcast survives disabled auto-broadcast:\n${p.take(3000)}")
+      val hinted = qe.optimizedPlan.collect {
+        case j: Join if j.hint != JoinHint.NONE => j
+      }
+      assert(hinted.isEmpty, s"pinned join hint in p01's plan: $hinted")
+      val broadcasts = qe.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.isEmpty,
+        s"broadcast survives disabled auto-broadcast: ${broadcasts.map(_.nodeName)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
