@@ -797,26 +797,61 @@ object Similarity {
     *
     * Stages (all deterministic, so the oracle replays them verbatim):
     *  1. coarse quantizer = [[s03]]'s per-label decimal-exact
-    *     centroids (C cells, constant-width VecSumAgg buffers,
+    *     centroids (C_label cells, constant-width VecSumAgg buffers,
     *     map-side combined);
     *  2. assignment = N·C codegen'd dot products against the
     *     broadcast centroid table, argmax via one window shuffle
     *     keyed on vec_id;
-    *  3. within-cell pair scan: equi-join on cell restricted to
+    *  2b. N-adaptive sub-bucketing: each assigned vector gains an
+    *     `nbits`-bit hyperplane signature ([[d09Planes]]; nbits =
+    *     smallest b with CELL_CAP·2^b ≥ N, derived in-plan from a
+    *     one-row corpus count via integer comparisons) — the
+    *     effective cell is (cell, sig);
+    *  3. within-(cell, sig) pair scan: equi-join restricted to
     *     `earlier_id < id`, cosine ≥ τ marks the later doc removed —
     *     keep-lowest-id, the same greedy keep-first discipline as
     *     U3/U4's keyed dedup, so survivors are order-independent.
     *
-    * 100 TB shape: pair work is Σ|cell|², bounded by the cell cap the
-    * quantizer enforces (C scales with N so |cell| stays ~constant);
-    * a hot cell sub-buckets with [[d05]]'s hyperplane signatures. The
-    * dup-id set is a semi-join-shaped DISTINCT on vec_id — linear
-    * state. Output is one scalar-columns row per vector (keep ∈
-    * {0,1}), the shape a downstream `filter(keep = 1)` consumes. */
+    * 100 TB shape: pair work is Σ|cell|². The effective cell count
+    * C_label·2^nbits grows LINEARLY with N by construction, so the
+    * average cell holds ~CELL_CAP vectors and Σ|cell|² ≈ N·CELL_CAP —
+    * linear, at any scale (SimilaritySpec pins the split on a
+    * hot-cell corpus). The residual worst case — a cell of true
+    * near-identical duplicates landing on one signature — is inherent
+    * to the method (they ARE the dups being removed). The price of
+    * sub-bucketing is the standard LSH recall trade (a near-dup pair
+    * split across signatures is missed; ≈ 0.99+ retained for true
+    * near-dups at cos ≥ 0.9, like d05). The dup-id set is a
+    * semi-join-shaped DISTINCT on vec_id — linear state. Output is
+    * one scalar-columns row per vector (keep ∈ {0,1}), the shape a
+    * downstream `filter(keep = 1)` consumes. */
   /** d09's cosine threshold — d05's verified near-dup threshold on
     * this corpus, interpolated into BOTH engines (the s02Planes /
     * KEEP_THRESHOLD discipline: one constant, zero drift). */
   private val SEMDEDUP_TAU = 0.35d
+
+  /** d09's N-adaptive sub-quantizer. The effective cell key is
+    * (argmax-centroid cell, nbits hyperplane sign bits) where `nbits`
+    * is the smallest b with CELL_CAP·2^b ≥ N — so the TOTAL cell count
+    * grows linearly with the corpus and the average cell stays at
+    * ~CELL_CAP vectors no matter the scale. nbits derives from the
+    * corpus count through pure INTEGER comparisons (a float log2
+    * could disagree between engines in the last ulp at a power-of-two
+    * boundary and silently fork the bucketing); the seeded plane
+    * table is interpolated into the oracle verbatim (the s02Planes /
+    * d05Planes discipline). PLANES_MAX bounds the interpolable table:
+    * 2^16 sub-cells per label ≈ 16M vectors per label at CAP=256 —
+    * beyond that, extending the seeded table is a constant-table
+    * change, not a shape change. */
+  private[queries] val D09_CELL_CAP = 256L
+  private[queries] val D09_PLANES_MAX = 16
+  private[queries] val d09Planes: Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(13)
+    Seq.fill(D09_PLANES_MAX)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
+  }
+  /** Scala twin of the in-plan nbits derivation (for specs). */
+  private[queries] def d09NBits(n: Long): Int =
+    (0 until D09_PLANES_MAX).count(b => (D09_CELL_CAP << b) < n)
 
   val d09 = QueryDef(
     "d09_semdedup",
@@ -840,9 +875,20 @@ object Similarity {
         .withColumn("crn", row_number().over(wAssign))
         .filter(col("crn") === 1)
         .select(col("cell"), col("vec_id"), col("v"), col("n"))
-      val earlier = assign.select(col("cell"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("n").as("nb"))
-      val dups = assign.join(earlier, Seq("cell"))
+      val nrow = e.agg(count(lit(1)).as("nn"))
+      val nbits = (0 until D09_PLANES_MAX)
+        .map(b => when(lit(D09_CELL_CAP << b) < col("nn"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigged = assign.crossJoin(broadcast(nrow))
+        .withColumn("nbits", nbits)
+        .withColumn("sig", (0 until D09_PLANES_MAX).map { b =>
+          when(lit(b) < col("nbits") &&
+            dot(col("v"), typedlit(d09Planes(b))) > 0, lit(1L << b))
+            .otherwise(lit(0L))
+        }.reduce(_ + _))
+      val earlier = sigged.select(col("cell"), col("sig"),
+        col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
+      val dups = sigged.join(earlier, Seq("cell", "sig"))
         .filter(col("vec_b") < col("vec_id"))
         .filter(round(dot(col("v"), col("vb")) / (col("n") * col("nb")), 6) >= TAU)
         .select(col("vec_id")).distinct()
@@ -871,9 +917,20 @@ object Similarity {
                  ORDER BY list_dot_product(v, cv) / (n * cn) DESC, cell) AS crn
         FROM en CROSS JOIN centn),
       assign AS (SELECT cell, vec_id, v, n FROM ranked WHERE crn = 1),
+      nrow AS (SELECT count(*) AS nn FROM embeddings),
+      nb AS (SELECT (${(0 until D09_PLANES_MAX).map(b =>
+        s"(CASE WHEN ${D09_CELL_CAP << b} < nn THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) AS nbits FROM nrow),
+      sigged AS (
+        SELECT a.cell, a.vec_id, a.v, a.n,
+               (${(0 until D09_PLANES_MAX).map(b =>
+        s"(CASE WHEN $b < nb.nbits AND list_dot_product(a.v, ${d09Planes(b).mkString("[", ",", "]")}) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("\n                + ")}) AS sig
+        FROM assign a, nb),
       dups AS (
         SELECT DISTINCT a.vec_id
-        FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        FROM sigged a JOIN sigged b
+          ON a.cell = b.cell AND a.sig = b.sig AND b.vec_id < a.vec_id
         WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= $SEMDEDUP_TAU)
       SELECT a.vec_id, a.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
       FROM assign a LEFT JOIN dups d USING (vec_id)

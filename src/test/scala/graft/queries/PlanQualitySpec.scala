@@ -189,6 +189,7 @@ class PlanQualitySpec extends SparkSpec {
       ("Pack.scala", "offsetMap"),         // P+K key-run offsets (longs)
       ("Similarity.scala", "q"),           // s01 quarantined baseline
       ("Similarity.scala", "cent"),        // C centroids
+      ("Similarity.scala", "nrow"),        // one-row corpus count (d09 nbits)
       ("Similarity.scala", "cb"),          // s05 codebook (K·M = 40 rows, constant)
       ("TextOps.scala", "n"),              // one-row corpus count
       ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)

@@ -123,21 +123,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pq < k1, f"trained PQ distortion $pq%.4f not below K=1 baseline $k1%.4f")
   }
 
+  /** Left-to-right JVM dot — the same fold order as the native
+    * DotProduct expression, so sign/threshold decisions agree. */
+  private def jdot(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0d; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** The spec-side twin of d09's sub-bucket signature. */
+  private def d09Sig(v: Array[Double], nbits: Int): Long =
+    (0 until nbits).map { b =>
+      if (jdot(v, Similarity.d09Planes(b).toArray) > 0) 1L << b else 0L
+    }.sum
+
   test("d09 semdedup: keep flags match the brute-force within-cluster recompute") {
     import org.apache.spark.sql.functions._
     val out = Registry.queries("d09_semdedup")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
-    // recompute naively: within each assigned cell, a doc is removed
-    // iff SOME earlier doc in the same cell has cosine >= tau
+    // recompute naively: within each assigned EFFECTIVE cell —
+    // (argmax cell, nbits-bit plane signature) — a doc is removed iff
+    // SOME earlier doc in the same effective cell has cosine >= tau
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
+    val nbits = Similarity.d09NBits(e.size.toLong)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      jdot(a, b) / (math.sqrt(jdot(a, a)) * math.sqrt(jdot(b, b)))
+    val byCell = out.toSeq.groupBy { case (id, (cell, _)) =>
+      (cell, d09Sig(e(id), nbits))
     }
-    val byCell = out.toSeq.groupBy(_._2._1)
     for ((_, members) <- byCell) {
       val ids = members.map(_._1).sorted
       // keep-first discipline: the lowest id in every cell is always kept
@@ -150,7 +165,43 @@ class SimilaritySpec extends SparkSpec {
       }
     }
     val removed = out.values.count(_._2 == 0)
-    info(s"removed $removed of ${out.size}")
+    info(s"removed $removed of ${out.size} (nbits=$nbits)")
     assert(removed > 0, "threshold never fired — dedup untested")
+  }
+
+  test("d09 cell count scales with N: signatures split a hot cell, pair work stays linear") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // one label holding ALL 600 vectors — without sub-bucketing this is
+    // ONE cell and the pair join is 600²/2. At N=600, nbits must rise
+    // to 2 (CELL_CAP·2^1 = 512 < 600 ≤ 1024), splitting the cell ~4 ways.
+    assert(Similarity.d09NBits(600L) === 2)
+    assert(Similarity.d09NBits(50L) === 0)     // tiny corpus: no split
+    assert(Similarity.d09NBits(1000000L) === 12) // C doubles as N doubles
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 600).map { i =>
+      Row(i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 7)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d09hot").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // d09 runs end-to-end on the hot corpus
+    assert(Registry.queries("d09_semdedup")(spark, dir).count() === 600)
+    // the bound: replay the effective-cell key and check the pair work
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sizes = e.values.toSeq.groupBy(v => d09Sig(v, 2)).map(_._2.size)
+    val maxCell = sizes.max
+    val pairWork = sizes.map(s => s.toLong * s).sum
+    info(s"effective cells=${sizes.size}, max=|${maxCell}|, pair work=$pairWork vs unsplit ${600L * 600}")
+    assert(sizes.size === 4, "2 sign bits must yield 4 effective cells")
+    assert(maxCell <= 300, s"hot cell not split: $maxCell of 600 in one cell")
+    assert(pairWork <= 600L * 600 / 2, "pair work not reduced by the split")
   }
 }
