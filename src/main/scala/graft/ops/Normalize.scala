@@ -26,13 +26,20 @@ object Normalize {
 
   /** Ordered suffix scrub: longer patterns first ("f.c." before "fc"),
     * then strip trailing spaces/dots, then drop a dangling " a."/" a"
-    * token — mirrors clean_team_name (Transform.py:237-242). Literal
-    * (non-regex) fragments are quoted with \Q..\E so dots match dots.
+    * token — mirrors clean_team_name (Transform.py:237-242). The six
+    * literal fragments go through StringReplace (plain substring scan,
+    * replaces every occurrence — identical semantics to the quoted
+    * regex it replaces but ~an order of magnitude cheaper per row,
+    * and the exact twin of the oracle's `replace()`); only the two
+    * genuinely-regex tail patterns stay regexp_replace. This sits on
+    * the hot path of every fact build — the optimizer inlines the
+    * whole normed() tree into join conditions, so per-row cost here
+    * multiplies across the pipeline.
     */
   def cleanClubName(c: Column): Column = {
     val suffixes = Seq("a.f.c.", "a.f.c", "f.c.", "f.c", "afc", "fc")
     val scrubbed = suffixes.foldLeft(lower(c)) { (col, s) =>
-      regexp_replace(col, "\\Q" + s + "\\E", "")
+      call_function("replace", col, lit(s), lit(""))
     }
     val tailTrim = regexp_replace(scrubbed, "[ .]+$", "")
     trim(regexp_replace(tailTrim, " a\\.?$", ""))

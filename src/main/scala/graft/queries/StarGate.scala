@@ -174,16 +174,16 @@ object StarGate {
     * team — in the reference's flattened-MultiIndex header shape,
     * with the scraper's dirt: embedded header rows (season='season'),
     * NULL seasons (must SURVIVE the header filter — pandas `!=` keeps
-    * NaN), NULL/unknown teams, 'n/a' stat garbage, NULL stats. */
+    * NaN), NULL/unknown teams, 'n/a' stat garbage, NULL stats.
+    * Selects FROM the shared `raw` CTE (one synthesis, two facts). */
   private val rawPlayerMatchStatsSql: String =
     """SELECT CASE WHEN o_orderkey % 503 = 0 THEN 'season'
       |            WHEN o_orderkey % 211 = 0 THEN NULL
-      |            ELSE CAST(2021 + o_orderkey % 4 AS VARCHAR) END AS season,
-      |       'game-' || lpad(CAST(o_orderkey // 2 AS VARCHAR), 10, '0') AS game,
-      |       CASE WHEN o_orderkey % 101 = 0 THEN NULL
-      |            WHEN o_orderkey % 89 = 0 THEN 'Atlantis FC'
-      |            ELSE ' ' || n_name || ' F.C.' END AS team,
-      |       c_name AS player,
+      |            ELSE season_raw END AS season,
+      |       game,
+      |       CASE WHEN o_orderkey % 89 = 0 THEN 'Atlantis FC'
+      |            ELSE team END AS team,
+      |       captain AS player,
       |       CAST(o_orderkey % 91 AS VARCHAR) AS "min",
       |       CAST(o_orderkey % 5 AS VARCHAR) AS "Performance_Gls",
       |       CAST(o_orderkey % 9 AS VARCHAR) || '.' || CAST(o_orderkey % 10 AS VARCHAR) AS "Expected_xG",
@@ -211,9 +211,7 @@ object StarGate {
       |       CAST(o_orderkey % 7 AS VARCHAR) AS "Take-Ons_Att",
       |       CASE WHEN o_orderkey % 43 = 0 THEN NULL
       |            ELSE CAST(o_orderkey % 4 AS VARCHAR) END AS "Take-Ons_Succ"
-      |FROM orders
-      |JOIN customer ON o_custkey = c_custkey
-      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+      |FROM raw""".stripMargin
 
   /** fact_player_match as CTE bodies (SQL twin of Facts.playerMatch
     * over [[rawPlayerMatchStatsSql]]): header-row filter (NULL season
@@ -291,6 +289,7 @@ object StarGate {
       .join(n2, col("opp_nationkey") ===
         ((col("c_nationkey") + col("gid")) % 25).cast("int"))
       .select(
+        col("o_orderkey"), // carried so p05's raw derives off this cache
         concat(lit("game-"), lpad(col("gid").cast("string"), 10, "0")).as("game"),
         when(col("gid") % 97 === 0, lit("TBD"))
           .otherwise(concat(
@@ -331,24 +330,22 @@ object StarGate {
 
   /** Twin of [[rawPlayerMatchStatsSql]] — the flattened-header raw
     * player-match stat table [[graft.model.Facts.playerMatch]]
-    * resolves through [[graft.ops.Resolve]]. */
+    * resolves through [[graft.ops.Resolve]]. Derived from the SHARED
+    * persisted star raw (one orders⋈customer⋈nation materialization
+    * feeds both fact families) — the ordering customer (raw.Captain)
+    * plays in the order's game for their nation's team, with p05's
+    * own extra dirt layered on via pure o_orderkey arithmetic. */
   private def rawPlayerMatchStats(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-    val c = Tables.customer(s, d)
-    val n = Tables.nation(s, d)
+    val (raw, _, _, _) = star(s, d)
     val k = col("o_orderkey")
-    o.join(c, col("o_custkey") === col("c_custkey"))
-      .join(n, col("c_nationkey") === col("n_nationkey"))
-      .select(
+    raw.select(
         when(k % 503 === 0, lit("season"))
           .when(k % 211 === 0, lit(null).cast("string"))
-          .otherwise((k % 4 + 2021).cast("string")).as("season"),
-        concat(lit("game-"),
-          lpad(floor(k / 2).cast("string"), 10, "0")).as("game"),
-        when(k % 101 === 0, lit(null).cast("string"))
-          .when(k % 89 === 0, lit("Atlantis FC"))
-          .otherwise(concat(lit(" "), col("n_name"), lit(" F.C."))).as("team"),
-        col("c_name").as("player"),
+          .otherwise(col("season")).as("season"),
+        col("game"),
+        when(k % 89 === 0, lit("Atlantis FC"))
+          .otherwise(col("team")).as("team"),
+        col("Captain").as("player"),
         (k % 91).cast("string").as("min"),
         (k % 5).cast("string").as("Performance_Gls"),
         concat((k % 9).cast("string"), lit("."),
@@ -403,20 +400,27 @@ object StarGate {
     (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private def star(s: SparkSession, d: String) = {
-    val (raw, dimTeam, dimMatch, dimPlayer) =
-      starCache.computeIfAbsent((s, d), { _ =>
-        val raw = rawTeamMatch(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dimTeam = Dims.team(rawTeamSeed(s, d))
-        val dimMatch = Dims.matchDim(raw)
-        val dimPlayer = Dims.player(rawPlayerSeason(s, d), rawPlayerMatch(s, d))
-        (raw, dimTeam, dimMatch, dimPlayer)
-      })
+    // dims are persisted as well as checkpoint-backed: the dense-id
+    // scan leaves them as LogicalRDDs with UNKNOWN stats, which would
+    // force every dim join to plan as a shuffle join even when the dim
+    // is kilobytes — the cache's materialized size restores Spark's
+    // own threshold decision (broadcast small, shuffle big: the
+    // size-based call a 100 TB run needs, with no hint pinning it).
+    val tuple = starCache.computeIfAbsent((s, d), { _ =>
+      val raw = rawTeamMatch(s, d)
+      val dimTeam = Dims.team(rawTeamSeed(s, d))
+      val dimMatch = Dims.matchDim(raw)
+      val dimPlayer = Dims.player(rawPlayerSeason(s, d), rawPlayerMatch(s, d))
+      (raw, dimTeam, dimMatch, dimPlayer)
+    })
     // an external catalog.clearCache() (Bench, between warmup and the
-    // timed pass) silently unpersists raw — re-arm like Shingles does
-    if (raw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (raw, dimTeam, dimMatch, dimPlayer)
+    // timed pass) silently unpersists them — (re-)arm like Shingles does
+    tuple.productIterator.foreach { df0 =>
+      val df = df0.asInstanceOf[DataFrame]
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    tuple
   }
 
   // ---------------------------------------------------------------
