@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54)
+      q44, q53, q54, q55)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -415,6 +415,50 @@ object Scalars {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
+
+  /** MERGEABLE sketch rollup — the pre-aggregation pattern [[q29]]'s
+    * one-shot HLL can't express: build a DataSketches HLL per FINE
+    * bucket (returnflag × linestatus — at 100 TB: per day/partition,
+    * persisted alongside the aggregate), then `hll_union_agg` merges
+    * the stored sketches LOSSLESSLY to any coarser grouping without
+    * rescanning the fact — COUNT DISTINCT over arbitrary rollup
+    * windows from kilobytes of state. That mergeability is exactly
+    * what approx_count_distinct's internal buffers don't expose, and
+    * it is why warehouses persist sketches, not estimates.
+    *
+    * Gate discipline = [[q29]]: both engines emit the exact per-flag
+    * distinct (hash-compared) and the sketch-count n_parts; Spark
+    * computes within_bound from the real merged estimate (lgK=12 ⇒
+    * rsd ≈ 1.6%, bound 5%), the oracle asserts the literal 1 the
+    * bound guarantees — a merge regression flips the flag and fails
+    * the row hash. */
+  val q55 = QueryDef(
+    "q55_sketch_rollup",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+      // stage 1: one persisted-size sketch per fine bucket
+      val parts = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+      // stage 2: merge stored sketches up to the coarser grouping
+      val merged = parts.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+          count(lit(1)).as("n_parts"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n_parts"),
+          (abs(col("approx") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05).cast("int").as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             count(DISTINCT l_linestatus) AS n_parts,
+             CAST(1 AS INT) AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
