@@ -16,7 +16,38 @@ import org.apache.spark.sql.functions._
 object Streaming {
 
   def defs: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+
+  /** Streaming cardinality monitoring
+    * ([[graft.streaming.Streams.hourlyDistinctUsers]]): per-hour HLL
+    * sketch state instead of an ever-growing exact-distinct state
+    * store. Gate = q29/q55 discipline: the exact per-hour distinct is
+    * hash-compared (recomputed batch-side from the same files), the
+    * streamed n_events row counts are hash-compared directly, and the
+    * streamed sketch estimate folds into a within_bound flag the
+    * oracle asserts as the literal 1 (lgK=12 ⇒ rsd ≈ 1.6%; bound 5%). */
+  val st10 = QueryDef(
+    "st10_stream_sketch_cardinality",
+    (s, d) => {
+      val streamed = graft.streaming.Streams
+        .hourlyDistinctUsers(s, s"$d/events.parquet")
+      val exact = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      streamed.join(exact, Seq("window_start"))
+        .select(col("window_start"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).cast("int").as("within_bound"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS exact_users,
+             CAST(1 AS INT) AS within_bound
+      FROM events
+      GROUP BY 1
+      ORDER BY window_start"""))
 
   /** Streaming corpus ingest — quality gate + watermark-bounded
     * near-exact dedup over a documents stream, the online twin of the

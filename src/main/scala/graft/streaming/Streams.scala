@@ -150,6 +150,29 @@ object Streams {
       sink.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }
 
+  /** Streaming CARDINALITY MONITORING — a DataSketches HLL as
+    * streaming aggregation state: per-hour approximate distinct users
+    * next to the exact row count, the dashboard primitive a 100 TB
+    * event stream runs continuously (exact streaming COUNT DISTINCT
+    * would hold every user id in the state store forever; the sketch
+    * holds 2^lgK bytes per window, mergeable across micro-batches by
+    * construction — the streaming face of q55's persisted-sketch
+    * pattern). Complete mode over the finite replay makes the final
+    * table batch-equal, so the estimate is gate-checkable against the
+    * exact batch distinct (q29/q55 within_bound discipline). */
+  def hourlyDistinctUsers(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("approx_users"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"), col("approx_users"))
+    }
+
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete()) { src =>
       src.withWatermark("ets", "1 hour")

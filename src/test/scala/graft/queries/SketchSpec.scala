@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * sketch regression fails the external compare too). */
 class SketchSpec extends SparkSpec {
 
-  test("q29/q35/q55 within_bound flags are 1 for every group (the hash-gated form)") {
+  test("q29/q35/q55/st10 within_bound flags are 1 for every group (the hash-gated form)") {
     for (name <- Seq("q29_approx_distinct", "q35_approx_percentiles",
-        "q55_sketch_rollup")) {
+        "q55_sketch_rollup", "st10_stream_sketch_cardinality")) {
       val rows = Registry.queries(name)(spark, sfDir).collect()
       assert(rows.nonEmpty, s"$name returned no rows")
       rows.foreach { r =>
