@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55)
+      q44, q53, q54, q55, q56)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -459,6 +459,71 @@ object Scalars {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
+
+  /** Ordered FUNNEL analysis — view → click → purchase per user, each
+    * step strictly AFTER the previous one in event time (a click
+    * before the first view does not count). The product-analytics
+    * staple the registry's sessionization (st02/st04) and attribution
+    * (q37) don't cover: stage K's timestamp depends on stage K-1's,
+    * so it is sequential logic, not plain aggregation.
+    *
+    * Plan shape at 100 TB: three chained windowed conditional MINs
+    * over the SAME user_id partition — Spark plans one hash exchange
+    * and three in-partition Window passes, then the per-user collapse
+    * reuses the same clustering (no second shuffle; the q40/q46
+    * shared-exchange discipline). No self-joins: the naive form joins
+    * events back to itself per stage (3 fact-fact shuffles); the
+    * windowed form is linear. The oracle spells the same semantics as
+    * per-stage aggregate+join over the tiny per-user table. */
+  val q56 = QueryDef(
+    "q56_funnel_steps",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, ts FROM events),
+      v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM e GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click
+            FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id)
+      SELECT v.user_id,
+             CAST(v.t_view AS TIMESTAMP) AS t_view,
+             CAST(c.t_click AS TIMESTAMP) AS t_click,
+             CAST(p.t_purchase AS TIMESTAMP) AS t_purchase,
+             CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                  WHEN c.t_click IS NOT NULL THEN 2
+                  WHEN v.t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM v
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)
+      ORDER BY user_id"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

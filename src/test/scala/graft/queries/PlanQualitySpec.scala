@@ -250,6 +250,18 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("q56's three chained funnel windows + per-user collapse share one hash exchange") {
+    // stage K's conditional MIN references stage K-1's output, so the
+    // plan is three Window passes — all over user_id, so ONE hash
+    // exchange clusters them AND the groupBy(user_id) collapse; the
+    // only other exchange is the final ORDER BY's range partitioning.
+    // The naive funnel (events self-joined per stage) would shuffle the
+    // fact three times.
+    val p = plan("q56_funnel_steps")
+    assert("Window".r.findAllIn(p).size >= 3, p.take(3000))
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the
