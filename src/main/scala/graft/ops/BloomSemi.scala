@@ -67,18 +67,21 @@ object BloomSemi {
     * node can never be reordered with a join it sits under, so the
     * bit-test stays glued to the probe scan — the same spelling
     * Spark's own InjectRuntimeFilter uses for its runtime bloom. */
-  def prefilter(probe: DataFrame, key: Column, bloom: DataFrame,
-      numBits: Int, k: Int): DataFrame = {
+  private def passExpr(key: Column, bloom: DataFrame,
+      numBits: Int, k: Int): Column = {
     val bits = org.apache.spark.sql.GraftBridge.scalarSubquery(
       bloom.select(col("bloom_bits")))
-    val pass = (0 until k).map { i =>
+    (0 until k).map { i =>
       val idx = position(key, numBits, i)
       val word = element_at(bits, (idx / 64).cast("int") + 1)
       call_function("shiftright", word, (idx % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
-    probe.filter(pass)
   }
+
+  def prefilter(probe: DataFrame, key: Column, bloom: DataFrame,
+      numBits: Int, k: Int): DataFrame =
+    probe.filter(passExpr(key, bloom, numBits, k))
 
   /** The full composite: bloom-prefiltered exact semi join of `probe`
     * against `build` on `probeKey == buildKey`. Result is identical
@@ -89,5 +92,27 @@ object BloomSemi {
     val bloom = buildBits(build, buildKey, numBits, k)
     prefilter(probe, probeKey, bloom, numBits, k)
       .join(build, probeKey === buildKey, "left_semi")
+  }
+
+  /** Bloom-prefiltered exact ANTI join — the incremental-dedup shape:
+    * `probe` rows NOT matched in `build`. The bloom's no-false-negative
+    * guarantee flips the economics vs [[semiJoin]]: a probe row that
+    * FAILS the bloom is definitely absent from the build side and is
+    * kept WITHOUT ever entering the join shuffle — on an incremental
+    * crawl where most incoming keys are genuinely new, the bulk of the
+    * probe volume short-circuits and only maybe-duplicates (true
+    * matches + the fp rate) shuffle into the exact anti join. Result
+    * is identical to the plain left_anti join: NULL probe keys (which
+    * a null-rejecting anti condition always keeps) route to the
+    * definitely-new branch via the null-safe complement. */
+  def antiJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column,
+      numBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bloom = buildBits(build, buildKey, numBits, k)
+    val pass = passExpr(probeKey, bloom, numBits, k)
+    val maybeDup = probe.filter(pass)
+      .join(build, probeKey === buildKey, "left_anti")
+    val definitelyNew = probe.filter(coalesce(!pass, lit(true)))
+    maybeDup.unionByName(definitelyNew)
   }
 }

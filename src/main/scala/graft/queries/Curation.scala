@@ -26,7 +26,56 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Curation {
 
-  def defs: Seq[QueryDef] = Seq(t17, t18, t19, t20, d08)
+  def defs: Seq[QueryDef] = Seq(t17, t18, t19, t20, d08, d10)
+
+  /** INCREMENTAL corpus dedup — the daily-crawl shape: an incoming
+    * batch is deduplicated against the HISTORICAL corpus without
+    * re-shuffling the history per increment. The whitespace-normalized
+    * exact fingerprint (d01's) of every history doc folds into a
+    * constant-size bloom bitset ([[graft.ops.BloomSemi.antiJoin]]);
+    * incoming docs that FAIL the bloom are definitely new and never
+    * enter a join shuffle — only maybe-duplicates (true dups + the fp
+    * rate) reach the exact anti join that makes the result identical
+    * to the plain anti join. At 100 TB the history-side bitset is
+    * built once per snapshot and reused by every increment, and the
+    * incoming volume that shuffles is proportional to the duplicate
+    * rate, not the batch size.
+    *
+    * Derivation: history = doc_id % 3 ≠ 0; incoming = doc_id % 3 = 0
+    * plus planted twins (history docs with doc_id % 7 = 0 re-keyed
+    * +2·10⁹, st09's twin discipline) that the dedup must drop. The
+    * oracle replays the split, the twin planting, and a plain
+    * NOT EXISTS — proving the bloom composite exactly equals it. */
+  val d10 = QueryDef(
+    "d10_incremental_dedup",
+    (s, d) => {
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(fp.as("hist_fp")).distinct()
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"), col("text")))
+        .withColumn("fp", fp)
+      graft.ops.BloomSemi.antiJoin(incoming, col("fp"), history, col("hist_fp"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fps AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      history AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+      incoming AS (
+        SELECT doc_id, lang, fp FROM fps WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000 AS doc_id, lang, fp
+        FROM fps WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0)
+      SELECT i.doc_id, i.lang
+      FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = i.fp)
+      ORDER BY i.doc_id"""))
 
   /** t08's split assignment, recomputed from doc_id alone: split is a
     * pure function of the id, so membership never needs a join back to

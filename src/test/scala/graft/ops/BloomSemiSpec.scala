@@ -35,6 +35,31 @@ class BloomSemiSpec extends SparkSpec {
       s"prefilter barely pruned (${pre.size} of $total survived)")
   }
 
+  test("anti composite equals the plain left_anti join exactly (null keys kept)") {
+    val probeN = probe.select(
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("k"), col("o_orderkey"))
+    val anti = BloomSemi.antiJoin(probeN, col("k"), build, col("c_custkey"),
+        numBits = 1 << 12, k = 3)
+      .select("o_orderkey").as[Long].collect().sorted
+    val plain = probeN.join(build, col("k") === col("c_custkey"), "left_anti")
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(anti.sameElements(plain))
+    // the anti side is the BULK on this shape (~96% genuinely new) —
+    // and a null key must behave like the plain anti join: kept
+    assert(plain.length * 2 > probe.count())
+  }
+
+  test("anti composite: bloom-fail rows bypass the join (pruning actually happens)") {
+    // the scale claim: only maybe-duplicates reach the exact anti join.
+    // Count rows the prefilter passes — that, not the batch size, is
+    // the join's input volume.
+    val bloom = BloomSemi.buildBits(build, col("c_custkey"), 1 << 12, 3)
+    val joined = BloomSemi.prefilter(probe, col("o_custkey"), bloom, 1 << 12, 3).count()
+    assert(joined * 2 < probe.count(),
+      s"anti composite would shuffle $joined of ${probe.count()} rows")
+  }
+
   test("tiny filter saturates gracefully: all rows pass, result still exact") {
     // 64 bits with hundreds of keys -> bitset ~all ones; the composite
     // must degrade to the plain semi join, never drop rows.

@@ -23,6 +23,24 @@ class IdsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq) // id order == sort order
   }
 
+  test("property: dense == sequential on random unique keys, any input partitioning") {
+    // the substitution the star-gate builders rely on: Ids.dense must
+    // be OUTPUT-IDENTICAL to the reference-parity global window for
+    // any unique key set, regardless of how the input arrives
+    for (seed <- Seq(1, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500 + rnd.nextInt(1500)
+      val keys = rnd.shuffle((1 to n).map(i => f"k${rnd.nextInt(1 << 30)}%010d-$i").toList)
+      val df = keys.toDF("name").repartition(1 + rnd.nextInt(16))
+      val dense = Ids.dense(df, Seq(col("name")), "id")
+        .select(col("name"), col("id").cast("int").as("id"))
+        .as[(String, Int)].collect().toMap
+      val seq = Ids.sequential(df, Seq(col("name")), "id")
+        .as[(String, Int)].collect().toMap
+      assert(dense === seq, s"seed=$seed n=$n")
+    }
+  }
+
   test("hashed ids are stable across runs and unique for unique keys") {
     val a = Ids.hashed(df, Seq("name"), "id").as[(String, Long)].collect().toMap
     val b = Ids.hashed(df, Seq("name"), "id").as[(String, Long)].collect().toMap
