@@ -346,12 +346,19 @@ object Curation {
         .select(col("doc_id"), (col("avg_logp") >= KEEP_THRESHOLD).as("keep"))
       val contam = contamFlags(s, d)
         .select(col("doc_id"), col("contaminated"))
+      // ann feeds BOTH report branches (base counts + mixture input);
+      // without a materialization barrier the quality-score and
+      // contamination subplans — the expensive word explode + shingle
+      // joins — execute twice. Non-eager localCheckpoint: computed at
+      // first use inside the one final job, block-reused by the second
+      // branch, no SQL-cache entry to leak across builder calls.
       val ann = train
         .join(qual, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("keep"), lit(false)).as("keep"),
           coalesce(col("contaminated"), lit(false)).as("contam"))
+        .localCheckpoint(eager = false)
       val base = ann.groupBy("lang").agg(
         count(lit(1)).as("n_train"),
         count(when(!col("keep"), 1)).as("n_quality_fail"),
