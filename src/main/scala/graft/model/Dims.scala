@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * also work, but these builders are the template consumers reuse on
   * SF-scaling inputs (StarGate derives its dims from customer/orders),
   * so the builders themselves must not embed a serial bottleneck.
+  * One bound remains by CHOICE: ids are cast to int for reference
+  * schema parity (the processed CSVs carry int32 ids), capping a dim
+  * at 2^31 rows — under ANSI mode an overflow fails fast, not
+  * silently. A consumer with a >2B-row dimension drops the cast and
+  * keeps Ids.dense's native longs (or moves to Ids.hashed).
   */
 object Dims {
 

@@ -104,7 +104,16 @@ object BloomSemi {
     * matches + the fp rate) shuffle into the exact anti join. Result
     * is identical to the plain left_anti join: NULL probe keys (which
     * a null-rejecting anti condition always keeps) route to the
-    * definitely-new branch via the null-safe complement. */
+    * definitely-new branch via the null-safe complement.
+    *
+    * PRECONDITION: `probe` must be deterministic. The two branches
+    * scan it through complementary filters, so a non-deterministic
+    * lineage (rand(), sample, shuffle-order-dependent first()) could
+    * evaluate differently per branch — a row landing in both or
+    * neither. `localCheckpoint` such a probe first (the Pack.scala
+    * discipline); it is not done here because pinning a 100 TB probe
+    * by default would materialize the very volume this op exists to
+    * avoid shuffling. */
   def antiJoin(probe: DataFrame, probeKey: Column,
       build: DataFrame, buildKey: Column,
       numBits: Int = 1 << 16, k: Int = 3): DataFrame = {

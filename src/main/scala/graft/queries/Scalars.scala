@@ -501,7 +501,8 @@ object Scalars {
         .orderBy(col("user_id"))
     },
     Some("""
-      WITH e AS (SELECT user_id, event_type, ts FROM events),
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(ts AS TIMESTAMP) AS ts FROM events),
       v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
             FROM e GROUP BY user_id),
       c AS (SELECT e.user_id, min(e.ts) AS t_click

@@ -41,7 +41,14 @@ class RegistrySpec extends SparkSpec {
     // rank is also allowed: its window input is the POST-AGGREGATE
     // 25-row nation table — bounded by key cardinality, not by SF.
     val allowed = Set("q09_sequential_ids", "q08_nation_rank")
-    val offenders = Registry.all.flatMap { q =>
+    // streaming queries are excluded, not because they're exempt but
+    // because the check is blind there: their builders run the stream
+    // to completion and return a materialized-sink LogicalRDD, so the
+    // inspected plan contains none of the streaming aggregation —
+    // running them here would burn ~10 full stream executions to
+    // inspect leaves. Streams.scala's builders are covered by
+    // StreamsSpec/plan notes instead.
+    val offenders = Registry.all.filterNot(_.name.startsWith("st")).flatMap { q =>
       val bad = Registry.queries(q.name)(spark, sfDir)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
