@@ -83,7 +83,12 @@ class BloomSemiSpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq
       val plain = probeDf.join(buildDf, col("pk") === col("bk"), "left_semi")
         .as[Long].collect().sorted.toSeq
-      composite == plain
+      val antiComposite = BloomSemi.antiJoin(probeDf, col("pk"), buildDf,
+          col("bk"), numBits = bits, k = k)
+        .as[Long].collect().sorted.toSeq
+      val antiPlain = probeDf.join(buildDf, col("pk") === col("bk"), "left_anti")
+        .as[Long].collect().sorted.toSeq
+      composite == plain && antiComposite == antiPlain
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
     assert(res.passed, res.status.toString)
