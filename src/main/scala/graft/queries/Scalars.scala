@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56)
+      q44, q53, q54, q55, q56, q57)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -525,6 +525,57 @@ object Scalars {
       LEFT JOIN c USING (user_id)
       LEFT JOIN p USING (user_id)
       ORDER BY user_id"""))
+
+  /** VALUE-based window frame — trailing 30-DAY revenue per nation via
+    * `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over the day value.
+    * The frame feature the registry's ROWS windows (q10's last-5-rows
+    * form) can't express: a ROWS frame counts physical rows, so date
+    * GAPS silently widen the lookback and tied order days make the
+    * result depend on row order; a RANGE frame is bounded by the
+    * ORDER-BY VALUE — gap-correct and tie-deterministic by
+    * construction (all peers of a day share one frame).
+    *
+    * Plan: daily decimal pre-aggregation (one shuffle on (nation,
+    * day) — partial-combined map-side), then the range window reuses
+    * the nation clustering; window sums stay DECIMAL until the final
+    * double cast, so frame accumulation order is irrelevant. */
+  val q57 = QueryDef(
+    "q57_trailing_range_window",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      val o = graft.Tables.orders(s, d)
+      val c = graft.Tables.customer(s, d)
+      val n = graft.Tables.nation(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("day",
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+        .groupBy(col("n_name"), col("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("__rev"))
+        .withColumn("__trail", sum(col("__rev")).over(w))
+        .select(col("n_name"), col("day"),
+          col("__rev").cast("double").as("day_rev"),
+          col("__trail").cast("double").as("trailing_rev"))
+        .orderBy(col("n_name"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT n_name,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT n_name, CAST(day AS INT) AS day,
+             CAST(rev AS DOUBLE) AS day_rev,
+             CAST(sum(rev) OVER (PARTITION BY n_name ORDER BY day
+                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_rev
+      FROM daily
+      ORDER BY n_name, day"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
