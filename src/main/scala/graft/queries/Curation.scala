@@ -53,10 +53,16 @@ object Curation {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
       val history = docs.filter(col("doc_id") % 3 =!= 0)
         .select(fp.as("hist_fp")).distinct()
+      // pinned: antiJoin's two complementary branches each scan the
+      // probe — the checkpoint computes the md5 normalization once
+      // (and satisfies antiJoin's determinism precondition by
+      // construction)
       val incoming = docs.filter(col("doc_id") % 3 === 0)
         .unionByName(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
           .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"), col("text")))
         .withColumn("fp", fp)
+        .select(col("doc_id"), col("lang"), col("fp"))
+        .localCheckpoint(eager = false)
       graft.ops.BloomSemi.antiJoin(incoming, col("fp"), history, col("hist_fp"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
