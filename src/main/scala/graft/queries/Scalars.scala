@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57)
+      q44, q53, q54, q55, q56, q57, q58)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -576,6 +576,34 @@ object Scalars {
                AS trailing_rev
       FROM daily
       ORDER BY n_name, day"""))
+
+  /** Custom DataSource V2 connector under the hash gate
+    * ([[graft.sources.SyntheticSource]]): a deterministic synthetic
+    * table read through the full DSv2 surface — `id` range predicates
+    * push INTO the source (generation narrows; pruned rows are never
+    * materialized), the projection prunes the read schema, and the
+    * scan splits into parallel slices. The oracle replays the
+    * identical rows from DuckDB's `range()`, so the connector's
+    * pushdown arithmetic is externally hash-verified, not just
+    * spec-asserted (SourcesSpec pins the pushdown/pruning plan). */
+  val q58 = QueryDef(
+    "q58_dsv2_source",
+    (s, d) => {
+      s.read.format("graft.sources.SyntheticSource")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      SELECT CAST((i * 2654435761) % 97 AS INT) AS bucket,
+             count(*) AS n_rows,
+             ${dsumSql("(i % 1000) / 10.0")} AS sum_value
+      FROM range(25000, 75000) t(i)
+      GROUP BY 1
+      ORDER BY bucket"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

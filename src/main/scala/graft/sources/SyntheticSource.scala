@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A full DataSource V2 connector (the extension class the engine's
+  * other sources don't exercise — they are built-in readers): a
+  * deterministic synthetic table `(id, bucket, value)` generated from
+  * pure arithmetic over a row range, split into `slices` parallel
+  * input partitions.
+  *
+  * The point is the CONNECTOR surface, end to end:
+  *  - [[SupportsPushDownFilters]]: `id` range predicates are consumed
+  *    by the source — generation itself narrows to [lo, hi), rows
+  *    outside are never materialized (the DSv2 analog of parquet
+  *    row-group pruning; at 100 TB this is the difference between a
+  *    source that scans-then-drops and one that never reads). Accepted
+  *    filters are NOT returned to Spark, so no redundant post-scan
+  *    Filter re-evaluates them; anything else is returned for Spark to
+  *    apply.
+  *  - [[SupportsPushDownRequiredColumns]]: the reader materializes
+  *    exactly the pruned schema — a projection of 1 column generates
+  *    1 value per row.
+  *  - Parallelism is declared via input partitions (contiguous id
+  *    slices), so the scan scales out like any file source.
+  *
+  * Because generation is pure arithmetic, a query over this source is
+  * ORACLE-CHECKABLE: DuckDB replays the identical rows from
+  * `range(lo, hi)` (see q58) — giving the connector a full external
+  * hash gate, not just specs.
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticSource")
+  *   .option("rows", n).option("slices", p).load()`.
+  */
+class SyntheticSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+object SyntheticSource {
+  /** bucket = (id·2654435761) mod 97 (Knuth multiplicative hash —
+    * products stay < 2^63 for id < ~3.5e9, identical in any BIGINT
+    * engine); value = (id mod 1000)/10.0 (one IEEE divide, identical
+    * everywhere). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  private[sources] def bucketOf(id: Long): Int = ((id * 2654435761L) % 97L).toInt
+  private[sources] def valueOf(id: Long): Double = (id % 1000L) / 10.0
+}
+
+private[sources] class SyntheticTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_synthetic($rows)"
+  override def schema(): StructType = SyntheticSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, slices)
+}
+
+private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticSource.schema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rejected) = filters.partition {
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case GreaterThan("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    acc.foreach {
+      case GreaterThanOrEqual("id", v: java.lang.Long) => lo = math.max(lo, v)
+      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1L)
+      case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: java.lang.Long) => hi = math.min(hi, v + 1L)
+      case _ => ()
+    }
+    accepted = acc
+    rejected // Spark re-applies ONLY these
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SyntheticScan(lo, hi, slices, required)
+}
+
+private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = math.max(0L, hi - lo)
+    val step = math.max(1L, (span + n - 1) / n)
+    (0 until n).iterator
+      .map { i => SyntheticSlice(lo + i * step, math.min(hi, lo + (i + 1) * step)) }
+      .filter(s => s.start < s.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required.fieldNames)
+}
+
+private[sources] case class SyntheticSlice(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class SyntheticReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[SyntheticSlice]
+    new PartitionReader[InternalRow] {
+      private var cur = s.start - 1
+      override def next(): Boolean = { cur += 1; cur < s.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
+        case "id" => cur
+        case "bucket" => SyntheticSource.bucketOf(cur)
+        case "value" => SyntheticSource.valueOf(cur)
+      })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -120,6 +120,34 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.jsonlTolerant(spark, mixed, schema).count() === 2)
   }
 
+  test("DSv2 synthetic source: range pushdown narrows generation, projection prunes the schema") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "1000").option("slices", "4").load()
+      .filter(col("id") >= 100L && col("id") < 200L)
+      .select("bucket")
+    val plan = df.queryExecution.executedPlan.toString
+    // the filters were CONSUMED by the source: generation itself is
+    // [100, 200), and with id used only in the pushed filter the
+    // pruned read schema is bucket alone
+    assert(plan.contains("range=[100,200)"), plan.take(2000))
+    assert(plan.contains("cols=bucket"), plan.take(2000))
+    assert(df.count() === 100)
+    // generated values match the declared arithmetic
+    val full = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "50").load().collect()
+    assert(full.length === 50)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === ((id * 2654435761L) % 97L).toInt)
+      assert(r.getDouble(2) === (id % 1000L) / 10.0)
+    }
+    // parallelism: the scan really splits
+    val parts = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "1000").option("slices", "4").load().rdd.getNumPartitions
+    assert(parts === 4)
+  }
+
   test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val orders = graft.Tables.orders(spark, sfDir)
