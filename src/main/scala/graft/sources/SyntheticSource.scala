@@ -75,7 +75,7 @@ private[sources] class SyntheticTable(rows: Long, slices: Int)
 
 private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = SyntheticSource.schema
   private var lo = 0L
   private var hi = rows
@@ -102,6 +102,15 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** LIMIT pushdown (runs AFTER filter pushdown in V2ScanRelationPushDown,
+    * so clamping the top of the already-narrowed range is exact):
+    * `.limit(k)` generates exactly k rows instead of generating
+    * everything and discarding — returning true tells Spark the source
+    * honored it fully. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
   override def build(): Scan = new SyntheticScan(lo, hi, slices, required)
 }
 

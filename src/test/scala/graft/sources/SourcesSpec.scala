@@ -146,6 +146,14 @@ class SourcesSpec extends SparkSpec {
     val parts = spark.read.format("graft.sources.SyntheticSource")
       .option("rows", "1000").option("slices", "4").load().rdd.getNumPartitions
     assert(parts === 4)
+    // LIMIT pushdown: limit(7) after the filter narrows generation to
+    // exactly 7 rows — the scan's range proves no over-generation
+    val limited = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "1000000").load()
+      .filter(col("id") >= 100L).limit(7)
+    val lplan = limited.queryExecution.executedPlan.toString
+    assert(lplan.contains("range=[100,107)"), lplan.take(2000))
+    assert(limited.count() === 7)
   }
 
   test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
