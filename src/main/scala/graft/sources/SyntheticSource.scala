@@ -115,9 +115,23 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
 }
 
 private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Post-pushdown statistics: row count is EXACT (the range is the
+    * generator), size ≈ 24 bytes/row. This is what lets Catalyst make
+    * size-based decisions — a filtered slice of this source can
+    * auto-broadcast into a join, where a stats-less source (like any
+    * RDD-backed relation) would pessimistically plan a shuffle
+    * (the round-6 StarGate lesson, solved connector-side here). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 24L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
   override def description(): String =
     s"graft-synthetic range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {

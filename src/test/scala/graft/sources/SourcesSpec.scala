@@ -156,6 +156,24 @@ class SourcesSpec extends SparkSpec {
     assert(limited.count() === 7)
   }
 
+  test("DSv2 synthetic source reports post-pushdown stats: filtered slice auto-broadcasts") {
+    import org.apache.spark.sql.functions.col
+    // a narrow filtered slice of a HUGE declared table: with
+    // SupportsReportStatistics the planner sees the post-pushdown row
+    // count (1000 rows ≈ 24KB), under the broadcast threshold — so the
+    // join picks BroadcastHashJoin from MEASURED size, no hint. A
+    // stats-less source would be presumed enormous and shuffle.
+    val dim = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "100000000").load()
+      .filter(col("id") >= 5000L && col("id") < 6000L)
+      .select(col("id").as("dim_id"), col("bucket"))
+    val fact = graft.Tables.orders(spark, sfDir)
+    val plan = fact.join(dim, fact("o_orderkey") === dim("dim_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val orders = graft.Tables.orders(spark, sfDir)
