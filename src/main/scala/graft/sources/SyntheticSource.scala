@@ -91,7 +91,8 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
     }
     acc.foreach {
       case GreaterThanOrEqual("id", v: java.lang.Long) => lo = math.max(lo, v)
-      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1L)
+      case GreaterThan("id", v: java.lang.Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1L)
       case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
       case LessThanOrEqual("id", v: java.lang.Long) => hi = math.min(hi, v + 1L)
       case _ => ()
@@ -154,14 +155,27 @@ private[sources] class SyntheticReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val s = p.asInstanceOf[SyntheticSlice]
+    // field-name dispatch resolved ONCE per partition, not per row —
+    // the per-row loop is generator calls into a reused value array
+    val gens: Array[Long => Any] = fields.map {
+      case "id" => (id: Long) => id
+      case "bucket" => (id: Long) => SyntheticSource.bucketOf(id)
+      case "value" => (id: Long) => SyntheticSource.valueOf(id)
+    }
     new PartitionReader[InternalRow] {
       private var cur = s.start - 1
+      private val values = new Array[Any](gens.length)
+      // single reused row (the scan exec unsafe-projects each row
+      // before anything downstream can buffer it — the same contract
+      // every built-in row-based reader relies on)
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       override def next(): Boolean = { cur += 1; cur < s.end }
-      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
-        case "id" => cur
-        case "bucket" => SyntheticSource.bucketOf(cur)
-        case "value" => SyntheticSource.valueOf(cur)
-      })
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < gens.length) { values(i) = gens(i)(cur); i += 1 }
+        row
+      }
       override def close(): Unit = ()
     }
   }
