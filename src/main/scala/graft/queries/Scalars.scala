@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58)
+      q44, q53, q54, q55, q56, q57, q58, q59)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -604,6 +604,62 @@ object Scalars {
       FROM range(25000, 75000) t(i)
       GROUP BY 1
       ORDER BY bucket"""))
+
+  /** BATCH sessionization — gap-based session assignment (a new
+    * session starts when a user's inter-event gap exceeds 6 h), the
+    * batch twin of st02/st04's streaming session windows. The classic
+    * two-window composition: `lag` marks session STARTS, a running
+    * `sum` of the marks numbers sessions 1..k per user — both windows
+    * share (PARTITION BY user_id ORDER BY ts_ns, event_id), so the
+    * whole chain costs ONE hash exchange + one sort; the per-session
+    * aggregate then groups by (user_id, session_seq), which
+    * hash(user_id) clustering already satisfies — no further
+    * exchange (same single-exchange discipline as q56's funnel).
+    * Gap math runs on integer epoch MICROS (`ts_ns div 1000`) — µs
+    * is the precision floor both engines share (DuckDB 1.0 truncates
+    * parquet nanos to µs on read, so its epoch_ns is µs·1000), and
+    * integer µs arithmetic is exact in both. Tie rows (equal µs) get
+    * gap 0 in any tie order, so per-session outputs are deterministic
+    * under the (t_us, event_id) total order. */
+  val q59 = QueryDef(
+    "q59_batch_sessionize",
+    (s, d) => {
+      val GAP_US = 6L * 3600 * 1000 * 1000 // 6 h in micros
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__t_us"), col("event_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      graft.Tables.events(s, d)
+        .withColumn("__t_us", expr("ts_ns div 1000"))
+        .withColumn("__prev", lag(col("__t_us"), 1).over(w))
+        .withColumn("__new",
+          (col("__prev").isNull || col("__t_us") - col("__prev") > GAP_US)
+            .cast("int"))
+        .withColumn("session_seq", sum(col("__new")).over(wRun).cast("int"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("__t_us")).as("start_us"),
+          max(col("__t_us")).as("end_us"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, tus, value, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM g)
+      SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+             count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
+             ${dsumSql("value")} AS session_value
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
