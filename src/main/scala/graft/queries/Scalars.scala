@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -660,6 +660,49 @@ object Scalars {
              count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
              ${dsumSql("value")} AS session_value
       FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+
+  /** HEAVY HITTERS via count-min sketch — completes the mergeable-
+    * sketch family (q29 HLL estimate, q55 HLL rollup) with the
+    * frequency sketch: the built-in `count_min_sketch` aggregate
+    * builds a ~100 KB depth×width grid in ONE pass (mergeable across
+    * partitions — the partial-agg tree merges grids cell-wise), and
+    * the graft-native [[graft.functions.CmsEstimate]] expression
+    * probes it — the read side Spark's SQL surface lacks.
+    *
+    * Gate form (the q29 within_bound idiom): the exact top-10 counts
+    * hash-compare against DuckDB; the sketch contributes a boolean
+    * per row checking the CMS contract — never underestimates (hard
+    * guarantee of the min-over-rows estimate), overestimates ≤ ε·N
+    * (deterministic here for the fixed seed + data). At 100 TB the
+    * sketch replaces a full second aggregation pass for any "is this
+    * key frequent?" probe: 100 KB of state per executor regardless
+    * of key cardinality. */
+  val q60 = QueryDef(
+    "q60_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val li = graft.Tables.lineitem(s, d)
+      val sk = li.agg(
+        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("__sk"),
+        count(lit(1)).as("__n"))
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_partkey"))
+        .limit(10)
+      top.crossJoin(broadcast(sk))
+        .withColumn("__est",
+          call_function("graft_cms_estimate", col("__sk"), col("l_partkey")))
+        .withColumn("within_bound",
+          (col("__est") >= col("exact_cnt") &&
+            col("__est").cast("double") <=
+              col("exact_cnt") + col("__n").cast("double") * 0.001).cast("int"))
+        .select(col("l_partkey"), col("exact_cnt"), col("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("l_partkey"))
+    },
+    Some("""
+      SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

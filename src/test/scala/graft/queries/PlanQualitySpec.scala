@@ -196,6 +196,7 @@ class PlanQualitySpec extends SparkSpec {
       ("Curation.scala", "tot"),           // one-row corpus/token total
       ("Relational.scala", "n"), ("Relational.scala", "r"),
       ("Scalars.scala", "n"),              // nation dim (25 rows, q57)
+      ("Scalars.scala", "sk"),             // one-row CMS sketch (q60)
       ("Relational.scala", "cn"), ("Relational.scala", "sn"),
       ("Relational.scala", "months"))      // calendar spine
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
