@@ -30,6 +30,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    1 value per row.
   *  - Parallelism is declared via input partitions (contiguous id
   *    slices), so the scan scales out like any file source.
+  *  - [[SupportsRuntimeFiltering]]: the DSv2 dynamic-partition-pruning
+  *    hook — when this table joins a filtered dimension on `id`,
+  *    Spark collects the build side's keys at RUNTIME (from the
+  *    reused broadcast) and hands them to [[SyntheticScan.filter]];
+  *    the scan re-plans to generate ONLY the surviving ids. At 100 TB
+  *    this is the star-join saver: the fact scan is pruned by the
+  *    dimension predicate no static optimizer could see.
   *
   * Because generation is pure arithmetic, a query over this source is
   * ORACLE-CHECKABLE: DuckDB replays the identical rows from
@@ -117,7 +124,25 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
 
 private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
     required: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  /** Runtime-pruned id set (DPP): None = full range. Set by
+    * [[filter]] before Spark re-plans input partitions. */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", vs) =>
+      val ids = vs.iterator.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }.filter(id => id >= lo && id < hi).toArray.distinct.sorted
+      // intersect with any earlier runtime filter (conjunction)
+      runtimeIds = Some(runtimeIds.fold(ids)(prev => prev.intersect(ids)))
+    case _ => () // unsupported runtime filter shapes: keep full range
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Post-pushdown statistics: row count is EXACT (the range is the
@@ -134,15 +159,23 @@ private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
       java.util.OptionalLong.of(n)
   }
   override def description(): String =
-    s"graft-synthetic range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val span = math.max(0L, hi - lo)
-    val step = math.max(1L, (span + n - 1) / n)
-    (0 until n).iterator
-      .map { i => SyntheticSlice(lo + i * step, math.min(hi, lo + (i + 1) * step)) }
-      .filter(s => s.start < s.end)
-      .toArray[InputPartition]
+    s"graft-synthetic range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
+      runtimeIds.fold("")(ids => s" runtimeIds=${ids.length}")
+  override def planInputPartitions(): Array[InputPartition] = runtimeIds match {
+    case Some(ids) =>
+      // runtime-pruned plan: slice the surviving id LIST, not the
+      // range — k matched keys cost k generated rows total
+      if (ids.isEmpty) Array.empty
+      else ids.grouped(math.max(1, (ids.length + slices - 1) / slices))
+        .map(SyntheticIdList(_): InputPartition).toArray
+    case None =>
+      val n = math.max(1, slices)
+      val span = math.max(0L, hi - lo)
+      val step = math.max(1L, (span + n - 1) / n)
+      (0 until n).iterator
+        .map { i => SyntheticSlice(lo + i * step, math.min(hi, lo + (i + 1) * step)) }
+        .filter(s => s.start < s.end)
+        .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)
@@ -151,10 +184,13 @@ private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
 private[sources] case class SyntheticSlice(start: Long, end: Long)
     extends InputPartition
 
+/** Runtime-filter partition: an explicit list of surviving ids. */
+private[sources] case class SyntheticIdList(ids: Array[Long])
+    extends InputPartition
+
 private[sources] class SyntheticReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val s = p.asInstanceOf[SyntheticSlice]
     // field-name dispatch resolved ONCE per partition, not per row —
     // the per-row loop is generator calls into a reused value array
     val gens: Array[Long => Any] = fields.map {
@@ -162,18 +198,23 @@ private[sources] class SyntheticReaderFactory(fields: Array[String])
       case "bucket" => (id: Long) => SyntheticSource.bucketOf(id)
       case "value" => (id: Long) => SyntheticSource.valueOf(id)
     }
+    val idAt: (Long => Long, Long) = p match {
+      case SyntheticSlice(start, end) => ((i: Long) => start + i, end - start)
+      case SyntheticIdList(ids) => ((i: Long) => ids(i.toInt), ids.length.toLong)
+    }
     new PartitionReader[InternalRow] {
-      private var cur = s.start - 1
+      private var cur = -1L
       private val values = new Array[Any](gens.length)
       // single reused row (the scan exec unsafe-projects each row
       // before anything downstream can buffer it — the same contract
       // every built-in row-based reader relies on)
       private val row =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
-      override def next(): Boolean = { cur += 1; cur < s.end }
+      override def next(): Boolean = { cur += 1; cur < idAt._2 }
       override def get(): InternalRow = {
+        val id = idAt._1(cur)
         var i = 0
-        while (i < gens.length) { values(i) = gens(i)(cur); i += 1 }
+        while (i < gens.length) { values(i) = gens(i)(id); i += 1 }
         row
       }
       override def close(): Unit = ()

@@ -174,6 +174,58 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("DSv2 runtime filtering: a filtered dim join prunes fact generation to matched ids") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // DPP in DSv2 form: the fact is this source (100k rows), the dim
+    // has a selective predicate the optimizer can't statically push
+    // into the fact. SupportsRuntimeFiltering hands the dim's JOIN
+    // KEYS (from the reused broadcast) to the scan at runtime; the
+    // scan re-plans to an id-LIST partition — the fact generates 3
+    // rows, not 100k. numOutputRows on the scan node proves it.
+    // the dim must be SOURCE-backed: a literal Seq folds to a
+    // LocalRelation at plan time, leaving no Filter for the DPP
+    // rule's selectivity check — parquet keeps the predicate live
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Seq((10L, "x"), (777L, "x"), (33333L, "x"), (50L, "y"), (60L, "y"))
+      .toDF("key", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "100000").option("slices", "4").load()
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim.filter(col("tag") === "x"),
+      fact("id") === dim("key"))
+    val rows = joined.collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === ((id * 2654435761L) % 97L).toInt)
+    }
+    // AQE hides stages behind leaf QueryStageExec nodes — recurse
+    // through them explicitly to reach the scan's runtime metrics
+    def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanRows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanRows(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scanRows(r.child)
+        case _ => Seq.empty
+      }
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("graft-synthetic") =>
+          Seq(b.metrics("numOutputRows").value)
+        case _ => Seq.empty
+      }
+      here ++ nested ++ p.children.flatMap(scanRows)
+    }
+    val generated = scanRows(joined.queryExecution.executedPlan)
+    assert(generated.nonEmpty, "synthetic BatchScanExec not found in plan")
+    assert(generated.head === 3L,
+      s"runtime filter did not prune generation: ${generated.head} rows")
+  }
+
   test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val orders = graft.Tables.orders(spark, sfDir)
