@@ -101,7 +101,8 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
       case GreaterThan("id", v: java.lang.Long) =>
         lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1L)
       case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: java.lang.Long) => hi = math.min(hi, v + 1L)
+      case LessThanOrEqual("id", v: java.lang.Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1L) // else: no-op bound
       case _ => ()
     }
     accepted = acc
@@ -166,8 +167,11 @@ private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
       // runtime-pruned plan: slice the surviving id LIST, not the
       // range — k matched keys cost k generated rows total
       if (ids.isEmpty) Array.empty
-      else ids.grouped(math.max(1, (ids.length + slices - 1) / slices))
-        .map(SyntheticIdList(_): InputPartition).toArray
+      else {
+        val n = math.max(1, slices)
+        ids.grouped(math.max(1, (ids.length + n - 1) / n))
+          .map(SyntheticIdList(_): InputPartition).toArray
+      }
     case None =>
       val n = math.max(1, slices)
       val span = math.max(0L, hi - lo)
