@@ -605,16 +605,20 @@ object Scalars {
       GROUP BY 1
       ORDER BY bucket"""))
 
-  /** BATCH sessionization — gap-based session assignment (a new
-    * session starts when a user's inter-event gap exceeds 6 h), the
-    * batch twin of st02/st04's streaming session windows. The classic
-    * two-window composition: `lag` marks session STARTS, a running
-    * `sum` of the marks numbers sessions 1..k per user — both windows
-    * share (PARTITION BY user_id ORDER BY ts_ns, event_id), so the
-    * whole chain costs ONE hash exchange + one sort; the per-session
-    * aggregate then groups by (user_id, session_seq), which
-    * hash(user_id) clustering already satisfies — no further
-    * exchange (same single-exchange discipline as q56's funnel).
+  /** SESSION RETENTION analytics — windows at TWO granularities in
+    * one pass. st02 pins the plain gap-sessionize (lag + running sum
+    * → per-session aggregate); this query adds the analytic layer a
+    * retention dashboard needs ON TOP of the session aggregate: a
+    * second `lag` window at SESSION granularity computes each
+    * session's idle gap since the user's previous session and flags
+    * reactivations (> 48 h away). The scale story is that ALL of it —
+    * event-level lag, running session number, per-session aggregate,
+    * session-level lag — shares hash(user_id) clustering, so the
+    * whole two-granularity pipeline costs ONE hash exchange + the
+    * final ORDER BY (PlanQualitySpec pins 3 Windows / 2 Exchanges).
+    * The naive form (sessionize, write, re-read, re-shuffle for the
+    * session-level window) pays a second full shuffle of the
+    * session table.
     * Gap math runs on integer epoch MICROS (`ts_ns div 1000`) — µs
     * is the precision floor both engines share (DuckDB 1.0 truncates
     * parquet nanos to µs on read, so its epoch_ns is µs·1000), and
@@ -622,13 +626,17 @@ object Scalars {
     * gap 0 in any tie order, so per-session outputs are deterministic
     * under the (t_us, event_id) total order. */
   val q59 = QueryDef(
-    "q59_batch_sessionize",
+    "q59_session_retention",
     (s, d) => {
-      val GAP_US = 6L * 3600 * 1000 * 1000 // 6 h in micros
+      val GAP_US = 6L * 3600 * 1000 * 1000 // 6 h session gap, in micros
+      val REACT_US = 48L * 3600 * 1000 * 1000 // 48 h reactivation gap
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("__t_us"), col("event_id"))
       val wRun = w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // session granularity: one row per (user, session) after the agg
+      val wSess = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_seq"))
       graft.Tables.events(s, d)
         .withColumn("__t_us", expr("ts_ns div 1000"))
         .withColumn("__prev", lag(col("__t_us"), 1).over(w))
@@ -641,6 +649,10 @@ object Scalars {
           min(col("__t_us")).as("start_us"),
           max(col("__t_us")).as("end_us"),
           dsum(col("value")).as("session_value"))
+        .withColumn("idle_us",
+          col("start_us") - lag(col("end_us"), 1).over(wSess))
+        .withColumn("is_reactivation",
+          (col("idle_us") > REACT_US).cast("int")) // null for session 1
         .orderBy(col("user_id"), col("session_seq"))
     },
     Some(s"""
@@ -655,11 +667,19 @@ object Scalars {
         SELECT user_id, tus, value, event_id,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_seq
-        FROM g)
-      SELECT user_id, CAST(session_seq AS INT) AS session_seq,
-             count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
-             ${dsumSql("value")} AS session_value
-      FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+        FROM g),
+      agg AS (
+        SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+               count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us,
+               ${dsumSql("value")} AS session_value
+        FROM s GROUP BY 1, 2)
+      SELECT user_id, session_seq, n_events, start_us, end_us, session_value,
+             start_us - lag(end_us) OVER ws AS idle_us,
+             CAST(start_us - lag(end_us) OVER ws > 172800000000 AS INT)
+               AS is_reactivation
+      FROM agg
+      WINDOW ws AS (PARTITION BY user_id ORDER BY session_seq)
+      ORDER BY user_id, session_seq"""))
 
   /** HEAVY HITTERS via count-min sketch — completes the mergeable-
     * sketch family (q29 HLL estimate, q55 HLL rollup) with the

@@ -264,14 +264,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 2, p.take(3000))
   }
 
-  test("q59's lag + running-sum windows AND the session aggregate share one hash exchange") {
-    // lag and the running sum share (PARTITION BY user_id ORDER BY
-    // t_us, event_id) → one hash exchange + one sort feeds both
-    // Window passes; the groupBy(user_id, session_seq) is satisfied
-    // by the same user_id clustering (subset rule) so the aggregate
-    // adds NO exchange. Only other exchange: the final ORDER BY range.
-    val p = plan("q59_batch_sessionize")
-    assert("Window".r.findAllIn(p).size == 2, p.take(3000))
+  test("q59's two window granularities + session aggregate share one hash exchange") {
+    // event-level lag + running sum share (PARTITION BY user_id ORDER
+    // BY t_us, event_id) → one hash exchange + one sort feeds both;
+    // the groupBy(user_id, session_seq) is satisfied by the same
+    // user_id clustering (subset rule), and so is the SESSION-level
+    // lag window on top of the aggregate — three Window passes, one
+    // aggregate, still one hash exchange. Only other exchange: the
+    // final ORDER BY range.
+    val p = plan("q59_session_retention")
+    assert("Window".r.findAllIn(p).size == 3, p.take(3000))
     assert("Exchange".r.findAllIn(p).size == 2, p.take(3000))
   }
 
