@@ -16,7 +16,29 @@ import org.apache.spark.sql.functions._
 object Streaming {
 
   def defs: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
+
+  /** Stream-static enrichment join
+    * ([[graft.streaming.Streams.segmentHourlyRevenue]]): the events
+    * stream joined per micro-batch to a STATIC customer-segment dim —
+    * zero streaming state for the join itself (the dim rides the
+    * batch planner: auto-broadcast, no buffers), completing the join
+    * triangle st07 (stream-stream) and the batch families cover. The
+    * oracle replays the batch join + hourly rollup. */
+  val st11 = QueryDef(
+    "st11_stream_static_join",
+    (s, d) =>
+      graft.streaming.Streams.segmentHourlyRevenue(s, s"$d/events.parquet", d)
+        .orderBy(col("window_start"), col("segment")),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             c_mktsegment AS segment,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN customer ON c_custkey = user_id + 1
+      GROUP BY 1, 2
+      ORDER BY window_start, segment"""))
 
   /** Streaming cardinality monitoring
     * ([[graft.streaming.Streams.hourlyDistinctUsers]]): per-hour HLL

@@ -185,6 +185,37 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
     }
 
+  /** STREAM-STATIC enrichment join — the third join shape next to
+    * st07's stream-stream interval join: the events stream joins a
+    * STATIC customer-segment dimension per micro-batch. The static
+    * side costs ZERO streaming state (no watermark buffer, no state
+    * store — Spark re-plans it into each micro-batch, auto-broadcast
+    * under the threshold), which is why dim enrichment belongs on the
+    * static side of a streaming join whenever the dim fits the batch
+    * planner's normal join strategies; only co-moving streams need
+    * st07's dual stateful buffers. The windowed aggregate after the
+    * join is the only stateful operator, watermark-bounded as usual.
+    *
+    * The dim is loaded through the STREAM's session (a cross-session
+    * Dataset join is undefined), keyed by the events→customer id map
+    * (user_id + 1 = c_custkey). */
+  def segmentHourlyRevenue(spark: SparkSession, eventsDir: String,
+                           sfDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+      val users = graft.Tables.customer(src.sparkSession, sfDir)
+        .select((col("c_custkey") - 1L).as("user_id"),
+          col("c_mktsegment").as("segment"))
+      src.withWatermark("ets", "1 hour")
+        .join(users, Seq("user_id")) // static side: stateless per batch
+        .groupBy(window(col("ets"), "1 hour").as("w"), col("segment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("segment"), col("n_events"), col("sum_value"))
+    }
+
   /** Streaming deduplication with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per
     * (user, event_type, day) and PURGES key state once the
