@@ -36,7 +36,7 @@ object Streaming {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events
-      JOIN customer ON c_custkey = user_id + 1
+      JOIN customer ON c_custkey = user_id
       GROUP BY 1, 2
       ORDER BY window_start, segment"""))
 

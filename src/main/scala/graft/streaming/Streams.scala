@@ -194,16 +194,19 @@ object Streams {
     * static side of a streaming join whenever the dim fits the batch
     * planner's normal join strategies; only co-moving streams need
     * st07's dual stateful buffers. The windowed aggregate after the
-    * join is the only stateful operator, watermark-bounded as usual.
+    * join is the only stateful operator. (As in st01, the finite
+    * replay runs Complete mode for batch-equality, and Complete mode
+    * retains all windows — the watermark bounds state only in the
+    * Update/Append form a production unbounded stream would use.)
     *
     * The dim is loaded through the STREAM's session (a cross-session
-    * Dataset join is undefined), keyed by the events→customer id map
-    * (user_id + 1 = c_custkey). */
+    * Dataset join is undefined), keyed by the shared 0-based id space
+    * (events.user_id = customer.c_custkey in the testdata). */
   def segmentHourlyRevenue(spark: SparkSession, eventsDir: String,
                            sfDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete()) { src =>
       val users = graft.Tables.customer(src.sparkSession, sfDir)
-        .select((col("c_custkey") - 1L).as("user_id"),
+        .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"))
       src.withWatermark("ets", "1 hour")
         .join(users, Seq("user_id")) // static side: stateless per batch
