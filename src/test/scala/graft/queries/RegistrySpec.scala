@@ -30,17 +30,26 @@ class RegistrySpec extends SparkSpec {
       assert(text.contains(q.name), s"COVERAGE.md star-gate table missing ${q.name}"))
   }
 
-  test("no registry query plans a global (empty PARTITION BY) window, except the parity demo") {
-    // the 100 TB gate the round-5 verdict asked for mechanically: a
-    // Window with no PARTITION BY funnels every row through one
-    // reducer. q09 is the ONE allowed occurrence — it exists precisely
-    // to demonstrate reference-parity sequential ids next to the
-    // scalable Ids.dense/hashed strategies. (Single-partition
-    // EXCHANGES in general stay legal: global aggregates and one-row
-    // counts exchange partial buffers, not data rows.) q08's global
-    // rank is also allowed: its window input is the POST-AGGREGATE
-    // 25-row nation table — bounded by key cardinality, not by SF.
+  test("no registry query plans a global window or an unbounded single-partition funnel") {
+    // the 100 TB gate the round-5 verdict asked for mechanically, in
+    // two layers over one registry pass:
+    // (1) logical: a Window with no PARTITION BY funnels every row
+    //     through one reducer. q09 is the ONE allowed occurrence — it
+    //     exists precisely to demonstrate reference-parity sequential
+    //     ids next to the scalable Ids.dense/hashed strategies. q08's
+    //     global rank is also allowed: its window input is the
+    //     POST-AGGREGATE 25-row nation table — bounded by key
+    //     cardinality, not by SF.
+    // (2) physical: every `Exchange SinglePartition` in the executed
+    //     plan must feed from an UNGROUPED aggregate (keys=[] partial/
+    //     merge buffers — one row per input partition, bounded at any
+    //     SF). This additionally catches repartition(1)/coalesce(1)/
+    //     global-sort shapes that never surface as a logical Window.
+    //     Empirical round-6 survey: all 105 batch queries satisfy this;
+    //     the only keyed children are q08/q09's dim-bounded rank input.
     val allowed = Set("q09_sequential_ids", "q08_nation_rank")
+    val boundedChild =
+      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]""".r
     // streaming queries are excluded, not because they're exempt but
     // because the check is blind there: their builders run the stream
     // to completion and return a materialized-sink LogicalRDD, so the
@@ -49,15 +58,23 @@ class RegistrySpec extends SparkSpec {
     // inspect leaves. Streams.scala's builders are covered by
     // StreamsSpec/plan notes instead.
     val offenders = Registry.all.filterNot(_.name.startsWith("st")).flatMap { q =>
-      val bad = Registry.queries(q.name)(spark, sfDir)
-        .queryExecution.optimizedPlan.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-        }
-      if (bad.nonEmpty) Some(q.name) else None
+      val qe = Registry.queries(q.name)(spark, sfDir).queryExecution
+      val globalWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      val lines = qe.executedPlan.toString.linesIterator.toVector
+      val unboundedSingles = lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          boundedChild.findFirstIn(lines.lift(i + 1).getOrElse("")).isEmpty =>
+          lines.lift(i + 1).getOrElse("<leaf>").trim.take(80)
+      }
+      if (globalWindows.nonEmpty || unboundedSingles.nonEmpty)
+        Some(q.name -> s"windows=${globalWindows.size} singles=$unboundedSingles")
+      else None
     }
-    assert(offenders.toSet.subsetOf(allowed),
-      s"global windows outside the allowlist: ${offenders.toSet.diff(allowed)}")
+    val rogue = offenders.filterNot { case (n, _) => allowed(n) }
+    assert(rogue.isEmpty, s"unbounded single-partition funnels: $rogue")
   }
 
   test("SparkEntry.entry returns rows (driver t1 smoke)") {
