@@ -535,10 +535,21 @@ object Scalars {
     * ORDER-BY VALUE — gap-correct and tie-deterministic by
     * construction (all peers of a day share one frame).
     *
-    * Plan: daily decimal pre-aggregation (one shuffle on (nation,
-    * day) — partial-combined map-side), then the range window reuses
-    * the nation clustering; window sums stay DECIMAL until the final
-    * double cast, so frame accumulation order is irrelevant. */
+    * Plan: the joined rows are repartitioned by nation ONCE, and
+    * that single hash(n_name) exchange feeds everything downstream —
+    * the daily (nation, day) aggregate is satisfied by the nation
+    * clustering via the subset rule (same (nation, day) ⇒ same
+    * nation ⇒ same partition; partials still combine map-side), and
+    * the RANGE window requires exactly that clustering. The naive
+    * form (groupBy first) plans hash(n_name, day) for the aggregate
+    * and then a SECOND full hash(n_name) exchange for the window,
+    * because the subset rule only runs the other way —
+    * hash(n_name, day) does NOT satisfy ClusteredDistribution(n_name).
+    * Parallelism is bounded by nation cardinality either way (the
+    * window is per-nation), so pre-clustering costs nothing.
+    * Window sums stay DECIMAL until the final double cast, so frame
+    * accumulation order is irrelevant. PlanQualitySpec pins the
+    * one-exchange shape. */
   val q57 = QueryDef(
     "q57_trailing_range_window",
     (s, d) => {
@@ -552,6 +563,7 @@ object Scalars {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .withColumn("day",
           datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+        .repartition(col("n_name"))
         .groupBy(col("n_name"), col("day"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("__rev"))
         .withColumn("__trail", sum(col("__rev")).over(w))

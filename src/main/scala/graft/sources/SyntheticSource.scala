@@ -117,7 +117,11 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
     * everything and discarding — returning true tells Spark the source
     * honored it fully. */
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, lo + limit)
+    // lo + limit may exceed Long.MaxValue when the pushed-down lower
+    // bound sits near the top of the id space — clamp, same as the
+    // GreaterThan/LessThanOrEqual bounds above, instead of wrapping
+    // negative and silently emptying the scan.
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
     true
   }
   override def build(): Scan = new SyntheticScan(lo, hi, slices, required)
@@ -173,13 +177,20 @@ private[sources] class SyntheticScan(lo: Long, hi: Long, slices: Int,
           .map(SyntheticIdList(_): InputPartition).toArray
       }
     case None =>
+      // slice boundaries in BigInt: `(span + n - 1)` and
+      // `lo + (i + 1) * step` both wrap for ranges near Long.MaxValue,
+      // collapsing step to 1 (8 one-row slices for a 9.2e18-row table)
+      // or silently discarding the last slice. Plan-time only — n is
+      // the slice count, so the cost is a handful of BigInt ops.
       val n = math.max(1, slices)
-      val span = math.max(0L, hi - lo)
-      val step = math.max(1L, (span + n - 1) / n)
+      val bLo = BigInt(lo)
+      val span = (BigInt(hi) - bLo).max(0)
+      val step = ((span + n - 1) / n).max(1)
       (0 until n).iterator
-        .map { i => SyntheticSlice(lo + i * step, math.min(hi, lo + (i + 1) * step)) }
-        .filter(s => s.start < s.end)
-        .toArray[InputPartition]
+        .map { i => (bLo + step * i, (bLo + step * (i + 1)).min(BigInt(hi))) }
+        .filter { case (s, e) => s < e }
+        .map { case (s, e) => SyntheticSlice(s.toLong, e.toLong): InputPartition }
+        .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)

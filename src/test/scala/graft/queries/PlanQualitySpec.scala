@@ -277,6 +277,22 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 2, p.take(3000))
   }
 
+  test("q57's daily aggregate and RANGE window share one nation hash exchange") {
+    // the naive shape (groupBy(n_name, day) straight off the join)
+    // plans hash(n_name, day) for the aggregate and then a SECOND
+    // full hash(n_name) exchange for the window — hash(n_name, day)
+    // does NOT satisfy ClusteredDistribution(n_name); the subset rule
+    // only runs the other way. The repartition(n_name) before the
+    // groupBy makes one nation exchange feed both (empirically
+    // verified: the naive plan carries both exchanges).
+    val p = plan("q57_trailing_range_window")
+    val nationHashes = "hashpartitioning\\(n_name".r.findAllIn(p).size
+    assert(nationHashes === 1, p.take(3000))
+    assert("hashpartitioning\\(n_name#\\d+, day#".r.findFirstIn(p).isEmpty,
+      p.take(3000))
+    assert("Window".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the

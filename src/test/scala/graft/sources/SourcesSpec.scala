@@ -156,6 +156,38 @@ class SourcesSpec extends SparkSpec {
     assert(limited.count() === 7)
   }
 
+  test("DSv2 synthetic source: bounds near Long.MaxValue don't overflow") {
+    import org.apache.spark.sql.functions.col
+    // limit pushdown at the top of the id space: lo + limit would wrap
+    // negative and empty the scan; the clamp returns the 5 real rows
+    val top = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", Long.MaxValue.toString).load()
+      .filter(col("id") >= Long.MaxValue - 5L).limit(7)
+    assert(top.count() === 5)
+    // full-range slice planning: span + n - 1 wrapping negative used to
+    // collapse step to 1 (8 one-row slices for a 9.2e18-row table).
+    // Plan through the private scan builder — materializing is absurd.
+    val b = new SyntheticScanBuilder(Long.MaxValue, 8)
+    val slices = b.build().toBatch.planInputPartitions()
+      .map { case SyntheticSlice(s, e) => (s, e) }.sortBy(_._1)
+    assert(slices.head._1 === 0L)
+    assert(slices.last._2 === Long.MaxValue)
+    slices.sliding(2).foreach { case Array((_, e1), (s2, _)) =>
+      assert(e1 === s2, s"gap between slices: $e1 vs $s2")
+    }
+    assert(slices.forall { case (s, e) => s < e })
+    // last-slice end near MaxValue: lo + (i+1)*step wrapping used to
+    // silently drop the final slice's rows
+    val nb = new SyntheticScanBuilder(Long.MaxValue, 8)
+    nb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id",
+        java.lang.Long.valueOf(Long.MaxValue - 10L))))
+    val near = nb.build().toBatch.planInputPartitions()
+      .map { case SyntheticSlice(s, e) => (s, e) }.sortBy(_._1)
+    assert(near.map { case (s, e) => e - s }.sum === 10L)
+    assert(near.last._2 === Long.MaxValue)
+  }
+
   test("DSv2 synthetic source reports post-pushdown stats: filtered slice auto-broadcasts") {
     import org.apache.spark.sql.functions.col
     // a narrow filtered slice of a HUGE declared table: with
