@@ -732,19 +732,29 @@ object TextOps {
     * difference cannot reorder, and ties fall to the word
     * tiebreaker).
     *
-    * Plan at scale: explode → one shuffle to (doc_id, word) tf pairs;
-    * df reuses the tf table with a second word-keyed aggregate (far
-    * smaller input than re-exploding the corpus); N joins in as a
-    * broadcast scalar; the rank window shuffles tf-table-sized rows
-    * on doc_id. Nothing touches the raw corpus twice. */
+    * Plan at scale: explode → one shuffle to (doc_id, word) tf pairs,
+    * PERSISTED (MEMORY_AND_DISK via [[Shingles.sharedPersist]]) —
+    * without the persist, Spark's self-join semantics duplicate the
+    * subtree and the corpus is scanned + tokenized TWICE (the two
+    * Aggregate branches differ, so ReuseExchange cannot dedupe them;
+    * verified in the r6 optimized plan). df is then a genuinely
+    * tf-derived word-keyed aggregate (far smaller input than
+    * re-exploding the corpus); N joins in as a broadcast scalar; the
+    * rank window shuffles tf-table-sized rows on doc_id. The tf⋈df
+    * join strategy is deliberately unhinted: the vocabulary grows
+    * with the corpus (Heaps' law — NOT broadcast-bounded at 100 TB),
+    * and the persisted tf exposes real stats, so Spark broadcasts df
+    * while it fits and falls back to a word-keyed shuffle join
+    * beyond. PlanQualitySpec pins the single tokenization. */
   val t16 = QueryDef(
     "t16_tfidf_topterms",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(tokens).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
+      val tf = Shingles.sharedPersist(
+        docs.select(col("doc_id"), explode(tokens).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))

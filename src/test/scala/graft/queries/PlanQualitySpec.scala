@@ -293,6 +293,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("t16 tokenizes the corpus once: tf and df read one shared cache") {
+    // without the persist, Spark's self-reference semantics duplicate
+    // the tf subtree: the df branch re-scans and re-explodes the whole
+    // corpus (the two Aggregate branches differ, so ReuseExchange
+    // cannot dedupe them — observed in the r6 optimized plan). The
+    // sharedPersist makes both references InMemoryTableScans over ONE
+    // materialization of the tokenize+count stage.
+    val p = plan("t16_tfidf_topterms")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the
