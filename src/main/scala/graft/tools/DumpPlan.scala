@@ -5,6 +5,12 @@ object DumpPlan {
     val df = graft.queries.Registry.queries(args(0))(spark, args(1))
     println("=== OPTIMIZED ===")
     println(df.queryExecution.optimizedPlan.treeString.take(12000))
+    // the physical tree is where subplan duplication is adjudicated:
+    // identical branches up to an Exchange collapse to ReusedExchange,
+    // branches that diverge below it really do run twice (the t16
+    // double-tokenization class)
+    println("=== EXECUTED ===")
+    println(df.queryExecution.executedPlan.treeString.take(12000))
     spark.stop()
   }
 }
