@@ -870,11 +870,21 @@ object Similarity {
         .withColumn("cn", norm(col("cv")))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("cell"))
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("cell"), col("vec_id"), col("v"), col("n"))
+      // persisted: three consumers (sig branch, its self-join twin,
+      // the final keep-flag join) reference the assignment, and AQE's
+      // stage reuse only deduped two of them — the keep-flag branch
+      // re-ran the whole N·C cross product AND the centroid aggregate
+      // (seen in the post-execution plan, r6). One O(N)-row cache
+      // beats recomputing the O(N·C) stage; no filter pushdown is
+      // lost (every consumer needs every row — unlike s03, where the
+      // probe branch's pushed sampling filter makes duplication the
+      // cheaper shape).
+      val assign = Shingles.sharedPersist(
+        e.crossJoin(broadcast(cent))
+          .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+          .withColumn("crn", row_number().over(wAssign))
+          .filter(col("crn") === 1)
+          .select(col("cell"), col("vec_id"), col("v"), col("n")))
       val nrow = e.agg(count(lit(1)).as("nn"))
       val nbits = (0 until D09_PLANES_MAX)
         .map(b => when(lit(D09_CELL_CAP << b) < col("nn"), 1).otherwise(0))

@@ -10,7 +10,17 @@ object DumpPlan {
     // branches that diverge below it really do run twice (the t16
     // double-tokenization class)
     println("=== EXECUTED ===")
-    println(df.queryExecution.executedPlan.treeString.take(12000))
+    println(df.queryExecution.executedPlan.treeString.take(60000))
+    // under AQE, exchange/stage reuse is decided at RUNTIME — the
+    // static tree above shows duplicated subtrees even when AQE will
+    // dedupe them. Execute, then print the final adaptive plan: real
+    // duplication survives here; reused stages print as ReusedQueryStage
+    // (pass `noexec` as a third arg to skip for expensive queries).
+    if (args.length < 3 || args(2) != "noexec") {
+      df.queryExecution.toRdd.count(): Unit
+      println("=== FINAL (post-execution) ===")
+      println(df.queryExecution.executedPlan.treeString.take(60000))
+    }
     spark.stop()
   }
 }
