@@ -19,7 +19,13 @@ object DumpPlan {
     if (args.length < 3 || args(2) != "noexec") {
       df.queryExecution.toRdd.count(): Unit
       println("=== FINAL (post-execution) ===")
-      println(df.queryExecution.executedPlan.treeString.take(60000))
+      // an executed AdaptiveSparkPlan prints BOTH '== Final Plan =='
+      // and '== Initial Plan ==' sections; the Initial section shows
+      // pre-AQE duplicated subtrees that never ran — cut it, it reads
+      // as phantom duplication
+      val t = df.queryExecution.executedPlan.treeString
+      val cut = t.indexOf("== Initial Plan ==")
+      println((if (cut >= 0) t.substring(0, cut) else t).take(60000))
     }
     spark.stop()
   }
