@@ -304,6 +304,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("d09 assignment is computed once: sig and keep-flag branches read one cache") {
+    // three references to the N·C cluster assignment; without the
+    // persist, AQE's stage reuse deduped only two — the keep-flag
+    // branch re-ran the whole cross product and the centroid
+    // aggregate (post-execution plan, r6)
+    val p = plan("d09_semdedup")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q46's four window functions share one exchange + one sort") {
     val p = plan("q46_window_family")
     // one hash exchange for the window, one range exchange for the
