@@ -64,16 +64,18 @@ object CmsEstimate {
   private val cache = ThreadLocal.withInitial[Cache](() => new Cache)
 
   /** Static entry shared by eval and generated code. One-slot
-    * per-thread memo: same-reference hit is free; a fresh copy of the
-    * same sketch (UnsafeRow getBinary copies) costs one byte-compare,
-    * still ~1000× cheaper than re-deserializing. */
+    * per-thread memo: a hit costs one byte-compare (each UnsafeRow
+    * getBinary is a fresh copy, so reference identity never recurs),
+    * still ~1000× cheaper than re-deserializing ~100 KB of sketch.
+    * The cache stores its OWN copy of the key bytes: a non-copying
+    * reader that reuses/mutates the caller's buffer can therefore
+    * never make a stale sketch byte-compare as current. */
   def estimate(sketchBytes: Array[Byte], item: Long): Long = {
     val c = cache.get()
-    if (!(c.bytes eq sketchBytes) &&
-        !java.util.Arrays.equals(c.bytes, sketchBytes)) {
+    if (!java.util.Arrays.equals(c.bytes, sketchBytes)) {
       c.sketch = CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(sketchBytes))
-      c.bytes = sketchBytes
+      c.bytes = sketchBytes.clone()
     }
     c.sketch.estimateCount(java.lang.Long.valueOf(item))
   }

@@ -704,8 +704,12 @@ object Scalars {
     * Gate form (the q29 within_bound idiom): the exact top-10 counts
     * hash-compare against DuckDB; the sketch contributes a boolean
     * per row checking the CMS contract — never underestimates (hard
-    * guarantee of the min-over-rows estimate), overestimates ≤ ε·N
-    * (deterministic here for the fixed seed + data). At 100 TB the
+    * guarantee of the min-over-rows estimate), overestimates ≤ 2·ε·N.
+    * The textbook bound is ε·N with per-probe failure probability
+    * δ=0.01 — too flaky for a hard per-row gate at an arbitrary SF
+    * (10 probes ⇒ ~10% flake). Doubling the slack drops the failure
+    * odds to ~(2e)^-depth ≈ 2·10⁻⁴ per probe while still asserting
+    * the sketch is within a small constant of its contract. At 100 TB the
     * sketch replaces a full second aggregation pass for any "is this
     * key frequent?" probe: 100 KB of state per executor regardless
     * of key cardinality. */
@@ -727,7 +731,7 @@ object Scalars {
         .withColumn("within_bound",
           (col("__est") >= col("exact_cnt") &&
             col("__est").cast("double") <=
-              col("exact_cnt") + col("__n").cast("double") * 0.001).cast("int"))
+              col("exact_cnt") + col("__n").cast("double") * (2 * 0.001)).cast("int"))
         .select(col("l_partkey"), col("exact_cnt"), col("within_bound"))
         .orderBy(col("exact_cnt").desc, col("l_partkey"))
     },

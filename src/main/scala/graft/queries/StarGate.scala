@@ -400,6 +400,9 @@ object StarGate {
     (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private def star(s: SparkSession, d: String) = {
+    // entries keyed by a stopped session can never be reused — evict
+    // them so the map cannot grow across session lifecycles
+    starCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // dims are persisted as well as checkpoint-backed: the dense-id
     // scan leaves them as LogicalRDDs with UNKNOWN stats, which would
     // force every dim join to plan as a shuffle join even when the dim
@@ -414,11 +417,15 @@ object StarGate {
       (raw, dimTeam, dimMatch, dimPlayer)
     })
     // an external catalog.clearCache() (Bench, between warmup and the
-    // timed pass) silently unpersists them — (re-)arm like Shingles does
+    // timed pass) silently unpersists them — (re-)arm via
+    // Shingles.sharedPersist so release()'s end-of-run cleanup covers
+    // the star build the same as every other shared intermediate
     tuple.productIterator.foreach { df0 =>
       val df = df0.asInstanceOf[DataFrame]
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        Shingles.sharedPersist(df)
+        ()
+      }
     }
     tuple
   }
@@ -598,13 +605,26 @@ object StarGate {
     * staged team_id/player_id/game_id null drops, 26 try-cast stat
     * projections — and the oracle replays every stage in SQL.
     * (game_id, player_id, min_played) is a total order: only
-    * consecutive orderkeys share a game, so their min stats differ. */
+    * consecutive orderkeys share a game, so their min stats differ.
+    *
+    * The fact keeps xG/xA/pass_completion_percent as DECIMAL(5,2)
+    * (reference Load.py:374-375's NUMERIC(5,2)); the GATE projection
+    * casts them to DOUBLE on both sides — the external hasher encodes
+    * Spark-parquet decimals and DuckDB decimals differently even when
+    * values agree (the round-1 HUGEINT lesson), so every oracle in
+    * this repo crosses the compare boundary in DOUBLE. Exact: a
+    * DECIMAL(5,2) mantissa is < 2^53, so both engines produce the
+    * correctly-rounded double of v/100. */
   val p05 = QueryDef(
     "p05_star_fact_player_match",
     (s, d) => {
       val (_, dimTeam, dimMatch, dimPlayer) = star(s, d)
       Facts.playerMatch(rawPlayerMatchStats(s, d), dimTeam, dimMatch,
           dimPlayer, hintDims = false)
+        .withColumn("xG", col("xG").cast("double"))
+        .withColumn("xA", col("xA").cast("double"))
+        .withColumn("pass_completion_percent",
+          col("pass_completion_percent").cast("double"))
         .orderBy(col("game_id"), col("player_id"), col("min_played"))
     },
     Some(s"""
@@ -616,7 +636,11 @@ object StarGate {
         SELECT team_id, lower(trim(team_name)) AS team_key FROM dim_team),
       pm_raw AS ($rawPlayerMatchStatsSql),
       $factPlayerMatchSql
-      SELECT * FROM fpm
+      SELECT * REPLACE (CAST("xG" AS DOUBLE) AS "xG",
+                        CAST("xA" AS DOUBLE) AS "xA",
+                        CAST(pass_completion_percent AS DOUBLE)
+                          AS pass_completion_percent)
+      FROM fpm
       WHERE player_id IS NOT NULL AND game_id IS NOT NULL
       ORDER BY game_id, player_id, min_played"""))
 

@@ -81,6 +81,29 @@ class PackSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
   }
 
+  test("non-Long value column is rejected with a clear error, not a ClassCastException") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1), ("a", 2L, 2)).toDF("g", "k", "v") // v: Int
+    val e1 = intercept[IllegalArgumentException] {
+      Pack.exclusivePrefixSum(df, Seq(col("k")), "v", "ps")
+    }
+    assert(e1.getMessage.contains("must be LongType"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pack.keyedExclusivePrefixSum(df, Seq("g"), Seq(col("k")), "v", "ps")
+    }
+    assert(e2.getMessage.contains("must be LongType"))
+  }
+
+  test("binary key column is rejected up front (reference-equality hazard)") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2), 1L, 1L), (Array[Byte](1, 2), 2L, 2L))
+      .toDF("g", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Pack.keyedExclusivePrefixSum(df, Seq("g"), Seq(col("k")), "v", "ps")
+    }
+    assert(e.getMessage.contains("binary key column"))
+  }
+
   test("keyed prefix sum rejects null values fast") {
     import spark.implicits._
     val df = Seq(("a", 1L, java.lang.Long.valueOf(1L)),

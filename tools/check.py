@@ -46,6 +46,17 @@ def main():
                 print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug}; CAST to BIGINT")
                 n_bad += 1
                 continue
+            # DECIMAL guard: the driver's hasher encodes Spark-parquet
+            # decimals and DuckDB decimals differently even when values
+            # compare equal — cost us p05 in round 6. Cast to DOUBLE at
+            # the output boundary on BOTH sides (keep decimal inside the
+            # model layer).
+            dec = [r[0] for r in types if "DECIMAL" in r[1]]
+            if dec:
+                print(f"FAIL {name}: oracle emits DECIMAL column(s) {dec}; "
+                      f"CAST to DOUBLE at the output boundary")
+                n_bad += 1
+                continue
             # Nested-type guard: the driver's pandas-based checker sorts
             # rows by every column; an array/struct/map-typed output column
             # crashes it ("unhashable type: numpy.ndarray") — cost us q50 in
@@ -53,6 +64,12 @@ def main():
             # HARDER than the driver's gate, never laxer.
             sp_types = con.execute(
                 f"DESCRIBE SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+            sp_dec = [r[0] for r in sp_types if "DECIMAL" in r[1]]
+            if sp_dec:
+                print(f"FAIL {name}: spark output has DECIMAL column(s) "
+                      f"{sp_dec}; cast to DOUBLE at the output boundary")
+                n_bad += 1
+                continue
             nested = [r[0] for r in sp_types
                       if any(t in r[1] for t in ("[]", "STRUCT", "MAP", "LIST"))]
             if nested:
