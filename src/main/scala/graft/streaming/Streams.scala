@@ -35,6 +35,34 @@ object Streams {
   private val srcDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Executed physical plan of the LAST micro-batch of each streaming
+    * capability run in this JVM, keyed by builder name. The batch plan
+    * gate (RegistrySpec) is blind to streaming by construction — the
+    * builders return a materialized sink — so every stream records its
+    * final IncrementalExecution here and the gate audits the recording:
+    * no unbounded single-partition exchange, state stores partitioned. */
+  private val lastPlansMap =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (builder name → executed-plan string) for every stream this JVM ran. */
+  def lastPlans: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    lastPlansMap.asScala.toMap
+  }
+
+  /** Blocks until the AvailableNow replay finishes, then records the
+    * last micro-batch's executed plan under `tag` for the plan gate. */
+  private def awaitAndRecord(
+      q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit = {
+    q.awaitTermination()
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution)
+          .foreach(e => lastPlansMap.put(tag, e.executedPlan.toString))
+      case _ => ()
+    }
+  }
+
   /** Stateful-shuffle sizing. Batch shuffles get this from AQE
     * (coalescing post-shuffle partitions to a byte target); streaming
     * CANNOT — AQE is disabled for stateful workloads and the state
@@ -90,7 +118,7 @@ object Streams {
     * `build` receives the RAW file-replayed stream (so it can union,
     * re-key, or fabricate its own event time first). */
   private def runRawStream(spark: SparkSession, dir: String,
-                           mode: OutputMode)
+                           mode: OutputMode, tag: String)
                           (build: DataFrame => DataFrame)
                           (finish: DataFrame => DataFrame): DataFrame = {
     val s = spark.newSession()
@@ -106,17 +134,17 @@ object Streams {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, tag)
     val result = finish(s.table(name)).localCheckpoint(eager = true)
     s.catalog.dropTempView(name)
     result
   }
 
   private def runStream(spark: SparkSession, eventsDir: String,
-                        mode: OutputMode)
+                        mode: OutputMode, tag: String)
                        (build: DataFrame => DataFrame)
                        (finish: DataFrame => DataFrame): DataFrame =
-    runRawStream(spark, eventsDir, mode)(src => build(src
+    runRawStream(spark, eventsDir, mode, tag)(src => build(src
       .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))))(finish)
 
   /** Streaming CORPUS INGEST — the online twin of the batch curation
@@ -133,7 +161,7 @@ object Streams {
     * fabricated deterministically from doc_id (testdata has no ingest
     * timestamp; production reads Kafka event time). */
   def corpusIngest(spark: SparkSession, docsDir: String): DataFrame =
-    runRawStream(spark, docsDir, OutputMode.Append()) { raw =>
+    runRawStream(spark, docsDir, OutputMode.Append(), "corpusIngest") { raw =>
       val docs = raw.select(col("doc_id"), col("lang"), col("text"))
       val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
         col("lang"), col("text"))
@@ -161,7 +189,7 @@ object Streams {
     * table batch-equal, so the estimate is gate-checkable against the
     * exact batch distinct (q29/q55 within_bound discipline). */
   def hourlyDistinctUsers(spark: SparkSession, eventsDir: String): DataFrame =
-    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+    runStream(spark, eventsDir, OutputMode.Complete(), "hourlyDistinctUsers") { src =>
       src.withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 hour").as("w"))
         .agg(
@@ -174,7 +202,7 @@ object Streams {
     }
 
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
-    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+    runStream(spark, eventsDir, OutputMode.Complete(), "hourlyTypeCounts") { src =>
       src.withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
         .agg(
@@ -204,7 +232,7 @@ object Streams {
     * (events.user_id = customer.c_custkey in the testdata). */
   def segmentHourlyRevenue(spark: SparkSession, eventsDir: String,
                            sfDir: String): DataFrame =
-    runStream(spark, eventsDir, OutputMode.Complete()) { src =>
+    runStream(spark, eventsDir, OutputMode.Complete(), "segmentHourlyRevenue") { src =>
       val users = graft.Tables.customer(src.sparkSession, sfDir)
         .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"))
@@ -228,7 +256,7 @@ object Streams {
     * stream). AvailableNow over one file = one micro-batch, so the
     * replay dedups completely and batch-equals the DISTINCT oracle. */
   def distinctKeyDays(spark: SparkSession, eventsDir: String): DataFrame =
-    runStream(spark, eventsDir, OutputMode.Append()) { src =>
+    runStream(spark, eventsDir, OutputMode.Append(), "distinctKeyDays") { src =>
       src.withWatermark("ets", "25 hours")
         .select(col("user_id"), col("event_type"),
           date_trunc("day", col("ets")).as("day"), col("ets"))
@@ -277,7 +305,7 @@ object Streams {
           graft.ops.Upsert.updateWins(_, _, keys))
       }
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "incrementalLoad")
     table
   }
 
@@ -319,7 +347,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "attributionPairs")
     val result = s.table(name)
       .select(col("p_user").as("user_id"),
         unix_micros(col("p_ets")).as("p_us"),
@@ -396,7 +424,7 @@ object Streams {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q, "typeCountsTws")
     val result = s.table(name).localCheckpoint(eager = true)
     s.catalog.dropTempView(name)
     result

@@ -50,13 +50,13 @@ class RegistrySpec extends SparkSpec {
     val allowed = Set("q09_sequential_ids", "q08_nation_rank")
     val boundedChild =
       """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]""".r
-    // streaming queries are excluded, not because they're exempt but
-    // because the check is blind there: their builders run the stream
-    // to completion and return a materialized-sink LogicalRDD, so the
-    // inspected plan contains none of the streaming aggregation —
-    // running them here would burn ~10 full stream executions to
-    // inspect leaves. Streams.scala's builders are covered by
-    // StreamsSpec/plan notes instead.
+    // streaming queries are excluded HERE, not because they're exempt
+    // but because this check is blind there: their builders run the
+    // stream to completion and return a materialized-sink LogicalRDD,
+    // so the inspected plan contains none of the streaming
+    // aggregation. They get the same gate from the recorded
+    // micro-batch plans instead — see the "streaming micro-batch
+    // plans" test at the end of this suite.
     val offenders = Registry.all.filterNot(_.name.startsWith("st")).flatMap { q =>
       val qe = Registry.queries(q.name)(spark, sfDir).queryExecution
       val globalWindows = qe.optimizedPlan.collect {
@@ -97,6 +97,44 @@ class RegistrySpec extends SparkSpec {
     test(s"${q.name} runs on sf0.001 and returns rows") {
       val df = q.build(spark, sfDir)
       assert(df.count() > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("streaming micro-batch plans: no unbounded single-partition funnel, partitioned state") {
+    // closes the batch gate's streaming blind spot: every stream runner
+    // records its last micro-batch's IncrementalExecution plan
+    // (Streams.lastPlans) as it completes; the per-query rows tests
+    // above run all st* queries first, so each of the eight real
+    // streaming capabilities has a recording by the time this test runs
+    // (registration order — run the whole suite, not a -z subset).
+    val plans = graft.streaming.Streams.lastPlans
+    val expected = Set("hourlyTypeCounts", "distinctKeyDays",
+      "incrementalLoad", "attributionPairs", "typeCountsTws",
+      "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue")
+    assert(expected.subsetOf(plans.keySet),
+      s"missing streaming plan recordings: ${expected -- plans.keySet}")
+    val boundedChild =
+      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]""".r
+    for (tag <- expected; plan = plans(tag)) {
+      // same rule as the batch gate: an Exchange SinglePartition may
+      // only feed from an ungrouped aggregate (bounded at any SF)
+      val lines = plan.linesIterator.toVector
+      val unboundedSingles = lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          boundedChild.findFirstIn(lines.lift(i + 1).getOrElse("")).isEmpty =>
+          lines.lift(i + 1).getOrElse("<leaf>").trim.take(80)
+      }
+      assert(unboundedSingles.isEmpty,
+        s"$tag: unbounded single-partition funnel above $unboundedSingles")
+      // every stateful operator prints its state info; partitions > 1
+      // or the state store itself is a single-reducer funnel
+      val stateParts = """numPartitions\s*=\s*(\d+)""".r
+        .findAllMatchIn(plan).map(_.group(1).toInt).toVector
+      assert(stateParts.nonEmpty,
+        s"$tag: no state-store operator found in the final micro-batch plan:\n" +
+          plan.take(2000))
+      assert(stateParts.forall(_ > 1),
+        s"$tag: single-partition state store: $stateParts")
     }
   }
 }
