@@ -258,6 +258,25 @@ class SourcesSpec extends SparkSpec {
       s"runtime filter did not prune generation: ${generated.head} rows")
   }
 
+  test("DSv2 runtime filtering: zero matched ids plans zero slices, not a crash") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the empty-match edge of the runtime-filter re-plan: every dim key
+    // falls OUTSIDE the fact's [0, rows) range, so the surviving id
+    // list is empty and planInputPartitions must return zero
+    // partitions (an empty scan), not divide-by-zero on the slice math
+    // or fall back to generating the full range
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp0").toString
+    Seq((200000L, "x"), (-5L, "x"), (999999L, "x"))
+      .toDF("key", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "100000").option("slices", "4").load()
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim.filter(col("tag") === "x"),
+      fact("id") === dim("key"))
+    assert(joined.count() === 0L)
+  }
+
   test("ORC roundtrip preserves schema and values; filters push to the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val orders = graft.Tables.orders(spark, sfDir)
