@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -739,6 +739,78 @@ object Scalars {
       SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  /** SET-OVERLAP via theta sketches — the set operation the HLL family
+    * (q29/q55/st10) cannot express: |A ∩ B| between every pair of
+    * event-type audiences from KILOBYTE sketches, no pairwise
+    * exact-distinct join over the raw events.
+    *
+    * Shape at 100 TB: ONE pass over the fact builds a mergeable theta
+    * sketch per group ([[graft.functions.ThetaSketchAgg]], map-side
+    * combined like any aggregate buffer; [[ThetaUnionAgg]] rolls
+    * stored sketches up to coarser groupings, the q55 pattern). All
+    * G·(G−1)/2 pairwise overlaps then come from the G-row sketch
+    * table alone — here via a broadcast non-equi self-join on the
+    * 5-row (event-type cardinality, a constant) aggregate, the raw
+    * 100k..100G-row events table untouched.
+    *
+    * Gate form (q29 discipline): per-type exact users and pairwise
+    * exact overlap are hash-compared; the sketch estimate folds into
+    * `within_bound` = |est − exact| ≤ 5%·|A ∪ B| + 0.5 (intersection
+    * error is relative to the UNION size; ≈ 3σ at lgK=12, and at the
+    * test SFs the sketch is below saturation so est is EXACT — the
+    * flag is deterministic). The exact branch exists FOR the oracle;
+    * the sketch branch is the scale path. */
+  val q61 = QueryDef(
+    "q61_sketch_overlap",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      // 5 rows (one per event type): sketch + exact audience size.
+      // persisted: referenced as BOTH sides of the pair join — without
+      // the cache the sketch aggregate over the fact runs twice
+      val sk = Shingles.sharedPersist(
+        e.groupBy(col("event_type"))
+          .agg(graft.functions.ThetaSketchAgg
+              .thetaSketch(col("user_id"), 12).as("sk"),
+            countDistinct(col("user_id")).as("users")))
+      val a = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("users").as("users_a"))
+      val b = sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("users").as("users_b"))
+      val ut = e.select(col("user_id"), col("event_type")).distinct()
+      val ov = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      ov.join(broadcast(a), Seq("type_a"))
+        .join(broadcast(b), Seq("type_b"))
+        .withColumn("__est", graft.functions.ThetaSketchAgg
+          .thetaIntersect(col("sk_a"), col("sk_b")))
+        .withColumn("within_bound",
+          (abs(col("__est") - col("exact_overlap")) <=
+            (col("users_a") + col("users_b") - col("exact_overlap"))
+              .cast("double") * 0.05 + 0.5).cast("int"))
+        .select(col("type_a"), col("type_b"), col("users_a"),
+          col("users_b"), col("exact_overlap"), col("within_bound"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      cnt AS (SELECT event_type, count(*) AS users FROM ut GROUP BY 1),
+      ov AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               count(*) AS exact_overlap
+        FROM ut x JOIN ut y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, ca.users AS users_a, cb.users AS users_b,
+             exact_overlap, CAST(1 AS INT) AS within_bound
+      FROM ov
+      JOIN cnt ca ON ca.event_type = ov.type_a
+      JOIN cnt cb ON cb.event_type = ov.type_b
+      ORDER BY type_a, type_b"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
