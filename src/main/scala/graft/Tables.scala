@@ -24,20 +24,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for. We read it as a raw nano-precision long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) kept as `ts_ns` for exact
-    * ordering, plus a truncated-to-micros TIMESTAMP_NTZ `ts` for
-    * calendar functions (matches DuckDB's CAST(ns AS TIMESTAMP) floor).
-    * Integer `div` is essential: epoch-nanos exceed double's 53-bit
-    * mantissa. */
+  /** events.ts arrives as either parquet TIMESTAMP(NANOS) (earlier
+    * testdata generations) or TIMESTAMP(MICROS) (current); the loader
+    * normalizes BOTH physical layouts to one logical contract every
+    * downstream query codes against:
+    *
+    *  - `ts_ns` — epoch nanoseconds as a long, for exact integer time
+    *    math (`ts_ns div 1000` = the µs floor both engines share);
+    *  - `ts` — µs-precision TIMESTAMP_NTZ for calendar functions
+    *    (matches what DuckDB sees reading the same parquet).
+    *
+    * Nanos path: Spark has no nano type, so the file is read with
+    * `spark.sql.legacy.parquet.nanosAsLong` and `ts` is derived by
+    * integer `div` (epoch-nanos exceed double's 53-bit mantissa).
+    * Micros path: `ts` is native; `ts_ns` is `unix_micros * 1000` —
+    * exact under the UTC session timezone all graft sessions pin. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts").cast("long"))
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts_ns div 1000"))
-        .cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>      // TIMESTAMP(NANOS)
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts",
+            timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS)
+        raw.withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case org.apache.spark.sql.types.TimestampType =>    // micros, NTZ inference off
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -140,12 +140,23 @@ object Streams {
     result
   }
 
+  /** Watermark-ready event time from the raw `ts`, robust to both
+    * physical layouts the testdata has shipped (TIMESTAMP(NANOS) read
+    * as a ns-long under nanosAsLong, vs native µs timestamps): both
+    * resolve to the same µs-floor instant under the UTC session. */
+  private def etsCol(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("CAST(ts AS BIGINT) div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
   private def runStream(spark: SparkSession, eventsDir: String,
                         mode: OutputMode, tag: String)
                        (build: DataFrame => DataFrame)
                        (finish: DataFrame => DataFrame): DataFrame =
     runRawStream(spark, eventsDir, mode, tag)(src => build(src
-      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))))(finish)
+      .withColumn("ets", etsCol(src.schema))))(finish)
 
   /** Streaming CORPUS INGEST — the online twin of the batch curation
     * family: documents replayed as a stream, a quality gate (token
@@ -289,7 +300,7 @@ object Streams {
     val table = "agg_event_daily"
     val keys = Seq("day", "event_type")
     val agg = s.readStream.schema(schema).parquet(streamDir(eventsDir))
-      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      .withColumn("ets", etsCol(schema))
       .withWatermark("ets", "25 hours")
       .groupBy(date_trunc("day", col("ets")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -331,7 +342,7 @@ object Streams {
     val schema = s.read.parquet(eventsDir).schema
     val srcDir = streamDir(eventsDir)
     def src() = s.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ets", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      .withColumn("ets", etsCol(schema))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ets").as("c_ets"))
       .withWatermark("c_ets", "1 hour")

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/** The events loader's normalization contract: whatever physical
+  * timestamp layout the testdata generation ships (TIMESTAMP(NANOS)
+  * read as ns-longs in earlier rounds, native TIMESTAMP(MICROS)
+  * now), every downstream query sees the same two columns:
+  * `ts_ns` epoch-nanos long + `ts` µs TIMESTAMP_NTZ, mutually
+  * consistent. A driver-side testdata regeneration must never again
+  * take out the whole events family (round-7 incident: ts switched
+  * ns→µs and 41 specs went red at once). */
+class TablesSpec extends SparkSpec {
+
+  test("events normalizes to the (ts_ns long, ts ntz) contract") {
+    val e = Tables.events(spark, sfDir)
+    assert(e.schema("ts_ns").dataType === LongType)
+    assert(e.schema("ts").dataType === TimestampNTZType)
+    // the two representations agree: ts is exactly the µs floor of ts_ns
+    val off = e.filter(
+      expr("unix_micros(cast(ts as timestamp)) != ts_ns div 1000")).count()
+    assert(off === 0, s"$off rows where ts != floor_us(ts_ns)")
+    // plausible epoch range (year 2000..2100), not garbage from a
+    // wrong unit interpretation (ns-as-µs would land in year ~1970)
+    val row = e.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    assert(lo > 946684800L * 1000000000L, s"ts_ns lo=$lo before year 2000 — unit bug")
+    assert(hi < 4102444800L * 1000000000L, s"ts_ns hi=$hi after year 2100 — unit bug")
+  }
+}
