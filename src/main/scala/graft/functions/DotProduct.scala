@@ -83,6 +83,7 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
     "graft_cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
+    "graft_zorder" -> { exprs => ZOrderKey(exprs(0), exprs(1)) },
     "graft_rolling_minhash" -> { exprs =>
       RollingMinHash(exprs(0),
         litInt(exprs(1), "graft_rolling_minhash", "width"),
@@ -112,6 +113,7 @@ object GraftFunctions {
   private val implClass: Map[String, String] = Map(
     "graft_dot" -> classOf[DotProduct].getName,
     "graft_cms_estimate" -> classOf[CmsEstimate].getName,
+    "graft_zorder" -> classOf[ZOrderKey].getName,
     "graft_rolling_minhash" -> classOf[RollingMinHash].getName,
     "graft_topk_min" -> classOf[TopKMinAgg].getName,
     "graft_capped_docs" -> classOf[CappedDocsAgg].getName,

@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -811,6 +811,80 @@ object Scalars {
       JOIN cnt ca ON ca.event_type = ov.type_a
       JOIN cnt cb ON cb.event_type = ov.type_b
       ORDER BY type_a, type_b"""))
+
+  /** Z-ORDER DATA LAYOUT — multi-dimensional clustering for file-level
+    * data skipping (the Delta `OPTIMIZE ZORDER BY` / Hudi clustering
+    * primitive), via the graft-native [[graft.functions.ZOrderKey]]
+    * Morton-interleave expression (codegen'd long bit-math).
+    *
+    * At 100 TB the scan is won at the file-skipping level: min/max
+    * file statistics prune on ONE linear-sort dimension only, while a
+    * z-ordered layout keeps BOTH dimensions' per-file ranges tight —
+    * each contiguous key range is a bounded rectangle in value space.
+    * This query runs the layout math end to end and MEASURES the
+    * benefit: scale (l_partkey, l_suppkey) to 16-bit cells (bounds
+    * from one ungrouped-agg pass, broadcast back — the stats pass a
+    * real OPTIMIZE does), interleave to a 32-bit Morton key, cut the
+    * key space into 64 z-cells (top 6 bits = the "files"), and emit
+    * each cell's row count + per-dimension min/max rectangle plus
+    * `prunes_probe`: whether the cell's x-range misses a fixed probe
+    * band (xc in [8192, 16383]) entirely — i.e. whether a real scan
+    * with that predicate would skip the "file". A linear layout prunes
+    * ~0% of files on the secondary dimension; the z-layout prunes
+    * ~3/4 here. One shuffle (the 64-group hash agg); a physical
+    * rewrite would repartitionByRange on the full key — same math.
+    *
+    * Oracle: identical spread-shift-mask rounds written as DuckDB
+    * bitwise SQL, floor division on both sides (values nonnegative).
+    */
+  val q62 = QueryDef(
+    "q62_zorder_layout",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+      val bounds = li.agg(
+        min(col("x")).as("__minx"), max(col("x")).as("__maxx"),
+        min(col("y")).as("__miny"), max(col("y")).as("__maxy"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("xc", expr(
+          "((x - __minx) * 65535) DIV greatest(__maxx - __minx, 1)"))
+        .withColumn("yc", expr(
+          "((y - __miny) * 65535) DIV greatest(__maxy - __miny, 1)"))
+        .withColumn("bucket", shiftright(
+          graft.functions.ZOrderKey.zorder(col("xc"), col("yc")), 26))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xc")).as("min_xc"), max(col("xc")).as("max_xc"),
+          min(col("yc")).as("min_yc"), max(col("yc")).as("max_yc"))
+        .withColumn("prunes_probe",
+          (col("max_xc") < 8192 || col("min_xc") > 16383).cast("int"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(min(l_partkey) AS BIGINT) AS minx, CAST(max(l_partkey) AS BIGINT) AS maxx,
+               CAST(min(l_suppkey) AS BIGINT) AS miny, CAST(max(l_suppkey) AS BIGINT) AS maxy
+        FROM lineitem),
+      c AS (
+        SELECT ((CAST(l_partkey AS BIGINT) - minx) * 65535) // greatest(maxx - minx, 1) AS xc,
+               ((CAST(l_suppkey AS BIGINT) - miny) * 65535) // greatest(maxy - miny, 1) AS yc
+        FROM lineitem, b),
+      s1 AS (SELECT xc, yc, (xc | (xc << 8)) & 16711935 AS xs,
+                            (yc | (yc << 8)) & 16711935 AS ys FROM c),
+      s2 AS (SELECT xc, yc, (xs | (xs << 4)) & 252645135 AS xs,
+                            (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+      s3 AS (SELECT xc, yc, (xs | (xs << 2)) & 858993459 AS xs,
+                            (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+      s4 AS (SELECT xc, yc, (xs | (xs << 1)) & 1431655765 AS xs,
+                            (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+      z AS (SELECT xc, yc, (xs | (ys << 1)) >> 26 AS bucket FROM s4)
+      SELECT bucket, count(*) AS n,
+             min(xc) AS min_xc, max(xc) AS max_xc,
+             min(yc) AS min_yc, max(yc) AS max_yc,
+             CAST(CASE WHEN max(xc) < 8192 OR min(xc) > 16383 THEN 1 ELSE 0 END AS INT)
+               AS prunes_probe
+      FROM z GROUP BY bucket ORDER BY bucket"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

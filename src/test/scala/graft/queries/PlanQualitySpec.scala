@@ -197,6 +197,9 @@ class PlanQualitySpec extends SparkSpec {
       ("Relational.scala", "n"), ("Relational.scala", "r"),
       ("Scalars.scala", "n"),              // nation dim (25 rows, q57)
       ("Scalars.scala", "sk"),             // one-row CMS sketch (q60)
+      ("Scalars.scala", "a"),              // q61 sketch table (G = #event
+      ("Scalars.scala", "b"),              //   types rows, kilobyte sketches)
+      ("Scalars.scala", "bounds"),         // q62 one-row min/max bounds
       ("Relational.scala", "cn"), ("Relational.scala", "sn"),
       ("Relational.scala", "months"))      // calendar spine
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
