@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, d03, d04, d05, d06, d07, d09, q34)
+    Seq(s01, s02, s03, s04, s05, s06, d03, d04, d05, d06, d07, d09, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -445,6 +445,60 @@ object Similarity {
              max(CASE WHEN m = 3 THEN c END) AS c3,
              round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS recon_err
       FROM a2 GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** ANN RECALL EVALUATION — the measurement half every approximate
+    * index needs before anyone trusts it: recall@5 of BOTH bucketed
+    * scale paths ([[s02]] multi-probe LSH, [[s03]] 3-probe IVF)
+    * against the exact brute-force baseline [[s01]], per method, as
+    * integer hit counts + a derived ratio.
+    *
+    * Shape at 100 TB: this is exactly how production ANN is audited —
+    * the exact baseline runs only over the SAMPLED query set (s01's
+    * |Q| = N/50 design, the one quarantined quadratic), the approx
+    * paths run at full scale, and recall is a tiny join of two
+    * (query, neighbor) top-k lists. The exact top-5 list is persisted
+    * once and read by both method branches ([[Shingles.sharedPersist]],
+    * the q61 pattern), so the quadratic baseline is computed once.
+    *
+    * Determinism: hits are integer counts over exact-hash-gated
+    * inputs (s01/s02/s03 are themselves fully oracle-checked), and
+    * recall_at_5 is one double division of those integers — no
+    * accumulation-order hazard. The oracle nests the three proven
+    * query bodies verbatim as CTE subqueries. */
+  val s06 = QueryDef(
+    "s06_ann_recall",
+    (s, d) => {
+      val exact = Shingles.sharedPersist(
+        s01.build(s, d).select(col("query_id"), col("neighbor_id")))
+      def branch(name: String, q: QueryDef): DataFrame = {
+        val approx = q.build(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(col("hit")).as("total_hits"))
+          .select(lit(name).as("method"), col("n_queries"), col("total_hits"),
+            round(col("total_hits") / (lit(5.0) * col("n_queries")), 6)
+              .as("recall_at_5"))
+      }
+      branch("ivf", s03).unionAll(branch("lsh", s02))
+        .orderBy(col("method"))
+    },
+    Some(s"""
+      WITH exact AS (${s01.oracle.get}),
+      lsh AS (${s02.oracle.get}),
+      ivf AS (${s03.oracle.get}),
+      sel AS (
+        SELECT 'ivf' AS method, count(DISTINCT e.query_id) AS n_queries,
+               count(i.neighbor_id) AS total_hits
+        FROM exact e LEFT JOIN ivf i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        UNION ALL
+        SELECT 'lsh', count(DISTINCT e.query_id), count(l.neighbor_id)
+        FROM exact e LEFT JOIN lsh l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id)
+      SELECT method, n_queries, total_hits,
+             round(total_hits / (5.0 * n_queries), 6) AS recall_at_5
+      FROM sel ORDER BY method"""))
 
   /** Per-label vector centroid over the embeddings table, powered by
     * the [[graft.functions.VecSumAgg]] DeclarativeAggregate: one
