@@ -43,6 +43,55 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.targetFiles(128L, 128L) == 1)
   }
 
+  test("zorder layout: both dims prunable per file; linear layout prunes neither") {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_z").toString
+    val inDir = s"$base/in"; val zDir = s"$base/z"; val linDir = s"$base/lin"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey").write.parquet(inDir)
+    val total = Layout.dirBytes(spark, inDir)
+    val target = (total + 7) / 8   // ~8 output files
+    val zFiles = Layout.zorder(spark, inDir, zDir, target, "l_partkey", "l_suppkey")
+    val linFiles = Layout.compact(spark, inDir, linDir, target)  // round-robin
+    assert(zFiles >= 4 && linFiles >= 4, s"need >=4 files, got z=$zFiles lin=$linFiles")
+
+    // per-file (min, max) of both dims — what a stats-pruning reader sees
+    def fileStats(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath).agg(
+            min(col("l_partkey")).as("a"), max(col("l_partkey")).as("b"),
+            min(col("l_suppkey")).as("c"), max(col("l_suppkey")).as("d")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val zs = fileStats(zDir); val lin = fileStats(linDir)
+    val loX = zs.map(_._1).min; val hiX = zs.map(_._2).max
+    // probe: a band 1/10th of the partkey domain at 0.6 of the span —
+    // INSIDE the upper x-half, clear of the top-bit boundary at 0.5
+    // (range-partition cuts cluster there, and a band touching the
+    // boundary overlaps files from both halves)
+    val bandLo = loX + 6 * (hiX - loX) / 10
+    val bandHi = bandLo + (hiX - loX) / 10
+    def pruned(st: Seq[(Long, Long, Long, Long)]) =
+      st.count { case (mn, mx, _, _) => mx < bandLo || mn > bandHi }
+    // round-robin: every file is a uniform sample -> full span -> 0 pruned
+    assert(pruned(lin) === 0, s"linear layout unexpectedly pruned ${pruned(lin)}")
+    // z-order: contiguous z-ranges are bounded rectangles; files in the
+    // lower x-half (plus those in far y-quadrants of the upper half)
+    // miss the band entirely. >= 1/4 of files is the structural floor;
+    // observed 4/8 at sf0.001
+    assert(pruned(zs) * 4 >= zs.size && pruned(zs) > 0,
+      s"zorder pruned only ${pruned(zs)}/${zs.size} files for a 1/10-width band")
+    // and the SECONDARY dim is also bounded: mean suppkey span well under
+    // the global span (a linear suppkey sort gives this; z gives BOTH)
+    val spanY = zs.map { case (_, _, c, d) => (d - c).toDouble }
+    val globalY = zs.map(_._4).max - zs.map(_._3).min
+    assert(spanY.sum / spanY.size <= globalY * 0.75,
+      s"zorder files span ${spanY.sum / spanY.size} of $globalY on suppkey")
+    // content preserved
+    assert(spark.read.parquet(zDir).count() ===
+      spark.read.parquet(inDir).count())
+  }
+
   test("clusterBy sorts within partitions without an extra shuffle") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout2").toString
     val fragDir = s"$base/frag"; val outDir = s"$base/clustered"
