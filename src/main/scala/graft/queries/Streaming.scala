@@ -16,7 +16,52 @@ import org.apache.spark.sql.functions._
 object Streaming {
 
   def defs: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
+      st12)
+
+  /** Streaming near-dup filter with survivor attribution
+    * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
+    * their t07 winnowing fingerprint (edit-robust, computed per-row by
+    * the RollingMinHash expression), keyed state = min doc_id per
+    * fingerprint, every doc emitted with its canonical survivor. The
+    * stream self-unions suffix-perturbed twins (d08 precedent) so the
+    * filter demonstrably collapses true near-dups — different text,
+    * same fingerprint — onto their originals. The oracle replays the
+    * fingerprint math (t07's proven CTE chain) over the same
+    * twinned corpus and takes min doc_id per fingerprint. */
+  val st12 = QueryDef(
+    "st12_stream_neardup",
+    (s, d) =>
+      graft.streaming.Streams.nearDupFilter(s, s"$d/documents.parquet")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text || ' near dup twin suffix'
+        FROM documents),
+      n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM base),
+      wins AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(t) - 6),
+               i -> substr(t, CAST(i AS INT), 8))) AS w
+        FROM n WHERE length(t) >= 8),
+      hs AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM wins),
+      mins AS (
+        SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM hs),
+      fp AS (
+        SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fp
+        FROM mins WHERE rn <= 4 GROUP BY doc_id),
+      m AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp)
+      SELECT f.doc_id, m.canonical_id,
+             CAST(CASE WHEN m.canonical_id = f.doc_id THEN 1 ELSE 0 END AS INT) AS kept
+      FROM fp f JOIN m USING (fp)
+      ORDER BY doc_id"""))
 
   /** Stream-static enrichment join
     * ([[graft.streaming.Streams.segmentHourlyRevenue]]): the events

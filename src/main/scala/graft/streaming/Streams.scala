@@ -189,6 +189,63 @@ object Streams {
       sink.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }
 
+  /** Streaming NEAR-DUP FILTER with survivor attribution — the online
+    * twin of the batch near-dedup family (d03/d08) keyed on t07's
+    * winnowing fingerprint: each document's key is its 4 smallest
+    * 8-char rolling-window hashes ([[graft.functions.RollingMinHash]],
+    * a per-row codegen'd expression — no shuffle to fingerprint),
+    * which survives local edits (only windows covering the edit
+    * change, and the 4 global minima rarely do) where st09's exact
+    * text hash would not. Keyed state per fingerprint is ONE long —
+    * the minimum doc_id seen — and every arriving doc is emitted with
+    * its CANONICAL survivor id, so downstream gets the d07-style
+    * cluster attribution (who absorbed me), not just a drop.
+    *
+    * The corpus has no natural near-dups, so (d08 perturbed-twin
+    * precedent) the stream self-unions an id-offset twin of every doc
+    * with a SUFFIX APPENDED — a true near-dup, different text, same
+    * winnowing fingerprint unless one of the ~25 new/boundary windows
+    * hashes below the current 4th minimum. Most twins therefore
+    * collapse onto their original (canonical = original id); the few
+    * whose fingerprint shifted survive — both outcomes deterministic,
+    * replayed exactly by the oracle.
+    *
+    * State at 100 TB: one long per distinct fingerprint. On an
+    * unbounded ingest this needs an eviction horizon — the production
+    * form adds event-time timeout like [[sessionize]] (dedup within a
+    * watermark window, st09's discipline); the finite replay keeps
+    * NoTimeout so the oracle can replay the full-history semantics. */
+  def nearDupFilter(spark: SparkSession, docsDir: String): DataFrame =
+    runRawStream(spark, docsDir, OutputMode.Update(), "nearDupFilter") { raw =>
+      import raw.sparkSession.implicits._
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup twin suffix")).as("text"))
+      val fps = raw.select(col("doc_id"), col("text")).unionAll(twins)
+        .select(col("doc_id"), norm.as("t"))
+        .filter(length(col("t")) >= 8)
+        .select(col("doc_id"), concat_ws(",",
+          graft.functions.RollingMinHash.rollingMinHash(col("t"), 8, 4)).as("fp"))
+        .as[(Long, String)]
+      fps.groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+            val ids = rows.map(_._1).toVector
+            val mn = (ids ++ state.getOption).min
+            state.update(mn)
+            ids.iterator.map(id => (id, mn))
+        }
+        .toDF("doc_id", "canonical_id")
+    } { sink =>
+      // Update-mode sinks may carry several emissions per doc across
+      // micro-batches with decreasing canonicals; the converged verdict
+      // is the minimum — batching-invariant, so the oracle is exact
+      sink.groupBy(col("doc_id"))
+        .agg(min(col("canonical_id")).as("canonical_id"))
+        .withColumn("kept", (col("canonical_id") === col("doc_id")).cast("int"))
+    }
+
   /** Streaming CARDINALITY MONITORING — a DataSketches HLL as
     * streaming aggregation state: per-hour approximate distinct users
     * next to the exact row count, the dashboard primitive a 100 TB

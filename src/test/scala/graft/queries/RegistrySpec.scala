@@ -110,7 +110,8 @@ class RegistrySpec extends SparkSpec {
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
       "incrementalLoad", "attributionPairs", "typeCountsTws",
-      "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue")
+      "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue",
+      "nearDupFilter")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
