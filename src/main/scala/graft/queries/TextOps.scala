@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, d01, d02)
+      t14, t15, t16, t21, d01, d02)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -90,6 +90,46 @@ object TextOps {
       SELECT lang, source, rn, doc_id
       FROM ranked WHERE rn <= 5
       ORDER BY lang, source, rn"""))
+
+  /** EPOCH SHUFFLE + SHARDING — the deterministic training-order
+    * generator: for a given epoch seed, every document gets a shard
+    * (of S=8 parallel-loader shards) and a position within its shard,
+    * with the global order a seeded pseudo-random permutation
+    * (order by seeded hash). This is the reproducibility primitive
+    * data loaders need: the training order for epoch 7 is a pure
+    * function of (corpus, seed) — re-derivable for any audit, no RNG
+    * state, no materialized permutation table.
+    *
+    * Scale shape: shard assignment is a projection; the per-shard
+    * position uses [[graft.ops.Ids.densePerKey]] (range-partition by
+    * (shard, hash), per-run partials, broadcast offsets) because S is
+    * SMALL and shards are HUGE — a row_number window partitioned by 8
+    * shards would funnel 1/8th of the corpus through each of 8
+    * reducer sorts (t18's documented trap). The oracle's plain
+    * window is the semantic twin at oracle scale. */
+  val t21 = QueryDef(
+    "t21_epoch_shuffle",
+    (s, d) => {
+      val rkh = conv(substring(
+        md5(concat(lit("ep7:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), rkh.as("rkh"))
+        .withColumn("shard", pmod(col("rkh"), lit(8L)))
+      graft.ops.Ids.densePerKey(
+          docs, Seq("shard"), Seq(col("rkh"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('ep7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rkh
+        FROM documents),
+      sh AS (SELECT doc_id, rkh, rkh % 8 AS shard FROM h)
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY rkh, doc_id) AS pos
+      FROM sh ORDER BY shard, pos"""))
 
   /** Token counting: whitespace tokenizer + char counts. */
   val t01 = QueryDef(
