@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -885,6 +885,66 @@ object Scalars {
              CAST(CASE WHEN max(xc) < 8192 OR min(xc) > 16383 THEN 1 ELSE 0 END AS INT)
                AS prunes_probe
       FROM z GROUP BY bucket ORDER BY bucket"""))
+
+  /** TRAILING-WINDOW DISTINCT via sketch union — the WAU/rolling-MAU
+    * primitive: distinct users over each trailing 7-day window, from
+    * per-day HLL sketches unioned across the window. COUNT(DISTINCT)
+    * does not decompose over windows (users overlap days), so the
+    * exact form must re-scan every window; mergeable sketches make
+    * the trailing union a kilobyte-level operation — the q55
+    * persisted-sketch pattern extended to SLIDING windows.
+    *
+    * Shape at 100 TB: ONE pass over events builds a day-keyed sketch
+    * table (map-side combined, |days| rows bounded by the calendar,
+    * not SF); each day's sketch then contributes to its 7 trailing
+    * windows by an offset-explode (×7 on the DAY table, not the
+    * fact) + hll_union_agg — no global window (plan-gate clean), no
+    * range join, no second pass over raw events. The exact twin
+    * (distinct pairs → same offset-explode → countDistinct) exists
+    * FOR the oracle and is itself shuffle-honest.
+    *
+    * Gate form (q29/st10 discipline): exact trailing counts
+    * hash-compare; the sketch folds into within_bound = |est−exact|
+    * ≤ 5%·exact (lgK=12 ⇒ rsd ≈ 1.6%, 3σ ≈ 5%), asserted literal 1
+    * by the oracle and verified at both SFs. */
+  val q63 = QueryDef(
+    "q63_trailing_distinct",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      // scale path: day-keyed sketches from ONE pass over the fact
+      val daily = e.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val est = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
+        .groupBy(col("day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est"))
+      // exact twin (for the oracle): distinct pairs, same offset-explode
+      val exact = e.distinct()
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+      // keep only real days (offset-explode fabricates post-horizon days)
+      daily.select(col("day"))
+        .join(exact, Seq("day")).join(est, Seq("day"))
+        .withColumn("within_bound",
+          (abs(col("__est") - col("users_7d")) <=
+            col("users_7d").cast("double") * 0.05).cast("int"))
+        .select(col("day"), col("users_7d"), col("within_bound"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      contrib AS (
+        SELECT day + g AS day, user_id
+        FROM pairs, generate_series(0, 6) AS t(g)),
+      exact AS (
+        SELECT day, count(DISTINCT user_id) AS users_7d
+        FROM contrib GROUP BY day)
+      SELECT e.day, e.users_7d, CAST(1 AS INT) AS within_bound
+      FROM exact e JOIN (SELECT DISTINCT day FROM pairs) real USING (day)
+      ORDER BY day"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same
