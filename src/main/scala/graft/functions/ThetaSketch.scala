@@ -189,6 +189,36 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Estimated |A \ B| of two serialized theta sketches — set DIFFERENCE,
+  * the third closed operation of the theta algebra (union: ThetaUnionAgg;
+  * intersection: ThetaIntersectEstimate). The churn/new-arrivals
+  * primitive: "distinct in A not seen in B" from stored kilobyte
+  * sketches, no raw-data anti-join. */
+case class ThetaDiffEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_theta_diff"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_diff requires (binary, binary), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaOps.diff(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaOps.diff($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaDiffEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static helpers shared by eval and generated code (the CmsEstimate
   * pattern — expressions stay inside whole-stage codegen). Wrapping a
   * compact sketch is a zero-copy view over the bytes; no caching
@@ -202,6 +232,13 @@ object ThetaOps {
     i.intersect(Sketch.wrap(Memory.wrap(a)))
     i.intersect(Sketch.wrap(Memory.wrap(b)))
     i.getResult.getEstimate
+  }
+
+  def diff(a: Array[Byte], b: Array[Byte]): Double = {
+    val an = SetOperation.builder().buildANotB()
+    an.setA(Sketch.wrap(Memory.wrap(a)))
+    an.notB(Sketch.wrap(Memory.wrap(b)))
+    an.getResult(false).getEstimate
   }
 }
 
@@ -228,6 +265,13 @@ object ThetaSketchAgg {
   def thetaIntersect(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       ThetaIntersectEstimate(
+        org.apache.spark.sql.GraftBridge.expr(a),
+        org.apache.spark.sql.GraftBridge.expr(b)))
+
+  /** Column API: estimated |A \ B| of two sketches. */
+  def thetaDiff(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ThetaDiffEstimate(
         org.apache.spark.sql.GraftBridge.expr(a),
         org.apache.spark.sql.GraftBridge.expr(b)))
 }

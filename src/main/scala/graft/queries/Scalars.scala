@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -944,6 +944,68 @@ object Scalars {
         FROM contrib GROUP BY day)
       SELECT e.day, e.users_7d, CAST(1 AS INT) AS within_bound
       FROM exact e JOIN (SELECT DISTINCT day FROM pairs) real USING (day)
+      ORDER BY day"""))
+
+  /** DAILY CHURN via theta-sketch DIFFERENCE — completes the sketch
+    * set algebra: union (q55/q63), intersection (q61), and now A\B
+    * ([[graft.functions.ThetaDiffEstimate]], DataSketches AnotB):
+    * "users active today who were NOT active yesterday" from stored
+    * kilobyte sketches — the new-arrivals/churn product metric that
+    * otherwise needs a day-over-day anti-join over the raw fact.
+    *
+    * Shape at 100 TB: the day-keyed sketch table comes from ONE pass
+    * (mergeable, map-side combined, |days| rows); the day-over-day
+    * comparison is a self-join of that tiny table shifted by one day.
+    * The sketch table is persisted once for both sides of the shift
+    * join (the q61 pattern). The exact anti-join twin exists FOR the
+    * oracle. First day has no predecessor → its "new users" are all
+    * its users (empty B), handled by the null branch.
+    *
+    * Gate form (q29 discipline): exact per-day users and new_users
+    * hash-compare; the sketch folds into within_bound = |est−exact| ≤
+    * 5%·(|A|+|B|)+0.5 (AnotB error scales with the union; ≈3σ at
+    * lgK=12; exact below saturation), asserted at both SFs. */
+  val q64 = QueryDef(
+    "q64_sketch_churn",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      val daily = Shingles.sharedPersist(
+        e.groupBy(col("day")).agg(
+          graft.functions.ThetaSketchAgg.thetaSketch(col("user_id"), 12).as("sk"),
+          countDistinct(col("user_id")).as("users")))
+      val prev = daily.select((col("day") + 1).as("day"),
+        col("sk").as("sk_prev"), col("users").as("users_prev"))
+      val pairs = e.distinct()
+      val y = pairs.select((col("day") + 1).as("day"), col("user_id"))
+      val exact = pairs.join(y, Seq("day", "user_id"), "left_anti")
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      daily.join(prev, Seq("day"), "left")
+        .join(exact, Seq("day"))
+        .withColumn("__est",
+          when(col("sk_prev").isNull,
+            graft.functions.ThetaSketchAgg.thetaEstimate(col("sk")))
+            .otherwise(graft.functions.ThetaSketchAgg
+              .thetaDiff(col("sk"), col("sk_prev"))))
+        .withColumn("within_bound",
+          (abs(col("__est") - col("new_users")) <=
+            (col("users") + coalesce(col("users_prev"), lit(0L)))
+              .cast("double") * 0.05 + 0.5).cast("int"))
+        .select(col("day"), col("users"), col("new_users"), col("within_bound"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      cnt AS (SELECT day, count(*) AS users FROM pairs GROUP BY day),
+      nw AS (
+        SELECT p.day, count(*) AS new_users
+        FROM pairs p LEFT JOIN pairs y
+          ON y.day = p.day - 1 AND y.user_id = p.user_id
+        WHERE y.user_id IS NULL
+        GROUP BY p.day)
+      SELECT day, users, new_users, CAST(1 AS INT) AS within_bound
+      FROM cnt JOIN nw USING (day)
       ORDER BY day"""))
 
   /** Semi-structured extraction: JSON props column (events.props is

@@ -39,6 +39,27 @@ class ThetaSketchSpec extends SparkSpec {
     assert(ThetaOps.intersect(sk("A"), sk("C")) === 0.0)
   }
 
+  test("difference of stored sketches equals exact A\\B (exact mode)") {
+    // A = [1,2000], B = [1001,3000] ⇒ |A\B| = 1000, |B\A| = 1000;
+    // vs disjoint C: |A\C| = |A| = 2000; |A\A| = 0
+    val df = ((1L to 2000L).map(("A", _)) ++ (1001L to 3000L).map(("B", _)) ++
+      (9001L to 9500L).map(("C", _))).toDF("g", "v")
+    val sk = df.groupBy("g").agg(ThetaSketchAgg.thetaSketch(col("v"), 12).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(ThetaOps.diff(sk("A"), sk("B")) === 1000.0)
+    assert(ThetaOps.diff(sk("B"), sk("A")) === 1000.0)
+    assert(ThetaOps.diff(sk("A"), sk("C")) === 2000.0)
+    assert(ThetaOps.diff(sk("A"), sk("A")) === 0.0)
+    // Column API path matches the static helper (conditional sketch
+    // columns — null inputs are skipped by the aggregate)
+    val est = df.agg(
+        ThetaSketchAgg.thetaSketch(when(col("g") === "A", col("v")), 12).as("ska"),
+        ThetaSketchAgg.thetaSketch(when(col("g") === "B", col("v")), 12).as("skb"))
+      .select(ThetaSketchAgg.thetaDiff(col("ska"), col("skb")).as("d"))
+      .as[Double].head()
+    assert(est === 1000.0)
+  }
+
   test("ThetaUnionAgg rolls stored sketches up to the coarser grouping") {
     // fine buckets (g, sub) → union back to g must equal a direct sketch
     val df = (1L to 4000L).map(v => ("G", v % 4, v)).toDF("g", "sub", "v")
