@@ -100,7 +100,12 @@ object GraftFunctions {
     "graft_vec_sum" -> { exprs =>
       VecSumAgg(exprs(0), litInt(exprs(1), "graft_vec_sum", "dim")) },
     "graft_bloom_bits" -> { exprs =>
-      BloomBitsAgg(exprs(0), litInt(exprs(1), "graft_bloom_bits", "numBits")) })
+      BloomBitsAgg(exprs(0), litInt(exprs(1), "graft_bloom_bits", "numBits")) },
+    "graft_kll_sketch" -> { exprs =>
+      KllSketchAgg(exprs(0), litInt(exprs(1), "graft_kll_sketch", "k")) },
+    "graft_kll_merge" -> { exprs =>
+      KllMergeAgg(exprs(0), litInt(exprs(1), "graft_kll_merge", "k")) },
+    "graft_kll_quantile" -> { exprs => KllQuantile(exprs(0), exprs(1)) })
 
   /** Direct (per-session) registration; idempotent. */
   def register(spark: SparkSession): Unit =
@@ -119,7 +124,10 @@ object GraftFunctions {
     "graft_capped_docs" -> classOf[CappedDocsAgg].getName,
     "graft_minhash_sig" -> classOf[MinHashSigAgg].getName,
     "graft_vec_sum" -> classOf[VecSumAgg].getName,
-    "graft_bloom_bits" -> classOf[BloomBitsAgg].getName)
+    "graft_bloom_bits" -> classOf[BloomBitsAgg].getName,
+    "graft_kll_sketch" -> classOf[KllSketchAgg].getName,
+    "graft_kll_merge" -> classOf[KllMergeAgg].getName,
+    "graft_kll_quantile" -> classOf[KllQuantile].getName)
 
   /** Extension-path registration (spark.sql.extensions). */
   def injectAll(ext: SparkSessionExtensions): Unit =

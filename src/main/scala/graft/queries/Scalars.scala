@@ -16,7 +16,7 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -1007,6 +1007,71 @@ object Scalars {
       SELECT day, users, new_users, CAST(1 AS INT) AS within_bound
       FROM cnt JOIN nw USING (day)
       ORDER BY day"""))
+
+  /** QUANTILE-SKETCH warehouse rollup via KLL — the fourth member of
+    * the mergeable-sketch algebra (HLL distinct q29/q55, count-min
+    * frequency q60, theta set-ops q61/q64, and now KLL quantiles:
+    * [[graft.functions.KllSketchAgg]]). What it adds over [[q35]]'s
+    * approx_percentile: GK buffers merge only WITHIN one aggregation —
+    * they cannot be persisted and re-merged later, so every new
+    * percentile question rescans the fact. Here stage 1 builds one
+    * few-KB KLL sketch per FINE bucket (status × priority — at 100 TB:
+    * per day/partition, persisted alongside the aggregates), and
+    * stage 2 merges the STORED sketches to the coarser grouping and
+    * probes p50/p90/p99 from kilobytes — any quantile, any rollup,
+    * zero fact rescans. That is how a latency/price dashboard works at
+    * 100 TB: the fact is read once, ever.
+    *
+    * Gate form (the q35 rank-window idiom + q55 rollup discipline):
+    * exact percentiles and the bucket count hash-compare; the merged
+    * sketch's probes fold into within_bound = each KLL value lands
+    * between the exact quantiles at rank r ± 2ε (KLL k=200 ⇒
+    * ε ≈ 1.65% at 99% confidence, library getNormalizedRankError;
+    * doubling it puts per-probe flake odds below 1e-6 — the q60
+    * widen-the-bound lesson; p99's upper edge caps at rank 1.0). */
+  val q65 = QueryDef(
+    "q65_kll_quantile_rollup",
+    (s, d) => {
+      import graft.functions.KllSketchAgg.{kllSketch, kllMerge, kllQuantile}
+      val o = Tables.orders(s, d)
+      // stage 1: one bounded-size sketch per fine bucket
+      val parts = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(kllSketch(col("o_totalprice").cast("double"), 200).as("sk"))
+      // stage 2: merge stored sketches up to the coarser grouping
+      val merged = parts.groupBy(col("o_orderstatus"))
+        .agg(kllMerge(col("sk"), 200).as("sk"), count(lit(1)).as("n_parts"))
+        .select(col("o_orderstatus"), col("n_parts"),
+          kllQuantile(col("sk"), lit(0.5)).as("__k50"),
+          kllQuantile(col("sk"), lit(0.9)).as("__k90"),
+          kllQuantile(col("sk"), lit(0.99)).as("__k99"))
+      val exact = o.groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("__ex"),
+          expr("percentile(o_totalprice, array(0.467, 0.867, 0.957))").as("__lo"),
+          expr("percentile(o_totalprice, array(0.533, 0.933, 1.0))").as("__hi"))
+      merged.join(exact, Seq("o_orderstatus"))
+        .select(
+          col("o_orderstatus"),
+          round(element_at(col("__ex"), 1), 2).as("p50"),
+          round(element_at(col("__ex"), 2), 2).as("p90"),
+          round(element_at(col("__ex"), 3), 2).as("p99"),
+          col("n_parts"),
+          Seq(("__k50", 1), ("__k90", 2), ("__k99", 3)).map { case (k, i) =>
+            col(k).between(
+              element_at(col("__lo"), i), element_at(col("__hi"), i))
+          }.reduce(_ && _).cast("int").as("within_bound"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+             count(DISTINCT o_orderpriority) AS n_parts,
+             CAST(1 AS INT) AS within_bound
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
 
   /** Semi-structured extraction: JSON props column (events.props is
     * `{"k": <int>}`). Spark `get_json_object` vs DuckDB regexp — same

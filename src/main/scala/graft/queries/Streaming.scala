@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12)
+      st12, st13)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -111,6 +111,67 @@ object Streaming {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
              count(*) AS n_events,
              count(DISTINCT user_id) AS exact_users,
+             CAST(1 AS INT) AS within_bound
+      FROM events
+      GROUP BY 1
+      ORDER BY window_start"""))
+
+  /** Streaming QUANTILE monitoring — the KLL twin of [[st10]]'s HLL
+    * cardinality monitor and the streaming face of q65: per-hour
+    * p50/p95 of the event value held as a few-KB
+    * [[graft.functions.KllSketchAgg]] sketch per window (exact
+    * percentiles would retain every value per window in the state
+    * store — unbounded at production event rates; the KLL buffer is
+    * k-bounded and merges across micro-batches like any partial agg).
+    * See [[graft.streaming.Streams.hourlyValueQuantiles]].
+    *
+    * Gate = st10 discipline: exact per-hour DISCRETE percentiles
+    * (order statistics at ceil(r·n) — actual data values, so the
+    * doubles are bit-identical across engines; interpolated
+    * percentiles round differently at midpoints) recomputed
+    * batch-side from the same files hash-compare; the streamed probes fold
+    * into within_bound asserting KLL's actual contract — a RANK
+    * bound, not a value bound (value windows break on sparse hours:
+    * at n=10 one rank step is 0.1 and any fixed value-rank window
+    * under that rejects correct probes). Each probe value is joined
+    * back to the window's events and its exact inclusive rank
+    * (#values ≤ probe)/n must land in [r − 3ε, r + 3ε + 1/n]: the
+    * +1/n absorbs the discrete rank step of getQuantile(INCLUSIVE),
+    * 3ε (k=200 ⇒ ε ≈ 1.65%) keeps ~1400 window-probes per run far
+    * below any flake odds (the q60 widen-the-bound lesson). */
+  val st13 = QueryDef(
+    "st13_stream_quantile_monitor",
+    (s, d) => {
+      val streamed = graft.streaming.Streams
+        .hourlyValueQuantiles(s, s"$d/events.parquet")
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("window_start"), col("value"))
+      val n = col("n").cast("double")
+      // Exact side = DISCRETE order statistics (actual data values —
+      // bit-identical in both engines; interpolated percentiles round
+      // differently at midpoints, e.g. (28.29+28.30)/2). Gate-side
+      // collect per hour is bounded by the window, not the stream.
+      ev.join(broadcast(streamed), Seq("window_start"))
+        .groupBy(col("window_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("n_events")).as("n_events"),
+          sort_array(collect_list(col("value"))).as("__sorted"),
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("value") <= col("approx_p95"), 1L).otherwise(0L)).as("__le95"))
+        .select(col("window_start"), col("n_events"),
+          element_at(col("__sorted"), ceil(n * 0.5).cast("int")).as("p50"),
+          element_at(col("__sorted"), ceil(n * 0.95).cast("int")).as("p95"),
+          ((col("__le50") / n).between(lit(0.45), lit(0.55) + lit(1.0) / n) &&
+            (col("__le95") / n).between(lit(0.90), lit(1.0)))
+            .cast("int").as("within_bound"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             count(*) AS n_events,
+             list_sort(list(value))[CAST(ceil(count(*) * 0.5) AS BIGINT)] AS p50,
+             list_sort(list(value))[CAST(ceil(count(*) * 0.95) AS BIGINT)] AS p95,
              CAST(1 AS INT) AS within_bound
       FROM events
       GROUP BY 1

@@ -269,6 +269,30 @@ object Streams {
         col("n_events"), col("approx_users"))
     }
 
+  /** Streaming QUANTILE monitoring — the KLL twin of
+    * [[hourlyDistinctUsers]]'s HLL cardinality monitor: per-hour
+    * p50/p95 of the event value from a [[graft.functions.KllSketchAgg]]
+    * sketch as the windowed aggregate state. The honest way to watch a
+    * latency/value percentile on an unbounded stream: exact percentiles
+    * need every value per window retained in state (unbounded per-key),
+    * the KLL buffer is a few KB per window regardless of event rate,
+    * and it merges across micro-batches like any partial aggregate.
+    * The probe runs sink-side on the final sketch bytes. */
+  def hourlyValueQuantiles(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Complete(), "hourlyValueQuantiles") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.KllSketchAgg
+            .kllSketch(col("value").cast("double"), 200).as("sk"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"),
+        graft.functions.KllSketchAgg.kllQuantile(col("sk"), lit(0.5)).as("approx_p50"),
+        graft.functions.KllSketchAgg.kllQuantile(col("sk"), lit(0.95)).as("approx_p95"))
+    }
+
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete(), "hourlyTypeCounts") { src =>
       src.withWatermark("ets", "1 hour")

@@ -104,14 +104,14 @@ class RegistrySpec extends SparkSpec {
     // closes the batch gate's streaming blind spot: every stream runner
     // records its last micro-batch's IncrementalExecution plan
     // (Streams.lastPlans) as it completes; the per-query rows tests
-    // above run all st* queries first, so each of the eight real
-    // streaming capabilities has a recording by the time this test runs
+    // above run all st* queries first, so each real streaming
+    // capability has a recording by the time this test runs
     // (registration order — run the whole suite, not a -z subset).
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
       "incrementalLoad", "attributionPairs", "typeCountsTws",
       "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue",
-      "nearDupFilter")
+      "nearDupFilter", "hourlyValueQuantiles")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
