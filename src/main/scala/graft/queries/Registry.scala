@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Scalars.defs ++ TextOps.defs ++ Curation.defs ++
-      Similarity.defs ++ Multimodal.defs ++ Streaming.defs ++ StarGate.defs
+      Similarity.defs ++ Multimodal.defs ++ Streaming.defs ++ StarGate.defs ++
+      Graph.defs
 
   def queries = all.map(q => q.name -> q.build).toMap
   def oracles = all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
