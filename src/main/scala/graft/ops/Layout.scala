@@ -112,6 +112,51 @@ object Layout {
     countParquet(spark, outDir)
   }
 
+  /** BLOOM-FILTER indexed rewrite — the third data-skipping primitive
+    * next to [[compact]]'s clustered min/max stats and [[zorder]]'s
+    * 2-d rectangles: per-row-group parquet bloom filters on
+    * `bloomCols`, serving POINT LOOKUPS (`key = x` / `key IN (...)`)
+    * on columns the file order does NOT cluster. Min/max stats prune
+    * nothing for an in-range key on an unsorted column; the bloom
+    * answers "definitely not in this row group" from a few KB read
+    * out of the footer region — at 100 TB this is how a needle query
+    * on a secondary key touches a handful of row groups instead of
+    * every one (the same design as Delta/Iceberg bloom columns; the
+    * read side is stock parquet-mr row-group filtering, which Spark's
+    * scan applies to pushed EqualTo/In predicates automatically).
+    *
+    * Dictionary encoding is DISABLED on the bloom columns: a
+    * dict-encoded column already gives exact row-group membership
+    * (the dictionary page lists every distinct value), so parquet-mr
+    * suppresses blooms for fully-dict pages and production bloom
+    * columns are exactly those with too many distinct values for the
+    * dictionary — this forces the layout into that regime so the
+    * bloom path (not the dict path) is what LayoutSpec proves.
+    *
+    * `expectedNdv` sizes the filter (~1.1 bytes/value at the default
+    * 1% fpp) — size it per ROW GROUP, not per table. Content is
+    * preserved row-for-row; one round-robin exchange, no sort. */
+  def bloomIndex(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long, bloomCols: Seq[String],
+      expectedNdv: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(dir: String) = {
+      val p = new Path(dir)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
+      s"bloomIndex: outDir must differ from inDir ($inDir); write aside and swap")
+    require(bloomCols.nonEmpty, "bloomIndex: no bloom columns given")
+    val n = targetFiles(dirBytes(spark, inDir), targetFileBytes)
+    val w = spark.read.parquet(inDir).repartition(n).write.mode("overwrite")
+    bloomCols.foldLeft(w) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.parquet(outDir)
+    countParquet(spark, outDir)
+  }
+
   private def countParquet(spark: SparkSession, dir: String): Int = {
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -16,7 +16,8 @@ object Scalars {
 
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
-      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+      q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+      q67)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -885,6 +886,49 @@ object Scalars {
              CAST(CASE WHEN max(xc) < 8192 OR min(xc) > 16383 THEN 1 ELSE 0 END AS INT)
                AS prunes_probe
       FROM z GROUP BY bucket ORDER BY bucket"""))
+
+  /** BLOOM-INDEXED POINT LOOKUP — the read side of
+    * [[graft.ops.Layout.bloomIndex]] and the q62 layout family's
+    * third skipping primitive: min/max stats serve clustered ranges,
+    * z-order serves 2-d rectangles, and per-row-group parquet BLOOM
+    * filters serve needle lookups (`key IN (...)`) on columns the
+    * file order does NOT cluster — an in-range absent key prunes
+    * nothing by stats, but the bloom rejects the row group from a
+    * few KB of footer-region bytes. At 100 TB: a secondary-key point
+    * query touches a handful of row groups instead of the whole
+    * table, with zero reclustering of the primary layout.
+    *
+    * The query rewrites the fact once per run into a bloom-indexed
+    * temp copy (the st06 temp-dir pattern), then runs the lookup
+    * through the stock Spark parquet scan — pushed In predicates hit
+    * parquet-mr's bloom row-group filtering automatically. The
+    * 16-key probe list is materialized driver-side first (bounded,
+    * the q58 runtime-filter id-list precedent); the oracle computes
+    * the same keys as a CTE over the original table, so the gate
+    * proves the indexed copy answers exactly like the source. */
+  val q67 = QueryDef(
+    "q67_bloom_lookup",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q67")
+      tmp.toFile.deleteOnExit()
+      graft.ops.Layout.bloomIndex(s, s"$d/lineitem.parquet", s"$tmp/li",
+        targetFileBytes = 4L << 20, Seq("l_orderkey"), expectedNdv = 131072L)
+      val indexed = s.read.parquet(s"$tmp/li")
+      val keys = indexed.select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey")).limit(16).collect().map(_.getLong(0))
+      indexed.filter(col("l_orderkey").isin(keys: _*))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          QueryDef.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some(s"""
+      WITH k AS (
+        SELECT DISTINCT l_orderkey FROM lineitem ORDER BY 1 LIMIT 16)
+      SELECT l.l_orderkey, count(*) AS n_lines,
+             ${QueryDef.dsumSql("l.l_extendedprice")} AS revenue
+      FROM lineitem l JOIN k USING (l_orderkey)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** TRAILING-WINDOW DISTINCT via sketch union — the WAU/rolling-MAU
     * primitive: distinct users over each trailing 7-day window, from

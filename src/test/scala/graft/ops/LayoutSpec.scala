@@ -92,6 +92,60 @@ class LayoutSpec extends SparkSpec {
       spark.read.parquet(inDir).count())
   }
 
+  test("bloomIndex: per-row-group blooms exist, answer membership, content intact") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_b").toString
+    val inDir = s"$base/in"; val outDir = s"$base/bloom"
+    // EVEN orderkeys only: odd keys are in-range (min/max can't prune
+    // them) but absent — exactly the case only a bloom can reject
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .filter(col("l_orderkey") % 2 === 0)
+    src.write.parquet(inDir)
+    Layout.bloomIndex(spark, inDir, outDir, Long.MaxValue,
+      Seq("l_orderkey"), expectedNdv = 4096L)
+
+    // content preserved
+    assert(spark.read.parquet(outDir).count() === src.count())
+
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val present = src.select("l_orderkey").distinct()
+      .orderBy("l_orderkey").limit(20).collect().map(_.getLong(0))
+    var bloomSeen = 0; var presentHits = 0; var absentHits = 0; var probes = 0
+    for (f <- files) {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        conf, new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      try for (rg <- r.getRowGroups.asScala) {
+        val cm = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "l_orderkey").get
+        val bloom = r.readBloomFilter(cm)
+        assert(bloom != null,
+          s"row group in ${f.getName} has no bloom filter on l_orderkey")
+        bloomSeen += 1
+        // no false negatives: every present key hits in SOME row group
+        presentHits += present.count(k => bloom.findHash(bloom.hash(k)))
+        // absent in-range keys (odd): expect ~1% fpp, assert well under half
+        val absent = present.map(_ + 1)
+        absentHits += absent.count(k => bloom.findHash(bloom.hash(k)))
+        probes += absent.length
+      } finally r.close()
+    }
+    assert(bloomSeen > 0)
+    assert(presentHits > 0, "no present key found in any row-group bloom")
+    assert(absentHits * 2 < probes,
+      s"bloom accepted $absentHits/$probes absent keys — not filtering")
+    // end-to-end: the indexed copy answers a point lookup identically
+    val k = present.head
+    val a = spark.read.parquet(outDir).filter(col("l_orderkey") === k)
+      .agg(count(lit(1)), sum("l_partkey")).head()
+    val b = src.filter(col("l_orderkey") === k)
+      .agg(count(lit(1)), sum("l_partkey")).head()
+    assert(a === b)
+  }
+
   test("clusterBy sorts within partitions without an extra shuffle") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout2").toString
     val fragDir = s"$base/frag"; val outDir = s"$base/clustered"
