@@ -105,7 +105,12 @@ object GraftFunctions {
       KllSketchAgg(exprs(0), litInt(exprs(1), "graft_kll_sketch", "k")) },
     "graft_kll_merge" -> { exprs =>
       KllMergeAgg(exprs(0), litInt(exprs(1), "graft_kll_merge", "k")) },
-    "graft_kll_quantile" -> { exprs => KllQuantile(exprs(0), exprs(1)) })
+    "graft_kll_quantile" -> { exprs => KllQuantile(exprs(0), exprs(1)) },
+    "graft_freq_sketch" -> { exprs =>
+      FreqSketchAgg(exprs(0), litInt(exprs(1), "graft_freq_sketch", "maxMapSize")) },
+    "graft_freq_merge" -> { exprs =>
+      FreqMergeAgg(exprs(0), litInt(exprs(1), "graft_freq_merge", "maxMapSize")) },
+    "graft_freq_bounds" -> { exprs => FreqBounds(exprs(0), exprs(1)) })
 
   /** Direct (per-session) registration; idempotent. */
   def register(spark: SparkSession): Unit =
@@ -127,7 +132,10 @@ object GraftFunctions {
     "graft_bloom_bits" -> classOf[BloomBitsAgg].getName,
     "graft_kll_sketch" -> classOf[KllSketchAgg].getName,
     "graft_kll_merge" -> classOf[KllMergeAgg].getName,
-    "graft_kll_quantile" -> classOf[KllQuantile].getName)
+    "graft_kll_quantile" -> classOf[KllQuantile].getName,
+    "graft_freq_sketch" -> classOf[FreqSketchAgg].getName,
+    "graft_freq_merge" -> classOf[FreqMergeAgg].getName,
+    "graft_freq_bounds" -> classOf[FreqBounds].getName)
 
   /** Extension-path registration (spark.sql.extensions). */
   def injectAll(ext: SparkSessionExtensions): Unit =

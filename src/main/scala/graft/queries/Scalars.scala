@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67)
+      q67, q68)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -740,6 +740,50 @@ object Scalars {
       SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  /** FREQUENT ITEMS via Misra-Gries sketch — the top-k complement of
+    * [[q60]]'s count-min: a CMS can answer "how often does THIS key
+    * occur?" but cannot NAME the heavy hitters, so finding them still
+    * costs an exact per-key aggregation pass. The frequent-items
+    * sketch ([[graft.functions.FreqSketchAgg]], DataSketches
+    * LongsSketch) carries the candidate set inside its bounded map:
+    * ONE pass over 100 TB yields the top items AND deterministic
+    * frequency bounds (lb ≤ true ≤ ub, error ≤ n/maxMapSize, no
+    * randomness anywhere — Misra-Gries purges are deterministic)
+    * from maxMapSize counters per executor. NO_FALSE_NEGATIVES means
+    * a true heavy hitter can never be missed.
+    *
+    * Gate form (q60 discipline): the exact top-10 is hash-compared;
+    * the sketch folds into within_bound = the Misra-Gries invariant
+    * (lb ≤ exact ≤ ub AND ub − lb ≤ 4·n/maxMapSize — the library's
+    * purge analysis gives ≤ 3.5·n/M a-priori, widened to 4 per the
+    * q60 lesson) checked per probe — a deterministic guarantee, not
+    * a probabilistic bound, so the flag is 1 at every SF by
+    * construction unless the sketch is wrong. */
+  val q68 = QueryDef(
+    "q68_frequent_items",
+    (s, d) => {
+      import graft.functions.FreqSketchAgg.{freqSketch, freqBounds}
+      val e = Tables.events(s, d)
+      val sk = e.agg(freqSketch(col("user_id"), 128).as("__sk"),
+        count(lit(1)).as("__n"))
+      val top = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+        .limit(10)
+      top.crossJoin(broadcast(sk))
+        .withColumn("__b", freqBounds(col("__sk"), col("user_id")))
+        .withColumn("within_bound",
+          (col("__b.lb") <= col("exact_cnt") &&
+            col("exact_cnt") <= col("__b.ub") &&
+            col("__b.ub") - col("__b.lb") <= expr("(4L * __n) div 128L")).cast("int"))
+        .select(col("user_id"), col("exact_cnt"), col("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 10"""))
 
   /** SET-OVERLAP via theta sketches — the set operation the HLL family
     * (q29/q55/st10) cannot express: |A ∩ B| between every pair of
