@@ -49,16 +49,24 @@ object Graph {
       // supplier ids offset into a shared node space (disjoint from
       // customer keys); DISTINCT pairs — multiplicity is q01-style
       // revenue weighting's job, not PageRank's
-      val cs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
-        .distinct()
+      // persist the distinct pair-set BEFORE symmetrizing: the union's
+      // two branches (forward + reversed) and the degree count would
+      // otherwise each rebuild the join+distinct from the base tables
+      val cs = Shingles.sharedPersist(
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct())
       val edges0 = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       // the persisted superstep input: every edge with its src degree,
       // pre-partitioned by the join key so iterations reuse it as-is
       val edges = Shingles.sharedPersist(
         edges0.join(deg, Seq("src")).repartition(col("src")))
-      val nodes = deg.select(col("src").as("node"))
+      // |V| rows, read from the CACHED edges — every superstep and the
+      // final projection reference it; deriving it from the pre-cache
+      // lineage would re-run the whole edge build per reference
+      val nodes = Shingles.sharedPersist(
+        edges.select(col("src").as("node")).distinct())
       var ranks: DataFrame = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = edges
