@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68)
+      q67, q68, q69, q70)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -740,6 +740,118 @@ object Scalars {
       SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  /** EVENT TRANSITION MATRIX — first-order Markov counts over each
+    * user's time-ordered event stream: P(next = B | current = A) is
+    * the navigation-flow / recommender-prior primitive next to the
+    * funnel (q56: a FIXED ordered pattern) and sessionization
+    * (q59: boundaries, not order). One lag window per user plus one
+    * global bigram aggregate.
+    *
+    * Shape at 100 TB: ONE hash exchange on user_id feeds the lag
+    * window (per-user partitions sort locally on (ts, event_id) — the
+    * unique id breaks timestamp ties so the matrix is deterministic);
+    * the bigram count then map-side combines into at most |types|²
+    * groups — a constant-size result regardless of SF, like q02. No
+    * self-join of the fact to its successor (the naive form shuffles
+    * the fact twice and explodes on ts ties). */
+  val q70 = QueryDef(
+    "q70_transition_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      e.select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+      ORDER BY prev_type, event_type"""))
+
+  /** TABLE PROFILE — the ANALYZE-TABLE primitive every 100 TB
+    * warehouse runs before anything else: per-column row count, null
+    * count, distinct count, min/max, in ONE pass over the fact (the
+    * optimizer-statistics / data-discovery operator; Spark's own CBO
+    * consumes exactly these numbers). The scale path for NDV is the
+    * HLL sketch — `approx_count_distinct` per column rides the same
+    * single aggregate, while the EXACT ndv twin (what the oracle
+    * compares) costs an Expand ×columns that a production profiler
+    * would skip. The per-column wide aggregate becomes per-row output
+    * via `stack` — one pass, no per-column scans.
+    *
+    * Parity notes: null counts via count(*) − count(c) (exact longs),
+    * min/max rendered to strings (long → decimal-free digits,
+    * DECIMAL(12,2) → identical "123.45" in both engines, strings
+    * compare bytewise in both); sketch folds into within_bound per
+    * the q29 discipline (rsd 0.05, bound 0.15 ≈ 3σ). */
+  val q69 = QueryDef(
+    "q69_table_profile",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__ndv_$c"),
+          approx_count_distinct(col(c), 0.05).as(s"__apx_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+      val stackArgs = cols.map { c =>
+        s"'$c', __n - __cnt_$c, __ndv_$c, __min_$c, __max_$c, " +
+          s"CAST(abs(__apx_$c - __ndv_$c) / CAST(__ndv_$c AS DOUBLE) <= 0.15 AS INT)"
+      }.mkString(", ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(col("__n").as("n_rows"), expr(
+          s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_nulls, ndv_exact, min_s, max_s, within_bound)"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv_exact"), col("min_s"), col("max_s"), col("within_bound"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS ndv_exact,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+             CAST(1 AS INT) AS within_bound
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+             CAST(1 AS INT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus), CAST(1 AS INT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+             CAST(1 AS INT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority), CAST(1 AS INT)
+      FROM orders
+      ORDER BY col_name"""))
 
   /** FREQUENT ITEMS via Misra-Gries sketch — the top-k complement of
     * [[q60]]'s count-min: a CMS can answer "how often does THIS key

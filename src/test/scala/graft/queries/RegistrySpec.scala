@@ -49,7 +49,7 @@ class RegistrySpec extends SparkSpec {
     //     the only keyed children are q08/q09's dim-bounded rank input.
     val allowed = Set("q09_sequential_ids", "q08_nation_rank")
     val boundedChild =
-      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]""".r
+      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys?=\[\]""".r
     // streaming queries are excluded HERE, not because they're exempt
     // but because this check is blind there: their builders run the
     // stream to completion and return a materialized-sink LogicalRDD,
@@ -115,7 +115,7 @@ class RegistrySpec extends SparkSpec {
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
-      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]""".r
+      """(HashAggregate|ObjectHashAggregate|SortAggregate)\(keys?=\[\]""".r
     for (tag <- expected; plan = plans(tag)) {
       // same rule as the batch gate: an Exchange SinglePartition may
       // only feed from an ungrouped aggregate (bounded at any SF)
