@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.datasketches.frequencies.LongsSketch
+import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -22,16 +22,63 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, 
   *
   * Error model (Misra-Gries): deterministic, no randomness — counts
   * are exact until the map saturates; each purge subtracts the
-  * median counter, so every item's true count lies in
-  * [lb, ub] = [est − maxError, est] with maxError ≤ n/maxMapSize
-  * (`getMaximumError`). NO_FALSE_NEGATIVES returns every item whose
-  * ub clears the threshold — a true heavy hitter can never be
-  * missed. Merging sums counters and errors; the bound survives
-  * rollup (q55 pattern). */
+  * median counter, so every item's stored count c satisfies
+  * true ∈ [c − offset, c] with offset ≤ 3.5·n/maxMapSize, and an
+  * UNTRACKED item's true count is ≤ offset. NO_FALSE_NEGATIVES
+  * returns every item whose upper bound clears the threshold — a
+  * true heavy hitter can never be missed. Merging sums counters and
+  * offsets; the bound survives rollup (q55 pattern).
+  *
+  * SERIALIZATION CAVEAT (measured, and the reason for [[FreqBuf]]):
+  * `LongsSketch.toByteArray` writes the short "empty" form when the
+  * map holds zero items — which a heavily-purged sparse window can
+  * reach with a NON-zero error offset — and that form DROPS the
+  * offset: a round-tripped empty-map sketch reports maxError 0 and
+  * upper bound 0 for items it actually absorbed (caught live by
+  * st14's gate: 147 events over 140 distinct keys in a 64-slot map).
+  * Spark round-trips every partial aggregation buffer, so the graft
+  * byte format prepends the lost offset as an 8-byte header and
+  * [[FreqOps]] folds it back into every bound. */
+class FreqBuf(var sk: LongsSketch, var extraOffset: Long)
+
+private[functions] trait FreqBufCodec {
+  def maxMapSize: Int
+
+  final def newBuf(): FreqBuf = new FreqBuf(new LongsSketch(maxMapSize), 0L)
+
+  /** graft format: [extraOffset: 8 bytes big-endian][library bytes].
+    * extraOffset = offset the library image will NOT carry after
+    * getInstance (measured by an immediate round trip) plus any
+    * offset this buffer already re-absorbed from upstream images. */
+  final def encode(buf: FreqBuf): Array[Byte] = {
+    val lib = buf.sk.toByteArray
+    val rt = LongsSketch.getInstance(Memory.wrap(lib))
+    val delta = buf.sk.getMaximumError - rt.getMaximumError
+    val out = java.nio.ByteBuffer.allocate(8 + lib.length)
+    out.putLong(buf.extraOffset + delta)
+    out.put(lib)
+    out.array()
+  }
+
+  final def decode(bytes: Array[Byte]): FreqBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val extra = bb.getLong
+    val lib = new Array[Byte](bytes.length - 8)
+    bb.get(lib)
+    new FreqBuf(LongsSketch.getInstance(Memory.wrap(lib)), extra)
+  }
+
+  final def mergeBufs(b1: FreqBuf, b2: FreqBuf): FreqBuf = {
+    b1.sk = b1.sk.merge(b2.sk)
+    b1.extraOffset += b2.extraOffset
+    b1
+  }
+}
+
 case class FreqSketchAgg(
     child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[LongsSketch] {
+    extends TypedImperativeAggregate[FreqBuf] with FreqBufCodec {
 
   require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
     s"graft_freq_sketch maxMapSize must be a power of 2 >= 8: $maxMapSize")
@@ -42,20 +89,19 @@ case class FreqSketchAgg(
       s"graft_freq_sketch requires a bigint input, got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): LongsSketch = new LongsSketch(maxMapSize)
+  override def createAggregationBuffer(): FreqBuf = newBuf()
 
-  override def update(buf: LongsSketch, input: InternalRow): LongsSketch = {
+  override def update(buf: FreqBuf, input: InternalRow): FreqBuf = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Long])
+    if (v != null) buf.sk.update(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(b1: LongsSketch, b2: LongsSketch): LongsSketch = b1.merge(b2)
+  override def merge(b1: FreqBuf, b2: FreqBuf): FreqBuf = mergeBufs(b1, b2)
 
-  override def eval(buf: LongsSketch): Any = buf.toByteArray
-  override def serialize(buf: LongsSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): LongsSketch =
-    LongsSketch.getInstance(Memory.wrap(bytes))
+  override def eval(buf: FreqBuf): Any = encode(buf)
+  override def serialize(buf: FreqBuf): Array[Byte] = encode(buf)
+  override def deserialize(bytes: Array[Byte]): FreqBuf = decode(bytes)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -71,12 +117,13 @@ case class FreqSketchAgg(
 }
 
 /** Rollup merge of STORED frequent-items sketches — counters and error
-  * bounds sum, so fine-grained persisted sketches re-aggregate to any
+  * offsets sum (incl. the header-carried offset the library image
+  * loses), so fine-grained persisted sketches re-aggregate to any
   * coarser grouping (the q55/ThetaUnionAgg/KllMergeAgg pattern). */
 case class FreqMergeAgg(
     child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[LongsSketch] {
+    extends TypedImperativeAggregate[FreqBuf] with FreqBufCodec {
 
   require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
     s"graft_freq_merge maxMapSize must be a power of 2 >= 8: $maxMapSize")
@@ -87,21 +134,19 @@ case class FreqMergeAgg(
       s"graft_freq_merge requires a binary sketch column, got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): LongsSketch = new LongsSketch(maxMapSize)
+  override def createAggregationBuffer(): FreqBuf = newBuf()
 
-  override def update(buf: LongsSketch, input: InternalRow): LongsSketch = {
+  override def update(buf: FreqBuf, input: InternalRow): FreqBuf = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(LongsSketch.getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    buf
+    if (v != null) mergeBufs(buf, decode(v.asInstanceOf[Array[Byte]]))
+    else buf
   }
 
-  override def merge(b1: LongsSketch, b2: LongsSketch): LongsSketch = b1.merge(b2)
+  override def merge(b1: FreqBuf, b2: FreqBuf): FreqBuf = mergeBufs(b1, b2)
 
-  override def eval(buf: LongsSketch): Any = buf.toByteArray
-  override def serialize(buf: LongsSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): LongsSketch =
-    LongsSketch.getInstance(Memory.wrap(bytes))
+  override def eval(buf: FreqBuf): Any = encode(buf)
+  override def serialize(buf: FreqBuf): Array[Byte] = encode(buf)
+  override def deserialize(bytes: Array[Byte]): FreqBuf = decode(bytes)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -118,9 +163,11 @@ case class FreqMergeAgg(
 
 /** Per-item probe of a serialized frequent-items sketch:
   * struct(est, lb, ub) with the Misra-Gries guarantee
-  * lb ≤ true count ≤ ub. Bounded probe volume (the sketch is read
-  * post-aggregation, a handful of rows), so no byte-cache is needed —
-  * the ThetaOps zero-copy-wrap pattern. */
+  * lb ≤ true count ≤ ub, computed from the TOTAL offset (library
+  * image offset + the header-carried remainder — see the
+  * serialization caveat above). Bounded probe volume (the sketch is
+  * read post-aggregation, a handful of rows), so no byte-cache is
+  * needed — the ThetaOps zero-copy-wrap pattern. */
 case class FreqBounds(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = FreqOps.boundsType
@@ -152,10 +199,40 @@ object FreqOps {
     StructField("lb", LongType, nullable = false),
     StructField("ub", LongType, nullable = false)))
 
-  def bounds(bytes: Array[Byte], item: Long): InternalRow = {
-    val sk = LongsSketch.getInstance(Memory.wrap(bytes))
-    InternalRow(sk.getEstimate(item), sk.getLowerBound(item), sk.getUpperBound(item))
+  private def parse(bytes: Array[Byte]): (LongsSketch, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val extra = bb.getLong
+    val lib = new Array[Byte](bytes.length - 8)
+    bb.get(lib)
+    (LongsSketch.getInstance(Memory.wrap(lib)), extra)
   }
+
+  /** Bound semantics (stored count c is an over-count by at most the
+    * total offset T): tracked → true ∈ [c − T, c]; untracked →
+    * true ∈ [0, T]. `est` is the library's stored count. */
+  def bounds(bytes: Array[Byte], item: Long): InternalRow = {
+    val (sk, extra) = parse(bytes)
+    val totalOff = sk.getMaximumError + extra
+    val est = sk.getEstimate(item)
+    val lb = math.max(0L, est - totalOff)
+    val ub = if (est > 0L) est else totalOff
+    InternalRow(est, lb, ub)
+  }
+
+  /** Total error offset of a graft-serialized sketch (library image
+    * offset + header remainder) — what the a-priori ≤ 3.5·n/M bound
+    * applies to. */
+  def maxError(bytes: Array[Byte]): Long = {
+    val (sk, extra) = parse(bytes)
+    sk.getMaximumError + extra
+  }
+
+  /** Items reported under NO_FALSE_NEGATIVES by the embedded sketch
+    * (the header offset only raises upper bounds, so the reported set
+    * can only be a superset of the library's — false-negative-free
+    * either way). */
+  def frequentItems(bytes: Array[Byte]): Array[Long] =
+    parse(bytes)._1.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).map(_.getItem)
 }
 
 object FreqSketchAgg {

@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13)
+      st12, st13, st14)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -176,6 +176,56 @@ object Streaming {
       FROM events
       GROUP BY 1
       ORDER BY window_start"""))
+
+  /** Streaming TRENDING-ITEMS monitoring — the Misra-Gries member of
+    * the streaming sketch-monitor trio (st10 cardinality, st13
+    * quantiles) and the online face of q68: per-hour heavy-hitter
+    * sketch as k-bounded window state
+    * ([[graft.streaming.Streams.hourlyTrending]]).
+    *
+    * Gate: the exact per-hour top-3 users (deterministic tiebreak
+    * count desc, user_id asc — a PARTITIONED window over the bounded
+    * per-hour count table) hash-compare; each top user probes the
+    * window's streamed sketch and within_bound asserts the
+    * Misra-Gries invariant lb ≤ exact ≤ ub — which holds for ANY
+    * micro-batch merge order (merge sums counters and error offsets;
+    * the bounds move, the invariant doesn't), so the flag is
+    * deterministic even though the stream's partial-agg tree isn't. */
+  val st14 = QueryDef(
+    "st14_stream_trending",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val streamed = graft.streaming.Streams
+        .hourlyTrending(s, s"$d/events.parquet")
+      val byHour = Window.partitionBy(col("window_start"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+      val top3 = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rnk", row_number().over(byHour))
+        .filter(col("rnk") <= 3)
+      top3.join(broadcast(streamed), Seq("window_start"))
+        .withColumn("__b",
+          graft.functions.FreqSketchAgg.freqBounds(col("sk"), col("user_id")))
+        .select(col("window_start"), col("rnk"), col("user_id"),
+          col("exact_cnt"), col("n_events"),
+          (col("__b.lb") <= col("exact_cnt") &&
+            col("exact_cnt") <= col("__b.ub")).cast("int").as("within_bound"))
+        .orderBy(col("window_start"), col("rnk"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT date_trunc('hour', ts) AS ws, user_id, count(*) AS exact_cnt
+        FROM events GROUP BY 1, 2),
+      n AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_events
+            FROM events GROUP BY 1),
+      r AS (SELECT c.*, row_number() OVER (PARTITION BY ws
+              ORDER BY exact_cnt DESC, user_id) AS rnk FROM c)
+      SELECT CAST(r.ws AS TIMESTAMP) AS window_start, rnk, user_id,
+             exact_cnt, n_events, CAST(1 AS INT) AS within_bound
+      FROM r JOIN n ON r.ws = n.ws
+      WHERE rnk <= 3
+      ORDER BY window_start, rnk"""))
 
   /** Streaming corpus ingest — quality gate + watermark-bounded
     * near-exact dedup over a documents stream, the online twin of the

@@ -293,6 +293,26 @@ object Streams {
         graft.functions.KllSketchAgg.kllQuantile(col("sk"), lit(0.95)).as("approx_p95"))
     }
 
+  /** Streaming TRENDING-ITEMS monitoring — completes the streaming
+    * sketch-monitor trio (st10 HLL cardinality, st13 KLL quantiles,
+    * here Misra-Gries heavy hitters): per-hour frequent-user sketch
+    * as the windowed aggregate state. Exact per-window top-k needs
+    * per-key counts retained in state (unbounded at production key
+    * cardinality); the Misra-Gries map is maxMapSize counters per
+    * window, merges across micro-batches, and can never miss a true
+    * heavy hitter (NO_FALSE_NEGATIVES). The probe runs sink-side. */
+  def hourlyTrending(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Complete(), "hourlyTrending") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.FreqSketchAgg.freqSketch(col("user_id"), 64).as("sk"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"), col("sk"))
+    }
+
   def hourlyTypeCounts(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete(), "hourlyTypeCounts") { src =>
       src.withWatermark("ets", "1 hour")

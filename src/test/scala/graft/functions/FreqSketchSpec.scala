@@ -29,19 +29,44 @@ class FreqSketchSpec extends SparkSpec {
       Seq.fill(300)(888888L) ++ Seq.fill(200)(777777L)).toDF("v")
     val skBytes = df.agg(FreqSketchAgg.freqSketch(col("v"), 64).as("sk"))
       .collect().head.getAs[Array[Byte]](0)
-    val sk = org.apache.datasketches.frequencies.LongsSketch.getInstance(
-      org.apache.datasketches.memory.Memory.wrap(skBytes))
     val n = df.count()
-    assert(sk.getMaximumError <= 4 * n / 64, "purge error above a-priori bound")
+    assert(FreqOps.maxError(skBytes) <= 4 * n / 64, "purge error above a-priori bound")
     for ((item, true_) <- Seq(999999L -> 500L, 888888L -> 300L, 777777L -> 200L)) {
-      assert(sk.getLowerBound(item) <= true_ && true_ <= sk.getUpperBound(item),
-        s"item $item true=$true_ outside [${sk.getLowerBound(item)}, ${sk.getUpperBound(item)}]")
+      val b = FreqOps.bounds(skBytes, item)
+      assert(b.getLong(1) <= true_ && true_ <= b.getLong(2),
+        s"item $item true=$true_ outside [${b.getLong(1)}, ${b.getLong(2)}]")
     }
     // NO_FALSE_NEGATIVES: the planted heavies are all reported
-    val reported = sk.getFrequentItems(
-      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
-      .map(_.getItem).toSet
+    val reported = FreqOps.frequentItems(skBytes).toSet
     assert(Set(999999L, 888888L, 777777L).subsetOf(reported))
+  }
+
+  test("empty-purged map keeps its error offset across serialization (st14 regression)") {
+    // 147 events over 140 distinct keys in a 64-slot map: purges can
+    // empty the map entirely, and LongsSketch.toByteArray writes the
+    // short "empty" form that DROPS the accumulated offset — a
+    // round-tripped sketch then claims ub=0 for keys it absorbed.
+    // The graft 8-byte header must preserve it: ub >= true for every
+    // key, even through repartitioned partial-agg round trips.
+    val df = (0 until 147).map(i => (i % 140).toLong).toDF("v")
+    for (parts <- Seq(1, 7)) {
+      val skBytes = df.repartition(parts)
+        .agg(FreqSketchAgg.freqSketch(col("v"), 64).as("sk"))
+        .collect().head.getAs[Array[Byte]](0)
+      for (item <- Seq(0L, 7L, 139L)) {
+        val true_ = if (item < 7) 2L else 1L
+        val b = FreqOps.bounds(skBytes, item)
+        assert(b.getLong(1) <= true_ && true_ <= b.getLong(2),
+          s"parts=$parts item $item true=$true_ outside [${b.getLong(1)}, ${b.getLong(2)}]")
+      }
+      // and the offset survives a further stored-sketch merge
+      val merged = df.repartition(parts)
+        .agg(FreqSketchAgg.freqSketch(col("v"), 64).as("sk"))
+        .agg(FreqSketchAgg.freqMerge(col("sk"), 64).as("m"))
+        .collect().head.getAs[Array[Byte]](0)
+      assert(FreqOps.maxError(merged) > 0,
+        s"parts=$parts merged sketch lost its purge offset")
+    }
   }
 
   test("merge of STORED sketches preserves the bound invariant") {

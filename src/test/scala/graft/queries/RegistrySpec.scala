@@ -111,7 +111,7 @@ class RegistrySpec extends SparkSpec {
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
       "incrementalLoad", "attributionPairs", "typeCountsTws",
       "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue",
-      "nearDupFilter", "hourlyValueQuantiles")
+      "nearDupFilter", "hourlyValueQuantiles", "hourlyTrending")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
