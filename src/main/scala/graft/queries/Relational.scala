@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1224,4 +1224,61 @@ object Relational {
       FROM (SELECT c_custkey FROM rich
             EXCEPT SELECT c_custkey FROM wo)
       ORDER BY tag, c_custkey"""))
+
+  /** MARKET-BASKET CO-OCCURRENCE — pairwise association rules
+    * (support + lift) over order baskets: the recommender /
+    * frequently-bought-together primitive, an operator CLASS the
+    * registry lacked (co-occurrence mining; the candidate-pair
+    * pre-pass of every FP-growth/A-priori implementation).
+    *
+    * Shape at 100 TB: the pair expansion is a SELF-JOIN WITHIN the
+    * basket key — one hash exchange on l_orderkey, and the output is
+    * bounded by Σ basket_size², not N² (baskets are small by domain;
+    * a degenerate giant basket would need the d02-style per-key cap,
+    * documented not needed for order lines). The pair aggregate then
+    * map-combines into ≤ distinct-pair groups; item supports and the
+    * basket total ride cheap side aggregates, broadcast back onto the
+    * 20-row result.
+    *
+    * Parity: lift is emitted as LIFT_PPM = (10⁶·cnt_pair·n_orders)
+    * div (cnt_a·cnt_b) — all-integer arithmetic (the q66 fixed-point
+    * discipline), bit-identical in both engines; the products stay
+    * far under 2⁶³. */
+  val q71 = QueryDef(
+    "q71_basket_pairs",
+    (s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val supports = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val a1 = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val a2 = b.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val pairs = a1.join(a2, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt_pair"))
+        .orderBy(col("cnt_pair").desc, col("pa"), col("pb"))
+        .limit(20)
+      pairs
+        .join(supports.select(col("l_partkey").as("pa"), col("cnt").as("cnt_a")), Seq("pa"))
+        .join(supports.select(col("l_partkey").as("pb"), col("cnt").as("cnt_b")), Seq("pb"))
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("cnt_pair"), col("cnt_a"), col("cnt_b"),
+          expr("(1000000L * cnt_pair * n_orders) div (cnt_a * cnt_b)").as("lift_ppm"))
+        .orderBy(col("cnt_pair").desc, col("pa"), col("pb"))
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+      p AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS cnt_pair
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2
+            ORDER BY cnt_pair DESC, pa, pb LIMIT 20)
+      SELECT pa, pb, cnt_pair, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+             (1000000 * cnt_pair * n_orders) // (sa.cnt * sb.cnt) AS lift_ppm
+      FROM p
+      JOIN s sa ON pa = sa.l_partkey
+      JOIN s sb ON pb = sb.l_partkey
+      CROSS JOIN n
+      ORDER BY cnt_pair DESC, pa, pb"""))
 }
