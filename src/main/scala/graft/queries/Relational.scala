@@ -32,7 +32,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1224,6 +1224,61 @@ object Relational {
       FROM (SELECT c_custkey FROM rich
             EXCEPT SELECT c_custkey FROM wo)
       ORDER BY tag, c_custkey"""))
+
+  /** TIME TRAVEL over a versioned table — the lakehouse snapshot
+    * contract ([[graft.sources.Versioned]]): commit v1 (the base
+    * fact), commit v2 (an update applied through the table's write
+    * path), then JOIN THE TWO SNAPSHOTS — the audit/rollback query
+    * shape Delta/Iceberg serve, completing the CDC family next to
+    * q38's frame-level diff and q40's SCD2 history. Readers of v1 are
+    * isolated from the v2 commit because committed version dirs are
+    * immutable (commit point = one rename; VersionedSpec pins the
+    * crash/staging/vacuum edges).
+    *
+    * Plan shape: the two version reads are independent pruned scans
+    * joined on the table key — same cost model as q38's snapshot
+    * diff; at 100 TB partition columns pass through each version so
+    * both sides prune. The oracle recomputes both versions
+    * arithmetically from the base table (decimal-exact: the v2
+    * update is a DECIMAL add, dsum boundary discipline on output). */
+  val q72 = QueryDef(
+    "q72_time_travel",
+    (s, d) => {
+      import graft.sources.Versioned
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q72")
+      tmp.toFile.deleteOnExit()
+      val tbl = s"$tmp/orders_versioned"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, tbl, base)
+      val updated = base.withColumn("o_totalprice",
+        when(col("o_orderstatus") === "O",
+          col("o_totalprice") + expr("CAST(100.00 AS DECIMAL(5,2))"))
+          .otherwise(col("o_totalprice")))
+      Versioned.commit(s, tbl, updated)
+      val v1 = Versioned.read(s, tbl, Some(1L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("price_v1"))
+      val v2 = Versioned.read(s, tbl)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_v2"))
+      v1.join(v2, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("price_v1") =!= col("price_v2"), 1L).otherwise(0L))
+            .as("n_changed"),
+          QueryDef.dsum(col("price_v1")).as("sum_v1"),
+          QueryDef.dsum(col("price_v2")).as("sum_v2"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      SELECT o_orderstatus,
+             count(*) AS n_rows,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_changed,
+             ${QueryDef.dsumSql("o_totalprice")} AS sum_v1,
+             ${QueryDef.dsumSql(
+               "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.00 ELSE o_totalprice END")} AS sum_v2
+      FROM orders
+      GROUP BY 1 ORDER BY 1"""))
 
   /** MARKET-BASKET CO-OCCURRENCE — pairwise association rules
     * (support + lift) over order baskets: the recommender /
