@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70)
+      q67, q68, q69, q70, q73, q74)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -740,6 +740,106 @@ object Scalars {
       SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  /** STATISTICAL ANOMALY FLAGS — per-group 2σ outlier detection
+    * (statistical process control / data-quality monitoring) with an
+    * EXACT-ARITHMETIC twin: the condition |x − µ| > 2σ is evaluated
+    * as (n·x − S)² > 4·(n·Q − S²) over integer cents (S = Σx,
+    * Q = Σx²) — multiplying through by n² removes the division and
+    * the square removes the sqrt, so there is NO floating point
+    * anywhere and the oracle compares bit-exact (the q66/q71
+    * fixed-point discipline applied to second moments). Products run
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact to 10³⁸,
+    * overflow-safe far beyond the tested SFs; the production form at
+    * 100 TB keeps the same two-pass shape with the decimal stats of
+    * q44 ([[graft.functions.DecimalStatsAgg]]).
+    *
+    * Shape: one grouped agg over the fact (map-side combined sums),
+    * broadcast the ≤|types|-row stats back onto the fact, count
+    * flags — two fact passes, zero shuffles of the fact itself. */
+  val q73 = QueryDef(
+    "q73_anomaly_flags",
+    (s, d) => {
+      val cents = expr("CAST(round(value * 100) AS DECIMAL(38,0))")
+      val e = Tables.events(s, d).select(col("event_type"), cents.as("x"))
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("is_anom",
+          ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            (col("n") * col("q") - col("s") * col("s")) * 4).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("is_anom")).as("n_anomalies"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS x FROM events),
+      st AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS s, sum(x * x) AS q
+        FROM c GROUP BY event_type)
+      SELECT c.event_type, count(*) AS n_rows,
+             CAST(sum(CASE WHEN (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM c JOIN st ON c.event_type = st.event_type
+      GROUP BY c.event_type
+      ORDER BY c.event_type"""))
+
+  /** FORWARD-FILL imputation (LOCF — last observation carried
+    * forward): the time-series repair primitive next to [[q51]]'s
+    * dense-grid zero-fill — nulls inherit the most recent non-null
+    * value within the key's ordered history, via ONE
+    * `last_value(ignoreNulls)` running window per key. The naive
+    * alternative (self-join each null row to its predecessor) shuffles
+    * the fact twice and explodes on ties; the window form is one hash
+    * exchange + partition-local sort, and at 100 TB the key
+    * partitioning bounds every frame.
+    *
+    * The null pattern is synthesized deterministically (every 7th
+    * event's value masked) so both engines fill the same holes;
+    * output echoes n_filled per type to pin that the fill actually
+    * engaged. */
+  val q74 = QueryDef(
+    "q74_forward_fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("v"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").isNull.cast("long")).as("n_masked"),
+          sum((col("v").isNull && col("v_filled").isNotNull).cast("long"))
+            .as("n_filled"),
+          QueryDef.dsum(col("v_filled")).as("sum_filled"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events),
+      f AS (
+        SELECT event_type, v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM m)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_masked,
+             CAST(count(*) FILTER (WHERE v IS NULL AND v_filled IS NOT NULL)
+               AS BIGINT) AS n_filled,
+             ${QueryDef.dsumSql("v_filled")} AS sum_filled
+      FROM f
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   /** EVENT TRANSITION MATRIX — first-order Markov counts over each
     * user's time-ordered event stream: P(next = B | current = A) is
