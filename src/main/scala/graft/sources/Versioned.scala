@@ -79,6 +79,20 @@ object Versioned {
     spark.read.parquet(s"$tableDir/v$v")
   }
 
+  /** CHANGE DATA FEED between two committed versions — Delta's
+    * `table_changes` contract from plain snapshots: keyed I/U/D ops
+    * via [[graft.ops.SnapshotDiff.diff]] (one full-outer key join of
+    * the two version reads, q38's oracle-proven diff core). At 100 TB
+    * the cost model is q38's: both sides prune to key+compared
+    * columns, one shuffle each on the key. */
+  def changes(spark: SparkSession, tableDir: String,
+              fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"versioned changes: fromV $fromV must precede toV $toV")
+    graft.ops.SnapshotDiff.diff(
+      read(spark, tableDir, Some(fromV)),
+      read(spark, tableDir, Some(toV)), keys)
+  }
+
   /** Drop all but the newest `keep` versions (time-travel horizon). */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "vacuum: must keep at least the live version")

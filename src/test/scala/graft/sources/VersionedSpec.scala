@@ -60,6 +60,27 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("changes() yields keyed I/U/D between two versions") {
+    val dir = freshDir()
+    val base = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").filter(col("n_nationkey") < 20)
+    Versioned.commit(spark, dir, base)
+    // v2: drop key 0 (D), rename key 1 (U), add key 99 (I)
+    val v2 = base.filter(col("n_nationkey") =!= 0)
+      .withColumn("n_name",
+        when(col("n_nationkey") === 1, lit("RENAMED")).otherwise(col("n_name")))
+      .unionByName(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(99, "NEWLAND")),
+        base.schema))
+    Versioned.commit(spark, dir, v2)
+    val ops = Versioned.changes(spark, dir, 1L, 2L, Seq("n_nationkey"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops === Map(0 -> "D", 1 -> "U", 99 -> "I"))
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 2L, 1L, Seq("n_nationkey"))
+    }
+  }
+
   test("partition columns prune inside a version") {
     val dir = freshDir()
     val ev = Tables.events(spark, sfDir)
