@@ -77,6 +77,18 @@ class RegistrySpec extends SparkSpec {
     assert(rogue.isEmpty, s"unbounded single-partition funnels: $rogue")
   }
 
+  test("README.md's query count matches the registry (docs can't go stale)") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val m = """(\d+) named queries, ALL (\d+) DuckDB-oracle-checked""".r
+      .findFirstMatchIn(text)
+    assert(m.isDefined, "README.md must state 'N named queries, ALL M DuckDB-oracle-checked'")
+    assert(m.get.group(1).toInt === Registry.all.size,
+      s"README.md says ${m.get.group(1)} queries; registry has ${Registry.all.size}")
+    assert(m.get.group(2).toInt === Registry.oracles.size,
+      s"README.md says ALL ${m.get.group(2)} oracle-checked; registry has ${Registry.oracles.size}")
+  }
+
   test("SparkEntry.entry returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
