@@ -1,17 +1,65 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond [[graft.ops.ConnectedComponents]]
   * (d07): Pregel-on-DataFrames, the shape GraphX/GraphFrames reduce to
   * on Spark — a persisted edge table plus a small per-node state table
-  * that re-aggregates each superstep.
+  * that re-aggregates each superstep. The three canonical Pregel
+  * algorithms are covered across the repo: fixpoint contraction (d07
+  * connected components), value iteration ([[q66]] PageRank), and
+  * frontier propagation ([[q75]] BFS hops).
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q66)
+  def defs: Seq[QueryDef] = Seq(q66, q75)
+
+  /** Shared customer↔supplier purchase graph (the starCache pattern):
+    * built ONCE per (session, sfDir) and reused by every graph query —
+    * the family's first runner pays the build, the rest ride the
+    * cache. `edges` = symmetrized distinct pairs with src degree,
+    * pre-partitioned by src; `nodes` = the |V|-row node table derived
+    * from the CACHED edges (deriving it from pre-cache lineage would
+    * re-run the whole build per reference — caught by DumpPlan in
+    * round 7). Supplier ids live at +10_000_000 in the shared node
+    * space. */
+  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[queries] def purchaseGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val tuple = graphCache.computeIfAbsent((s, d), { _ =>
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // persist the distinct pair-set BEFORE symmetrizing: the union's
+      // two branches (forward + reversed) and the degree count would
+      // otherwise each rebuild the join+distinct from the base tables
+      val cs = Shingles.sharedPersist(
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct())
+      val edges0 = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edges = Shingles.sharedPersist(
+        edges0.join(deg, Seq("src")).repartition(col("src")))
+      val nodes = Shingles.sharedPersist(
+        edges.select(col("src").as("node")).distinct())
+      (edges, nodes)
+    })
+    // an external catalog.clearCache() (Bench, between warmup and the
+    // timed pass) silently unpersists them — re-arm via sharedPersist
+    // so release()'s end-of-run cleanup still covers the build
+    tuple.productIterator.foreach { df0 =>
+      val df = df0.asInstanceOf[DataFrame]
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        Shingles.sharedPersist(df)
+        ()
+      }
+    }
+    tuple
+  }
 
   /** PAGERANK over the customer↔supplier purchase graph — supplier
     * importance from who-buys-from-whom (lineitem ⋈ orders gives
@@ -28,45 +76,24 @@ object Graph {
     * construction: the graph is symmetrized).
     *
     * Plan shape at 100 TB (the Pregel cost model): the EDGE table —
-    * the big side, |E| ≈ fact size — is built once, pre-partitioned
-    * by src, and PERSISTED; each of the 3 supersteps shuffles (a) the
-    * |V|-row rank table to the edge partitioning for the join (tiny)
-    * and (b) map-side-combined per-partition contribution partials
-    * (≤ |V| per partition, not |E|) for the groupBy(dst). The edges
-    * themselves never re-shuffle across supersteps — per-iteration
-    * shuffle volume is O(|V|), not O(|E|). Iteration count is a
-    * constant (3), so the lineage stays bounded — no checkpoint
-    * needed; a variable-round version would localCheckpoint per
-    * superstep like ConnectedComponents does.
+    * the big side, |E| ≈ fact size — comes from [[purchaseGraph]]:
+    * built once, pre-partitioned by src, persisted, SHARED with q75.
+    * Each of the 3 supersteps shuffles (a) the |V|-row rank table to
+    * the edge partitioning for the join (tiny) and (b) map-side-
+    * combined per-partition contribution partials (≤ |V| per
+    * partition, not |E|) for the groupBy(dst). The edges themselves
+    * never re-shuffle across supersteps — per-iteration shuffle
+    * volume is O(|V|), not O(|E|). Iteration count is a constant (3),
+    * so the lineage stays bounded — no checkpoint needed; a
+    * variable-round version would localCheckpoint per superstep like
+    * ConnectedComponents does.
     *
     * Oracle: the same 3 supersteps as chained DuckDB CTEs — integer
     * ops make the twin exact, no within_bound needed. */
   val q66 = QueryDef(
     "q66_pagerank",
     (s, d) => {
-      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      // supplier ids offset into a shared node space (disjoint from
-      // customer keys); DISTINCT pairs — multiplicity is q01-style
-      // revenue weighting's job, not PageRank's
-      // persist the distinct pair-set BEFORE symmetrizing: the union's
-      // two branches (forward + reversed) and the degree count would
-      // otherwise each rebuild the join+distinct from the base tables
-      val cs = Shingles.sharedPersist(
-        li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
-          .distinct())
-      val edges0 = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // the persisted superstep input: every edge with its src degree,
-      // pre-partitioned by the join key so iterations reuse it as-is
-      val edges = Shingles.sharedPersist(
-        edges0.join(deg, Seq("src")).repartition(col("src")))
-      // |V| rows, read from the CACHED edges — every superstep and the
-      // final projection reference it; deriving it from the pre-cache
-      // lineage would re-run the whole edge build per reference
-      val nodes = Shingles.sharedPersist(
-        edges.select(col("src").as("node")).distinct())
+      val (edges, nodes) = purchaseGraph(s, d)
       var ranks: DataFrame = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = edges
@@ -111,4 +138,74 @@ object Graph {
       FROM r3 WHERE node >= 10000000
       ORDER BY rank_ppm DESC, supplier
       LIMIT 20"""))
+
+  /** BFS HOP DISTANCES — frontier propagation from a seed node (the
+    * minimum customer key) over the shared purchase graph: dist(v) =
+    * min(dist(v), 1 + min over in-edges of dist(u)), three rounds →
+    * every node within 3 hops labeled with its exact hop count. The
+    * third canonical Pregel algorithm next to d07's component
+    * contraction and q66's value iteration; the real-world shape is
+    * blast-radius / reachability analysis ("which suppliers are ≤ 3
+    * relationships from this account").
+    *
+    * Plan shape: reuses [[purchaseGraph]]'s persisted edge table (the
+    * family's first runner pays the build); each round is the q66
+    * superstep pair — join the O(|V|) frontier to the pre-partitioned
+    * edges, min-combine per dst (map-side combined partials), left
+    * join back. min is idempotent, so revisiting settled nodes is
+    * harmless and no per-round frontier diff is needed at this
+    * constant round count. Output is the hop histogram (≤ 4 rows) —
+    * all integer, hash-exact. */
+  val q75 = QueryDef(
+    "q75_bfs_hops",
+    (s, d) => {
+      val (edges, nodes) = purchaseGraph(s, d)
+      val seed = nodes.agg(min(col("node")).as("node"))
+        .withColumn("dist", lit(0L))
+      var dist: DataFrame = nodes
+        .join(seed.withColumnRenamed("dist", "d0"), Seq("node"), "left")
+        .select(col("node"), col("d0").as("dist"))
+      for (_ <- 1 to 3) {
+        val reached = edges
+          .join(dist.filter(col("dist").isNotNull)
+            .withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(min(col("dist") + 1L).as("nd"))
+        dist = dist
+          .join(reached.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+      }
+      dist.filter(col("dist").isNotNull)
+        .groupBy(col("dist").as("hops"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hops"))
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      edges AS (
+        SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      seed AS (SELECT min(node) AS node FROM nodes),
+      d0 AS (SELECT n.node,
+                    CASE WHEN n.node = s.node THEN CAST(0 AS BIGINT) END AS dist
+             FROM nodes n, seed s),
+      r1 AS (SELECT e.dst, min(d.dist + 1) AS nd
+             FROM edges e JOIN d0 d ON d.node = e.src AND d.dist IS NOT NULL
+             GROUP BY e.dst),
+      d1 AS (SELECT n.node, least(n.dist, r.nd) AS dist
+             FROM d0 n LEFT JOIN r1 r ON r.dst = n.node),
+      r2 AS (SELECT e.dst, min(d.dist + 1) AS nd
+             FROM edges e JOIN d1 d ON d.node = e.src AND d.dist IS NOT NULL
+             GROUP BY e.dst),
+      d2 AS (SELECT n.node, least(n.dist, r.nd) AS dist
+             FROM d1 n LEFT JOIN r2 r ON r.dst = n.node),
+      r3 AS (SELECT e.dst, min(d.dist + 1) AS nd
+             FROM edges e JOIN d2 d ON d.node = e.src AND d.dist IS NOT NULL
+             GROUP BY e.dst),
+      d3 AS (SELECT n.node, least(n.dist, r.nd) AS dist
+             FROM d2 n LEFT JOIN r3 r ON r.dst = n.node)
+      SELECT dist AS hops, count(*) AS n_nodes
+      FROM d3 WHERE dist IS NOT NULL
+      GROUP BY dist ORDER BY hops"""))
 }
