@@ -67,4 +67,28 @@ object Checks {
         "list filtered everything out?)")
     checks.reduce(_.unionAll(_)).orderBy(col("check_name"))
   }
+
+  /** SINGLE-PASS observed metrics (`Dataset.observe`): attach named
+    * aggregate metrics that are computed WHILE the frame's next action
+    * runs — row counts, violation counts, null tallies piggyback on
+    * the write/collect itself, zero extra scans. This is the 100 TB
+    * form of [[report]]: the check queries above each re-scan their
+    * input (fine for a gate, wrong inside a production load), whereas
+    * an observation is free. Returns the instrumented frame plus a
+    * callback that yields the metrics row AFTER an action has run. */
+  def observed(df: DataFrame, name: String, metrics: Map[String, Column])
+      : (DataFrame, () => Map[String, Any]) = {
+    require(metrics.nonEmpty, "Checks.observed: no metrics given")
+    // Spark's Observation handles the listener plumbing: the metrics
+    // are reported on the EXECUTION THAT RUNS (a write wraps the plan
+    // in its own QueryExecution, so reading the dataset's own
+    // queryExecution would see never-executed defaults). `fetch`
+    // blocks until an action on the instrumented frame completes.
+    val obs = new org.apache.spark.sql.Observation(name)
+    val cols = metrics.toSeq.sortBy(_._1)
+    val instrumented = df.observe(obs,
+      cols.head._2.as(cols.head._1),
+      cols.tail.map { case (n, c) => c.as(n) }: _*)
+    (instrumented, () => obs.get)
+  }
 }

@@ -78,6 +78,25 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** DYNAMIC PARTITION OVERWRITE — replace ONLY the partitions present
+    * in `df`, leaving every other partition of the table untouched
+    * (the warehouse backfill/restatement primitive: reprocess one day
+    * or one season without rewriting — or even listing — the other
+    * 10,000 partitions; static overwrite mode would truncate the
+    * whole table first). At 100 TB this is the difference between an
+    * O(changed-partition) nightly restatement and an O(table)
+    * rewrite; the setting is scoped to this writer via the
+    * per-operation option, not session-wide. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions: need partition columns (use writeParquet otherwise)")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** JSON-lines scan with an explicit schema — the interchange format
     * of scraped/API payloads (the reference's FBref JSON responses
     * land as CSV only because soccerdata flattens them first; a

@@ -54,4 +54,18 @@ class ChecksSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(1)))
     assert(r.toSeq == Seq(("a_nn", 0L), ("b_pk", 1L)))
   }
+
+  test("observed metrics piggyback on the action: counts with no second scan") {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val df = Seq(Some(5), Some(-1), None, Some(2)).toDF("x")
+    val (instrumented, fetch) = Checks.observed(df, "load_metrics", Map(
+      "n_rows" -> count(lit(1)),
+      "n_null" -> sum(when(col("x").isNull, 1L).otherwise(0L)),
+      "n_neg" -> sum(when(col("x") < 0, 1L).otherwise(0L))))
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    instrumented.write.mode("overwrite").parquet(s"$out/t") // THE action
+    assert(fetch() === Map("n_rows" -> 4L, "n_null" -> 1L, "n_neg" -> 1L))
+    // and the written data is intact
+    assert(spark.read.parquet(s"$out/t").count() === 4L)
+  }
 }

@@ -292,4 +292,37 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() ===
       orders.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val tbl = s"$base/events"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    Sources.overwritePartitions(ev, tbl, Seq("event_type"))
+    val types = spark.read.parquet(tbl).select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(types.length >= 3)
+    val restated = types.head
+    val untouched = types.last
+    // restate ONE partition: same type, user_id bumped by a marker
+    val patch = ev.filter(col("event_type") === restated)
+      .withColumn("user_id", col("user_id") + 1000000L)
+    Sources.overwritePartitions(patch, tbl, Seq("event_type"))
+    val after = spark.read.parquet(tbl)
+    // the restated partition carries the marker...
+    assert(after.filter(col("event_type") === restated)
+      .agg(min(col("user_id"))).head.getLong(0) >= 1000000L)
+    // ...while an untouched partition kept its original rows
+    assert(after.filter(col("event_type") === untouched)
+      .agg(max(col("user_id"))).head.getLong(0) < 1000000L)
+    assert(after.count() === ev.count())
+    // static overwrite (the default mode) would have truncated: prove
+    // the contrast on a copy
+    val tbl2 = s"$base/events_static"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl2)
+    patch.write.mode("overwrite").partitionBy("event_type").parquet(tbl2)
+    assert(spark.read.parquet(tbl2).select("event_type").distinct().count() === 1L,
+      "static overwrite unexpectedly preserved other partitions")
+  }
 }
