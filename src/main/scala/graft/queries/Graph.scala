@@ -170,9 +170,12 @@ object Graph {
           .join(dist.filter(col("dist").isNotNull)
             .withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst")).agg(min(col("dist") + 1L).as("nd"))
-        dist = dist
+        // persist each round's |V|-row frontier: round k+1 references
+        // dist_k TWICE (frontier filter + join-back), so an unpersisted
+        // chain re-executes 2^rounds copies of the base join
+        dist = Shingles.sharedPersist(dist
           .join(reached.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+          .select(col("node"), least(col("dist"), col("nd")).as("dist")))
       }
       dist.filter(col("dist").isNotNull)
         .groupBy(col("dist").as("hops"))

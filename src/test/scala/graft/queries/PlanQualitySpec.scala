@@ -202,11 +202,13 @@ class PlanQualitySpec extends SparkSpec {
       ("Scalars.scala", "bounds"),         // q62 one-row min/max bounds
       ("Relational.scala", "cn"), ("Relational.scala", "sn"),
       ("Relational.scala", "months"),      // calendar spine
-      ("Streaming.scala", "streamed"))     // st13/st14 gate joins: the
+      ("Streaming.scala", "streamed"),     // st13/st14 gate joins: the
                                            // per-hour window table —
                                            // calendar-bounded (|hours|
                                            // rows + KB sketches), the
                                            // q63 day-table argument
+      ("Scalars.scala", "stats"))          // q73 per-type second-moment
+                                           // stats (≤ |event types| rows)
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
     val pat = """broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
     val found = scala.collection.mutable.Set[(String, String)]()
