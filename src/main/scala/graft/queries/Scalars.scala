@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70, q73, q74)
+      q67, q68, q69, q70, q73, q74, q76)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -740,6 +740,47 @@ object Scalars {
       SELECT l_partkey, count(*) AS exact_cnt, CAST(1 AS INT) AS within_bound
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  /** COHORT RETENTION MATRIX — the canonical product-analytics
+    * triangle: users grouped by FIRST-ACTIVITY week (their cohort),
+    * each cohort followed week over week — cell (cohort, k) = how
+    * many of the cohort's users were active k weeks later. Next to
+    * q59 (session-level retention within a user's own history) this
+    * is the population-level view growth teams actually chart.
+    *
+    * Shape at 100 TB: distinct (user, week) pairs in ONE pass; the
+    * cohort assignment is a min-aggregate per user (map-side
+    * combined); activity joins back to cohorts on user_id — both
+    * sides hash-partition on the SAME key so the join reuses the
+    * distinct's exchange; the final (cohort, k) aggregate is bounded
+    * by weeks², not users. All integer (epoch-week via floor
+    * division on epoch-days), bit-exact twin. */
+  val q76 = QueryDef(
+    "q76_cohort_retention",
+    (s, d) => {
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(ts_ns div 604800000000000 AS BIGINT)").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+      SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+             count(*) AS n_active
+      FROM w JOIN c ON w.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_week, weeks_since"""))
 
   /** STATISTICAL ANOMALY FLAGS — per-group 2σ outlier detection
     * (statistical process control / data-quality monitoring) with an
