@@ -32,7 +32,8 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
-    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72)
+    q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
+    q77)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1224,6 +1225,76 @@ object Relational {
       FROM (SELECT c_custkey FROM rich
             EXCEPT SELECT c_custkey FROM wo)
       ORDER BY tag, c_custkey"""))
+
+  /** RFM SEGMENTATION — recency/frequency/monetary quintiles per
+    * customer, the classic CRM scoring model. The naive form is three
+    * GLOBAL ntile windows (every customer through one reducer — the
+    * exact shape the plan gate forbids); the scale-honest form
+    * computes the 4 quintile BOUNDARIES per metric as a 1-row exact
+    * percentile aggregate (q32-proven cross-engine parity),
+    * broadcasts that single row, and labels each customer with plain
+    * comparisons — no global sort, no single-partition window,
+    * O(boundaries) broadcast state.
+    *
+    * Parity: metrics are integers (days via datediff from the
+    * table's max date, order counts, cents via exact DECIMAL(12,2)
+    * ×100); boundaries are interpolated percentiles of integers at
+    * ranks .2/.4/.6/.8 — both engines evaluate the identical IEEE
+    * expression, and the strict `>` label comparisons agree
+    * everywhere. Output = 3-d segment histogram (≤125 cells), all
+    * integer counts, hash-exact. */
+  val q77 = QueryDef(
+    "q77_rfm_segments",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      val rfm = o.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(datediff(col("anchor"), col("o_orderdate"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum((col("o_totalprice") * 100).cast("long")).as("monetary"))
+      val bounds = rfm.agg(
+        expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+        expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+        expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+      def seg(metric: org.apache.spark.sql.Column, b: String): org.apache.spark.sql.Column =
+        (1 to 4).map(i => (metric.cast("double") >
+          element_at(col(b), i)).cast("int")).reduce(_ + _) + 1
+      rfm.crossJoin(broadcast(bounds))
+        .select(
+          seg(col("recency"), "rb").as("r_seg"),
+          seg(col("frequency"), "fb").as("f_seg"),
+          seg(col("monetary"), "mb").as("m_seg"))
+        .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+    },
+    Some("""
+      WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+      rfm AS (
+        SELECT o_custkey,
+               min(datediff('day', o_orderdate, anchor)) AS recency,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS monetary
+        FROM orders, anchor
+        GROUP BY o_custkey),
+      b AS (
+        SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM rfm)
+      SELECT
+        1 + CAST(recency > rb[1] AS INT) + CAST(recency > rb[2] AS INT)
+          + CAST(recency > rb[3] AS INT) + CAST(recency > rb[4] AS INT) AS r_seg,
+        1 + CAST(frequency > fb[1] AS INT) + CAST(frequency > fb[2] AS INT)
+          + CAST(frequency > fb[3] AS INT) + CAST(frequency > fb[4] AS INT) AS f_seg,
+        1 + CAST(monetary > mb[1] AS INT) + CAST(monetary > mb[2] AS INT)
+          + CAST(monetary > mb[3] AS INT) + CAST(monetary > mb[4] AS INT) AS m_seg,
+        count(*) AS n_customers
+      FROM rfm, b
+      GROUP BY 1, 2, 3
+      ORDER BY r_seg, f_seg, m_seg"""))
 
   /** TIME TRAVEL over a versioned table — the lakehouse snapshot
     * contract ([[graft.sources.Versioned]]): commit v1 (the base

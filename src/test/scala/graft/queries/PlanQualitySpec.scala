@@ -207,8 +207,10 @@ class PlanQualitySpec extends SparkSpec {
                                            // calendar-bounded (|hours|
                                            // rows + KB sketches), the
                                            // q63 day-table argument
-      ("Scalars.scala", "stats"))          // q73 per-type second-moment
+      ("Scalars.scala", "stats"),          // q73 per-type second-moment
                                            // stats (≤ |event types| rows)
+      ("Relational.scala", "anchor"),      // q77 1-row max-date
+      ("Relational.scala", "bounds"))      // q77 1-row quintile edges
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
     val pat = """broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
     val found = scala.collection.mutable.Set[(String, String)]()
