@@ -36,4 +36,27 @@ object SnapshotDiff {
       .filter(col("op").isNotNull)
       .select(keys.map(col) :+ col("op"): _*)
   }
+
+  /** [[diff]] with the PAYLOAD: same keyed I/U/D classification, plus
+    * the NEW-side non-key columns (null for 'D', whose payload no
+    * longer exists) — the full change-data-feed row an
+    * [[Upsert.merge]] can apply: `merge(old, diffRows(old, neu,
+    * keys), keys)` reproduces `neu` exactly (spec-pinned round-trip).
+    * Identical plan shape to [[diff]]: ONE full-outer key join, the
+    * non-key width compared as a single struct. */
+  def diffRows(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKey = old.columns.filterNot(keys.contains)
+    require(neu.columns.sameElements(old.columns),
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val o = old.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("_old"): _*)
+    val n = neu.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("_new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("_old").isNull, lit("I"))
+          .when(col("_new").isNull, lit("D"))
+          .when(!(col("_old") <=> col("_new")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        nonKey.map(c => col(s"_new.$c").as(c)): _*)
+  }
 }

@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77)
+    q77, q79)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1350,6 +1350,56 @@ object Relational {
                "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.00 ELSE o_totalprice END")} AS sum_v2
       FROM orders
       GROUP BY 1 ORDER BY 1"""))
+
+  /** CDC APPLY — the full three-clause MERGE closing the change-data
+    * family: q38 DETECTS changes (frame diff), q72 READS versions
+    * (time travel), [[graft.sources.Versioned.changes]] EMITS the
+    * keyed feed, and this query APPLIES one —
+    * [[graft.ops.SnapshotDiff.diffRows]] (I/U/D + payload, one
+    * full-outer key join) fed into [[graft.ops.Upsert.merge]]
+    * (`MERGE INTO … WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED
+    * INSERT`; one anti join + union). The gate proves the round-trip
+    * IDENTITY row-for-row: apply(v1, cdc(v1→v2)) must hash-equal a
+    * direct SQL recomputation of v2 — every inserted key present,
+    * every deleted key absent, every updated payload exact.
+    *
+    * v2 is q39's deterministic mutation of orders (deletes %7,
+    * updates %5 by +1.0, inserts %11 re-keyed +10⁸) — same workload,
+    * different operator under test: q39 maintains an AGGREGATE from
+    * the delta; this maintains the TABLE.
+    *
+    * At 100 TB: two key-hash shuffles total (diff's full-outer,
+    * merge's anti), no broadcast (both snapshots scale), payload
+    * width ridden as one struct. The CDF is |changes|-sized, so
+    * applying a small delta to a huge table costs the table's anti
+    * join once — the Delta/Iceberg MERGE cost model. */
+  val q79 = QueryDef(
+    "q79_merge_cdc_apply",
+    (s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v2 = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      val cdc = graft.ops.SnapshotDiff.diffRows(v1, v2, Seq("o_orderkey"))
+      Upsert.merge(v1, cdc, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      v2 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1 WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        FROM v1 WHERE o_orderkey % 11 = 0)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM v2 ORDER BY o_orderkey"""))
 
   /** MARKET-BASKET CO-OCCURRENCE — pairwise association rules
     * (support + lift) over order baskets: the recommender /

@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70, q73, q74, q76)
+      q67, q68, q69, q70, q73, q74, q76, q78)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -1241,6 +1241,61 @@ object Scalars {
       SELECT l.l_orderkey, count(*) AS n_lines,
              ${QueryDef.dsumSql("l.l_extendedprice")} AS revenue
       FROM lineitem l JOIN k USING (l_orderkey)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TARGETED DELETE with file-level skipping
+    * ([[graft.ops.Delete.targetedDelete]]) — the GDPR /
+    * retention-expiry write path of the q62/q67 layout family: the
+    * layout's data-skipping stats bound which files a keyed DELETE
+    * must rewrite, and every other file is carried forward
+    * byte-identical (DeleteSpec proves the bytes; this gate proves
+    * the surviving CONTENT end-to-end through a real on-disk delete,
+    * read back from the output directory).
+    *
+    * The doomed keys are the lowest custkey decile — a narrow key
+    * range, so under the range-clustered 8-file layout the rewrite
+    * touches ~1 file and the rest are skipped; `files_skipped`
+    * surfaces that as a within_bound-style flag the oracle asserts
+    * literal 1 (file counts themselves are not SQL-expressible).
+    *
+    * At 100 TB: discovery is a key-column scan with the key filter
+    * pushed onto min/max-clustered parquet; the rewrite cost is
+    * O(touched files); the carry-forward is a manifest re-point in a
+    * real table format (FS copy only in this directory stand-in). */
+  val q78 = QueryDef(
+    "q78_targeted_delete",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q78")
+      tmp.toFile.deleteOnExit()
+      val t = s"$tmp/orders"
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      // custkey-clustered layout: range partition + local sort gives
+      // each file a tight custkey min/max band
+      base.repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"))
+        .write.parquet(t)
+      val thr = base.agg(max(col("o_custkey"))).head().getLong(0) / 10L
+      val keys = s.read.parquet(t)
+        .select(col("o_custkey")).where(col("o_custkey") <= thr).distinct()
+      val stats = graft.ops.Delete.targetedDelete(
+        s, t, s"$tmp/out", "o_custkey", keys)
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          QueryDef.dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("files_skipped",
+          lit(stats.filesSkipped > 0).cast("int"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      WITH thr AS (SELECT max(o_custkey) // 10 AS t FROM orders)
+      SELECT o_orderstatus, count(*) AS n_orders,
+             ${QueryDef.dsumSql("o_totalprice")} AS total_price,
+             CAST(1 AS INT) AS files_skipped
+      FROM orders, thr
+      WHERE o_custkey > t
       GROUP BY 1 ORDER BY 1"""))
 
   /** TRAILING-WINDOW DISTINCT via sketch union — the WAU/rolling-MAU

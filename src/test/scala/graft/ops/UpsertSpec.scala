@@ -72,4 +72,34 @@ class UpsertSpec extends SparkSpec {
         Upsert.ignoreNew(t, x, Seq("id")).count() == keys.size
     })
   }
+
+  test("merge applies I/U/D: update payload lands, delete key vanishes, insert appears") {
+    import org.apache.spark.sql.functions.lit
+    val t = table(Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    val changes = Seq((2, "U", "B"), (3, "D", null), (4, "I", "d"))
+      .toDF("id", "op", "v")
+    val out = Upsert.merge(t, changes, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq === Seq(1 -> "a", 2 -> "B", 4 -> "d"))
+    intercept[IllegalArgumentException] {
+      Upsert.merge(t, t.withColumn("x", lit(1)), Seq("id"))
+    }
+  }
+
+  test("property: CDF round-trip — merge(v1, diffRows(v1, v2)) == v2") {
+    holds(Prop.forAll(rowsGen, rowsGen) { (v1Rows, v2Rows) =>
+      val v1 = table(v1Rows); val v2 = table(v2Rows)
+      val cdc = SnapshotDiff.diffRows(v1, v2, Seq("id"))
+      Upsert.merge(v1, cdc, Seq("id")).collect().toSet ==
+        v2.collect().toSet
+    })
+  }
+
+  test("diffRows carries the new payload and classifies like diff") {
+    val v1 = table(Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    val v2 = table(Seq(2 -> "B", 3 -> "c", 4 -> "d"))
+    val got = SnapshotDiff.diffRows(v1, v2, Seq("id"))
+      .orderBy("id").as[(Int, String, String)].collect()
+    assert(got.toSeq === Seq((1, "D", null), (2, "U", "B"), (4, "I", "d")))
+  }
 }
