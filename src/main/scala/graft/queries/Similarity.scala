@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, d03, d04, d05, d06, d07, d09, q34)
+    Seq(s01, s02, s03, s04, s05, s06, s07, d03, d04, d05, d06, d07, d09, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -227,26 +227,41 @@ object Similarity {
     * cell is the residual risk — the mitigation is sub-bucketing hot
     * cells with s02's hyperplane signatures, the same pattern d05
     * uses for hot labels. */
+  /** Probe depth of the IVF family (s03 rerank, s07 ADC). */
+  private[queries] val IVF_NPROBE = 3
+
+  /** The IVF coarse layer shared by [[s03]] and [[s07]]: every vector
+    * ranked against the C per-label centroids (crn = 1 is the cell
+    * assignment, crn ≤ NPROBE the query probe set). Shared-persisted
+    * ([[Shingles.sharedPersist]]): CacheManager dedups by canonical
+    * plan, so both consumers ride ONE centroid build + ranking pass
+    * per run, and release() frees it. */
+  private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val e = docVectors(s, d)
+    val cent = Tables.embeddings(s, d)
+      .select(col("label").as("cell"),
+        transform(col("embedding"),
+          x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+      .groupBy("cell")
+      .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
+        count(lit(1)).as("nv"))
+      .select(col("cell"),
+        transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    Shingles.sharedPersist(
+      e.crossJoin(broadcast(cent))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("crn", row_number().over(wAssign))
+        .select(col("vec_id"), col("v"), col("n"), col("cell"), col("crn")))
+  }
+
   val s03 = QueryDef(
     "s03_cosine_topk_ivf",
     (s, d) => {
-      val NPROBE = 3
-      val e = docVectors(s, d)
-      val cent = Tables.embeddings(s, d)
-        .select(col("label").as("cell"),
-          transform(col("embedding"),
-            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
-        .groupBy("cell")
-        .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
-          count(lit(1)).as("nv"))
-        .select(col("cell"),
-          transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
-        .withColumn("cn", norm(col("cv")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      val ranked = e.crossJoin(broadcast(cent))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .withColumn("crn", row_number().over(wAssign))
+      val NPROBE = IVF_NPROBE
+      val ranked = ivfRanked(s, d)
       val assign = ranked.filter(col("crn") === 1)
         .select(col("cell"), col("vec_id").as("neighbor_id"),
           col("v").as("nv2"), col("n").as("nn"))
@@ -366,40 +381,66 @@ object Similarity {
     * re-estimation is one algebraic groupBy on (c, m). Everything is
     * linear in corpus size; a production deployment would train the
     * codebook on a fixed sample, which only shrinks the training agg. */
+  /** PQ geometry shared by [[s05]] (encode) and [[s07]] (ADC search):
+    * M = 4 subspaces of L = 16 lanes over the 64-lane embeddings. */
+  private[queries] val PQ_M = 4
+  private[queries] val PQ_L = EMB_DIM / PQ_M
+
+  /** (vec_id, label, m, vs): the M subvectors of every embedding. */
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    docVectors(s, d).select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("v"))
+      .withColumn("vs", slice(col("v"), col("m") * PQ_L + 1, lit(PQ_L)))
+      .select(col("vec_id"), col("label"), col("m"), col("vs"))
+
+  /** Per-(code, subspace) centroid means — decimal-exact lane sums
+    * (the s03 centroid discipline) so both engines agree bit-for-bit. */
+  private def pqCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("c"), col("m"),
+        transform(col("vs"),
+          x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("vd"))
+      .groupBy("c", "m")
+      .agg(graft.functions.VecSumAgg.vecSum(col("vd"), PQ_L).as("vsum"),
+        count(lit(1)).as("nv"))
+      .select(col("c"), col("m"),
+        transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
+
+  /** Squared L2 between two L-lane arrays, left-to-right IEEE fold —
+    * the arithmetic DAG the oracle's list_reduce replays exactly. */
+  private def pqD2(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => (x - y) * (x - y)),
+    lit(0.0d), (acc, x) => acc + x)
+
+  /** Nearest-codebook-entry assignment per (vector, subspace). */
+  private def pqAssignTo(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("c"))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", pqD2(col("vs"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("vs"), col("c"), col("d2"))
+  }
+
+  /** One-Lloyd-iteration PQ train + encode, shared by s05/s07:
+    * (trained codebook (c, m, cv), codes (vec_id, m, c, d2)). Both
+    * shared-persisted — canonical-plan dedup gives the two consumers
+    * one build per run. */
+  private[queries] def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sub = pqSub(s, d)
+    val cb0 = pqCentroids(sub.withColumn("c", col("label")))
+    val cb1 = Shingles.sharedPersist(pqCentroids(pqAssignTo(sub, cb0)))
+    val codes = Shingles.sharedPersist(
+      pqAssignTo(sub, cb1)
+        .select(col("vec_id"), col("m"), col("c"), col("d2")))
+    (cb1, codes)
+  }
+
   val s05 = QueryDef(
     "s05_pq_encode",
     (s, d) => {
-      val M = 4
-      val L = EMB_DIM / M
-      val DEC = org.apache.spark.sql.types.DecimalType(28, 6)
-      val e = docVectors(s, d)
-      val sub = e.select(col("vec_id"), col("label"),
-          explode(sequence(lit(0), lit(M - 1))).as("m"), col("v"))
-        .withColumn("vs", slice(col("v"), col("m") * L + 1, lit(L)))
-        .select(col("vec_id"), col("label"), col("m"), col("vs"))
-      def centroids(assigned: org.apache.spark.sql.DataFrame) =
-        assigned.select(col("c"), col("m"),
-            transform(col("vs"), x => x.cast(DEC)).as("vd"))
-          .groupBy("c", "m")
-          .agg(graft.functions.VecSumAgg.vecSum(col("vd"), L).as("vsum"),
-            count(lit(1)).as("nv"))
-          .select(col("c"), col("m"),
-            transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
-      val d2 = aggregate(
-        zip_with(col("vs"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-      def assign(cb: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d2"), col("c"))
-        sub.join(broadcast(cb), Seq("m"))
-          .withColumn("d2", d2)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("vs"), col("c"), col("d2"))
-      }
-      val cb0 = centroids(sub.withColumn("c", col("label")))
-      val cb1 = centroids(assign(cb0))
-      assign(cb1)
+      val (_, codes) = pqTrained(s, d)
+      codes
         .groupBy("vec_id")
         .agg(
           max(when(col("m") === 0, col("c"))).as("c0"),
@@ -445,6 +486,154 @@ object Similarity {
              max(CASE WHEN m = 3 THEN c END) AS c3,
              round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS recon_err
       FROM a2 GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** IVF-PQ ADC SEARCH — the composition the two index halves exist
+    * for, and THE production 100 TB ANN architecture (FAISS IVFPQ):
+    * [[ivfRanked]]'s coarse cells bound WHICH vectors a query scans
+    * (NPROBE cells, not the corpus), and [[pqTrained]]'s codes bound
+    * WHAT is scanned — M byte-sized code ids per vector instead of
+    * 64 floats (16× less memory traffic, the difference between an
+    * in-RAM index and a disk-bound one at 10⁹+ vectors).
+    *
+    * Asymmetric distance computation, inner-product metric: each
+    * query builds a LOOKUP TABLE — exact dot products from its M
+    * subvectors to every codebook entry (|Q|·M·C rows, built once per
+    * query against the broadcast 40-row codebook) — and a candidate's
+    * approximate cosine is then M table lookups summed (= ⟨q,
+    * recon(x)⟩) over the stored EXACT norms (production IP-ADC stores
+    * the norm byte next to the codes; quantization error stays in the
+    * numerator only, which is why this beats L2-ADC on unnormalized
+    * vectors). In plan terms: probes ⋈ cell-codes (equi-join on cell)
+    * ⋈ dtab (equi-join on (query, m, code)) → sum — every join an
+    * equality join, no stage quadratic in N, the dtab join free to
+    * degrade from broadcast to shuffle as |Q| scales (no hint, AQE
+    * decides).
+    *
+    * Parity: lookup entries are the shared codegen'd dot fold; the
+    * per-pair sum of M doubles routes through DECIMAL(28,12) (the s05
+    * recon_err discipline) so accumulation order cannot split the
+    * engines; the norm division replays s03's exact qn·nn shape; ties
+    * broken on neighbor_id. The oracle replays coarse layer, codebook
+    * training, encoding, lookup tables, and lookup-sum verbatim.
+    *
+    * Recall caveat (SimilaritySpec): the synthetic embeddings are
+    * isotropic random — PQ's worst case — so ADC recall@5 measures
+    * ≈0.10 (≈7× chance-within-probed-cells) vs s03's 0.46 exact-
+    * rerank ceiling; on clustered real corpora the gap closes. The
+    * hash gate is unaffected: it proves the ADC pipeline EXACTLY,
+    * recall is a data property. */
+  val s07 = QueryDef(
+    "s07_pq_adc_topk",
+    (s, d) => {
+      val (cb, codes) = pqTrained(s, d)
+      val ranked = ivfRanked(s, d)
+      val cellOf = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("n").as("nn"))
+      val probes = ranked
+        .filter((col("crn") <= IVF_NPROBE) && (col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("v").as("qv"), col("n").as("qn"))
+      val dtab = probes.select(col("query_id"), col("qv")).distinct()
+        .select(col("query_id"),
+          explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("qv"))
+        .withColumn("qs", slice(col("qv"), col("m") * PQ_L + 1, lit(PQ_L)))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("pd", dot(col("qs"), col("cv")))
+        .select(col("query_id"), col("m"), col("c"), col("pd"))
+      val cand = codes.select(col("vec_id").as("neighbor_id"), col("m"), col("c"))
+        .join(cellOf, Seq("neighbor_id"))
+      val scored = probes.select(col("query_id"), col("cell"), col("qn"))
+        .join(cand, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(dtab, Seq("query_id", "m", "c"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("qn"), col("nn"))
+        .agg(sum(col("pd").cast(
+          org.apache.spark.sql.types.DecimalType(28, 12))).as("ip_dec"))
+        .withColumn("adc_cos",
+          col("ip_dec").cast("double") / (col("qn") * col("nn")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("adc_cos"), 6).as("adc_cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""
+      WITH en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) AS n
+             FROM embeddings),
+      u AS (
+        SELECT label AS cell, generate_subscripts(embedding, 1) AS lane,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
+        FROM embeddings),
+      lanes AS (
+        SELECT cell, lane, CAST(sum(ed) AS DOUBLE) / count(*) AS cval
+        FROM u GROUP BY cell, lane),
+      cent AS (SELECT cell, list(cval ORDER BY lane) AS cv FROM lanes GROUP BY cell),
+      centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+      ranked AS (
+        SELECT vec_id, v, n, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) / (n * cn) DESC, cell) AS crn
+        FROM en CROSS JOIN centn),
+      cellof AS (SELECT cell, vec_id AS neighbor_id, n AS nn
+                 FROM ranked WHERE crn = 1),
+      probes AS (SELECT cell, vec_id AS query_id, v AS qv, n AS qn
+                 FROM ranked WHERE crn <= 3 AND vec_id % 50 = 0),
+      sub AS (SELECT vec_id, label, m, v[m*16+1 : m*16+16] AS vs
+              FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
+      cb0 AS (
+        SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
+        FROM (SELECT label AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
+        GROUP BY c, m, sl),
+      cbl0 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb0 GROUP BY c, m),
+      a1 AS (
+        SELECT vec_id, m, vs, c FROM (
+          SELECT s.vec_id, s.m, s.vs, cb.c,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              list_reduce(list_transform(range(1,17), i -> (s.vs[i]-cb.cv[i])*(s.vs[i]-cb.cv[i])), (acc,x)->acc+x), cb.c) AS rn
+          FROM sub s JOIN cbl0 cb USING (m)) WHERE rn = 1),
+      cb1 AS (
+        SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
+        FROM (SELECT c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM a1)
+        GROUP BY c, m, sl),
+      cbl1 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb1 GROUP BY c, m),
+      codes AS (
+        SELECT vec_id, m, c FROM (
+          SELECT s.vec_id, s.m, cb.c,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              list_reduce(list_transform(range(1,17), i -> (s.vs[i]-cb.cv[i])*(s.vs[i]-cb.cv[i])), (acc,x)->acc+x), cb.c) AS rn
+          FROM sub s JOIN cbl1 cb USING (m)) WHERE rn = 1),
+      qsub AS (
+        SELECT query_id, m, qv[m*16+1 : m*16+16] AS qs
+        FROM (SELECT DISTINCT query_id, qv FROM probes)
+             CROSS JOIN (SELECT unnest(range(4)) AS m)),
+      dt AS (
+        SELECT q.query_id, q.m, cb.c,
+               list_dot_product(q.qs, cb.cv) AS pd
+        FROM qsub q JOIN cbl1 cb USING (m)),
+      cand AS (
+        SELECT cf.cell, co.neighbor_id, cf.nn, co.m, co.c
+        FROM (SELECT vec_id AS neighbor_id, m, c FROM codes) co
+        JOIN cellof cf USING (neighbor_id)),
+      scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               CAST(sum(CAST(d.pd AS DECIMAL(28,12))) AS DOUBLE)
+                 / (p.qn * c.nn) AS adc_cos
+        FROM probes p
+        JOIN cand c USING (cell)
+        JOIN dt d ON d.query_id = p.query_id AND d.m = c.m AND d.c = c.c
+        WHERE c.neighbor_id <> p.query_id
+        GROUP BY p.query_id, c.neighbor_id, p.qn, c.nn),
+      r AS (SELECT query_id, neighbor_id, adc_cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_cos DESC, neighbor_id) AS rn
+            FROM scored)
+      SELECT query_id, rn, neighbor_id,
+             round(adc_cos, 6) AS adc_cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""))
 
   /** ANN RECALL EVALUATION — the measurement half every approximate
     * index needs before anyone trusts it: recall@5 of BOTH bucketed

@@ -88,6 +88,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, f"IVF recall $recall%.3f below 0.25")
   }
 
+  test("IVF-PQ ADC (s07) recall@5 vs exact baseline; 5 ranked rows per query") {
+    // ADC is doubly approximate (cell probing + quantized distances),
+    // and the testdata is ISOTROPIC random — the worst case for PQ
+    // (10 centroids per 16-lane subspace barely beat noise; real
+    // embedding corpora cluster and quantize far better). Chance
+    // recall within the probed cells is ≈ 0.46 · 5/150 ≈ 0.015
+    // (s03's exact rerank = 0.46 is the probing ceiling); measured
+    // ADC recall is ≈ 0.10 ≈ 7× chance — the quantized signal is
+    // real. Floor pinned at 4× chance.
+    def pairs(name: String): Set[(Long, Long)] =
+      Registry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("s01_cosine_topk")
+    val adc = pairs("s07_pq_adc_topk")
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    info(f"ADC recall@5 = $recall%.3f")
+    assert(recall >= 0.06, f"ADC recall $recall%.3f below 0.06 (≈4× chance)")
+    val out = Registry.queries("s07_pq_adc_topk")(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5), s"query $q ranks")
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse),
+        s"query $q ADC cosines not descending")
+    }
+  }
+
   test("s05 PQ: codes in range, one code per subspace, trained codebook beats K=1") {
     import org.apache.spark.sql.functions._
     val out = Registry.queries("s05_pq_encode")(spark, sfDir)
