@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14)
+      st12, st13, st14, st15)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -226,6 +226,38 @@ object Streaming {
       FROM r JOIN n ON r.ws = n.ws
       WHERE rnk <= 3
       ORDER BY window_start, rnk"""))
+
+  /** Stream-stream LEFT OUTER join
+    * ([[graft.streaming.Streams.attributionOuter]]): [[st07]]'s
+    * attribution interval join, but answering the question the inner
+    * form cannot — which purchases had NO click touchpoint. The
+    * outer-null verdict for a purchase is only decidable once the
+    * click watermark passes its event time (until then a matching
+    * click may still arrive), so Spark emits (purchase, null) rows on
+    * WATERMARK EXPIRY in the no-data batch after each advance — state
+    * eviction and result emission are the same mechanism. Purchases
+    * inside the final undecided tail (within watermark-delay +
+    * join-window of the stream's max event time) never get a verdict
+    * in a finite replay; both engines exclude that region by the same
+    * data-derived cutoff, so the gate compares exactly the
+    * watermark-decided set — matched pairs AND null rows. */
+  val st15 = QueryDef(
+    "st15_stream_outer_join",
+    (s, d) =>
+      graft.streaming.Streams.attributionOuter(s, s"$d/events.parquet")
+        .orderBy(col("user_id"), col("p_us"), col("c_us")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      mx AS (SELECT max(us) - 3600000000 - 1800000000 AS cutoff FROM ev),
+      p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click')
+      SELECT p.user_id, p.p_us, c.c_us
+      FROM p
+      LEFT JOIN c ON p.user_id = c.user_id
+       AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
+      CROSS JOIN mx
+      WHERE p.p_us <= mx.cutoff
+      ORDER BY p.user_id, p_us, c_us"""))
 
   /** Streaming corpus ingest — quality gate + watermark-bounded
     * near-exact dedup over a documents stream, the online twin of the

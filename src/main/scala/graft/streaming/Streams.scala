@@ -469,6 +469,62 @@ object Streams {
     result
   }
 
+  /** [[attributionPairs]]'s OUTER sibling: purchases LEFT OUTER
+    * clicks in the same preceding-30-min interval — the "which
+    * conversions had NO touchpoint" question an inner join cannot
+    * answer on a stream. Outer-null rows are emitted by WATERMARK
+    * EXPIRY: a purchase's state can only be declared click-less once
+    * the click watermark passes its event time (before that a
+    * matching click may still arrive), so Spark holds the row and
+    * emits (purchase, null) in the no-data batch that follows the
+    * watermark advance. State stays bounded by the same eviction.
+    *
+    * Gate determinism: purchases inside the final undecided region
+    * (event time within watermark-delay + join-window of the stream's
+    * max event time) may legitimately never receive their verdict in
+    * a finite replay — BOTH engines exclude that tail via the same
+    * data-derived cutoff, so the compared region is exactly the
+    * watermark-decided one. */
+  def attributionOuter(spark: SparkSession, eventsDir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsDir).schema
+    val srcDir = streamDir(eventsDir)
+    val cutoff = s.read.parquet(eventsDir)
+      .select(max(unix_micros(etsCol(schema)))).head().getLong(0) -
+      3600000000L - 1800000000L
+    def src() = s.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ets", etsCol(schema))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      """p_user = c_user AND
+         c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"""),
+      "left_outer")
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "attributionOuter")
+    val result = s.table(name)
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("p_ets")).as("p_us"),
+        unix_micros(col("c_ets")).as("c_us"))
+      .filter(col("p_us") <= cutoff)
+      .localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    result
+  }
+
   // ---- transformWithState (Spark 4 arbitrary-state API) ----
 
   final case class TypedEv(user_id: Long, event_type: String)

@@ -121,9 +121,10 @@ class RegistrySpec extends SparkSpec {
     // (registration order — run the whole suite, not a -z subset).
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
-      "incrementalLoad", "attributionPairs", "typeCountsTws",
-      "corpusIngest", "hourlyDistinctUsers", "segmentHourlyRevenue",
-      "nearDupFilter", "hourlyValueQuantiles", "hourlyTrending")
+      "incrementalLoad", "attributionPairs", "attributionOuter",
+      "typeCountsTws", "corpusIngest", "hourlyDistinctUsers",
+      "segmentHourlyRevenue", "nearDupFilter", "hourlyValueQuantiles",
+      "hourlyTrending")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
