@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t21, d01, d02)
+      t14, t15, t16, t21, d01, d02, d11)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -829,4 +829,94 @@ object TextOps {
       SELECT doc_id, rk, word, tf, df, tfidf
       FROM r WHERE rk <= 3
       ORDER BY doc_id, rk"""))
+
+  /** LOSSLESS similarity join via PREFIX FILTERING (PPJoin family —
+    * Chaudhuri SSJoin 2006 / Xiao et al. 2008) — the exact complement
+    * of [[d02]]'s df-capped index: the cap BOUNDS the pair blowup but
+    * silently drops any pair whose only shared shingles are common
+    * (df > 20); this query finds EVERY pair with Jaccard ≥ 1/2,
+    * guaranteed, while still never materializing the full self-join.
+    *
+    * The filter: order each doc's shingles by a global rank
+    * (ascending document frequency, ties by h60 — rarest first), and
+    * index only the first |d| − ⌈t·|d|⌉ + 1 of them. Two docs with
+    * J ≥ t must overlap in ≥ ⌈t·max(|x|,|y|)⌉ shingles, so skipping
+    * fewer than that many from each side cannot skip the entire
+    * intersection — some shared shingle lands in BOTH prefixes, and
+    * the equi-join on prefix shingles recovers the pair (no false
+    * negatives, for ANY global order). Ordering rarest-first merely
+    * makes the surviving candidate set small: prefixes preferentially
+    * hold rare shingles, whose postings are short. The PPJoin length
+    * filter (t·|x| ≤ |y|, both directions) prunes size-mismatched
+    * candidates before the distinct.
+    *
+    * THE GATE PROVES LOSSLESSNESS EXTERNALLY: the oracle does not
+    * replay the prefix filter — it brute-forces the full h60
+    * self-join and keeps J ≥ 1/2. Hash equality = the filtered plan
+    * found exactly the pairs the exhaustive one did.
+    *
+    * At 100 TB: df table and prefix join are equi-shuffles on h60;
+    * the per-doc rank windows are keyed by doc_id (the shared table
+    * is already doc_id-clustered); candidate verification joins are
+    * |cand|-bounded. Nothing holds unbounded per-group state and no
+    * stage is quadratic in the corpus — pair work is Σ over prefix
+    * shingles of posting², the quantity the rarest-first order
+    * minimizes. */
+  val d11 = QueryDef(
+    "d11_prefix_filter_join",
+    (s, d) => {
+      val sh = Shingles.hashed(s, d).select(col("doc_id"), col("h60"))
+      val dfc = sh.groupBy("h60").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = sh.join(dfc, "h60")
+        .withColumn("n_tok", count(lit(1)).over(byDoc))
+        .withColumn("rn",
+          row_number().over(byDoc.orderBy(col("df"), col("h60"))))
+      // prefix length |d| − ⌈|d|/2⌉ + 1, all-integer (t = 1/2)
+      val prefix = ranked
+        .filter(col("rn") <= expr("n_tok - ((n_tok + 1) div 2) + 1"))
+        .select(col("h60"), col("doc_id"), col("n_tok"))
+      val a = prefix.select(col("h60"), col("doc_id").as("doc_a"),
+        col("n_tok").as("na"))
+      val b = prefix.select(col("h60"), col("doc_id").as("doc_b"),
+        col("n_tok").as("nb"))
+      val cand = a.join(b,
+          a("h60") === b("h60") && col("doc_a") < col("doc_b") &&
+            col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("h60")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h60")),
+          Seq("doc_b", "h60"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH ${Shingles.oracleCte},
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
+        SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               round(CAST(p.n_common AS DOUBLE) /
+                     CAST(ca.n_sh + cb.n_sh - p.n_common AS DOUBLE), 4) AS jaccard
+        FROM pairs p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""))
 }

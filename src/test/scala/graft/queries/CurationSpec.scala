@@ -130,4 +130,43 @@ class CurationSpec extends SparkSpec {
     val d01Groups = TextOps.d01.build(spark, sfDir).count()
     assert(out.count() <= d01Groups)
   }
+
+  test("d11: prefix-filtered join equals the brute-force self-join (lossless)") {
+    // brute force: every pair sharing ANY shingle, exact Jaccard >= 1/2
+    val sh = Shingles.hashed(spark, sfDir).select(col("doc_id"), col("h60"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.h60") === col("b.h60") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("nc"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(round(col("nc").cast("double") /
+        (col("na") + col("nb") - col("nc")).cast("double"), 4) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val filtered = TextOps.d11.build(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(filtered === brute,
+      "prefix filtering must find exactly the exhaustive J >= 1/2 pair set")
+    assert(filtered.nonEmpty, "corpus has planted near-dups; result can't be empty")
+  }
+
+  test("d11: the prefix index is strictly smaller than the full shingle table") {
+    val sh = Shingles.hashed(spark, sfDir).select(col("doc_id"), col("h60"))
+    val dfc = sh.groupBy("h60").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefixRows = sh.join(dfc, "h60")
+      .withColumn("n_tok", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("df"), col("h60"))))
+      .filter(col("rn") <= expr("n_tok - ((n_tok + 1) div 2) + 1"))
+      .count()
+    val total = sh.count()
+    assert(prefixRows < total,
+      s"prefix index ($prefixRows) must index fewer postings than the full table ($total)")
+    // t = 1/2 => at most ~n/2 + 1 postings per doc survive
+    assert(prefixRows <= total / 2 + sh.select(col("doc_id")).distinct().count())
+  }
 }
