@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79)
+    q77, q79, q80)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1457,4 +1457,62 @@ object Relational {
       JOIN s sb ON pb = sb.l_partkey
       CROSS JOIN n
       ORDER BY cnt_pair DESC, pa, pb"""))
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the delta-join identity
+    * (DBToaster / Materialize's core rule) completing the incremental
+    * family: q39 maintains an AGGREGATE from a delta of ONE table;
+    * this maintains a JOIN view when BOTH inputs grow. For inserts,
+    *   ΔV = agg(ΔA ⋈ B₂) + agg(A₁ ⋈ ΔB)
+    * (ΔA ⋈ B₂ = ΔA⋈B₁ ∪ ΔA⋈ΔB folds the cross-delta term into one
+    * join), so V₂ = merge(V₁, ΔV) — V₁'s join is NEVER recomputed.
+    * The gate proves the identity row-for-row: the oracle computes
+    * agg(A₂ ⋈ B₂) directly, and the incrementally-merged Spark result
+    * must hash-equal it.
+    *
+    * Splits are deterministic key mods (orders %11 late-arriving,
+    * lineitem %7 late-arriving), so both engines see identical
+    * A₁/ΔA/B₁/ΔB.
+    *
+    * Exactness discipline: partial revenue stays DECIMAL through the
+    * merge (decimal addition is associative — partial sums recombine
+    * exactly regardless of which delta term they ride in) and casts
+    * to DOUBLE only at the output boundary, the q01/dsum rule
+    * extended across a two-level aggregation tree.
+    *
+    * At 100 TB: the two delta joins shuffle |Δ|-driven row counts —
+    * with both tables bucketed by the join key they are co-located
+    * probes, and the nightly cost is O(|Δ| + view), not O(|A⋈B|).
+    * The merge touches only the view's grouping keys (bounded
+    * cardinality). This is the maintenance loop every materialized
+    * view at scale runs. */
+  val q80 = QueryDef(
+    "q80_incremental_join_view",
+    (s, d) => {
+      val A = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val B = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val a1 = A.filter(col("o_orderkey") % 11 =!= 0)
+      val da = A.filter(col("o_orderkey") % 11 === 0)
+      val db = B.filter(col("l_orderkey") % 7 === 0)
+      val b1 = B.filter(col("l_orderkey") % 7 =!= 0)
+      def agg(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev").cast(DecimalType(18, 4))).as("r"))
+      val v1 = agg(a1.join(b1, col("o_orderkey") === col("l_orderkey")))
+      val dv = agg(
+        da.join(B, col("o_orderkey") === col("l_orderkey"))
+          .unionByName(a1.join(db, col("o_orderkey") === col("l_orderkey"))))
+      v1.unionByName(dv)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("r")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_rows,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1"""))
 }
