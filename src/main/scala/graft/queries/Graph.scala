@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def defs: Seq[QueryDef] = Seq(q66, q75)
+  def defs: Seq[QueryDef] = Seq(q66, q75, q81)
 
   /** Shared customer↔supplier purchase graph (the starCache pattern):
     * built ONCE per (session, sfDir) and reused by every graph query —
@@ -211,4 +211,103 @@ object Graph {
       SELECT dist AS hops, count(*) AS n_nodes
       FROM d3 WHERE dist IS NOT NULL
       GROUP BY dist ORDER BY hops"""))
+
+  /** TRIANGLE COUNTING with degree orientation — the fourth canonical
+    * distributed-graph shape (with d07's contraction, q66's value
+    * iteration, q75's frontier propagation): the clustering /
+    * community-density primitive, counted by the node-iterator
+    * algorithm of Suri & Vassilvitskii (WWW'11, "the curse of the
+    * last reducer").
+    *
+    * The orientation is the whole trick: orient every undirected edge
+    * from its lower-(degree, id) endpoint to its higher one (a total
+    * order, so each triangle has exactly ONE apex with two outgoing
+    * edges and is found exactly once), then wedges are pairs of
+    * OUT-neighbors and a triangle is a wedge whose far pair is itself
+    * a directed edge. Wedge count drops from Σ deg² (a hub node with
+    * degree 10⁶ generates 10¹² wedges — the last-reducer curse) to
+    * Σ outdeg² = O(m^{3/2}): a hub's edges mostly point INTO it.
+    *
+    * Graph: co-purchase edges between parts sharing an order (the q71
+    * basket pairs as an undirected graph), on the `%3` node slice —
+    * the synthetic baskets are far denser than a real co-purchase
+    * graph, and the slice restores realistic density while leaving
+    * 10⁵ wedges (sf0.01) for both engines to chew.
+    *
+    * Plan shape: every step is an equi-join (basket self-join on
+    * order; degree joins on endpoint; wedge self-join on apex;
+    * closing join on the (v, w) pair); the oriented edge table is
+    * persisted once for its three consumers. Output = per-node
+    * triangle participation counts (each triangle credits its three
+    * corners), a full histogram under the hash gate. */
+  val q81 = QueryDef(
+    "q81_triangle_count",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val a1 = li.select(col("o"), col("p").as("pa"))
+      val a2 = li.select(col("o"), col("p").as("pb"))
+      val e = a1.join(a2, Seq("o")).filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      val deg = e.select(col("pa").as("n"))
+        .unionAll(e.select(col("pb").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val dir = Shingles.sharedPersist(e
+        .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
+        .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
+        .select(
+          when(fwd, col("pa")).otherwise(col("pb")).as("src"),
+          when(fwd, col("pb")).otherwise(col("pa")).as("dst"),
+          when(fwd, col("db")).otherwise(col("da")).as("dd")))
+      val e1 = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      val e2 = dir.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+      val wedges = e1.join(e2, Seq("src"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("src").as("u"), col("v"), col("w"))
+      val tri = wedges
+        .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .select(col("u"), col("v"), col("w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part_id"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_partkey % 3 = 0),
+      e AS (
+        SELECT a.p AS pa, b.p AS pb FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      deg AS (
+        SELECT n, count(*) AS dg FROM (
+          SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY n),
+      dir AS (
+        SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst,
+               CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.pa < e.pb)
+                    THEN db.dg ELSE da.dg END AS dd
+        FROM e JOIN deg da ON e.pa = da.n JOIN deg db ON e.pb = db.n),
+      w AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+        WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      tri AS (
+        SELECT u, v, w.w FROM w
+        JOIN dir d2 ON d2.src = w.v AND d2.dst = w.w),
+      nodes AS (
+        SELECT u AS part_id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      SELECT part_id, count(*) AS n_tri
+      FROM nodes GROUP BY 1
+      ORDER BY n_tri DESC, part_id"""))
 }
