@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80)
+    q77, q79, q80, q82)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1515,4 +1515,88 @@ object Relational {
              ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1 ORDER BY 1"""))
+
+  /** MULTI-TOUCH ATTRIBUTION (U-shaped / position-based) — the
+    * marketing-analytics operator on top of [[q37]]'s last-touch
+    * range join: every click in the 30 minutes before a purchase gets
+    * a CREDIT SHARE — 40% to the first touch, 40% to the last, 20%
+    * split across the middles (1 touch → 100%, 2 → 50/50) — and
+    * credit rolls up by click hour-of-day ("which hours drive
+    * conversions").
+    *
+    * Credit is INTEGER PPM (the q66/q71 fixed-point discipline):
+    * weights are exact millionths, the middle split uses integer div
+    * with the remainder pinned to the first middle touch, so every
+    * purchase's weights sum to EXACTLY 1,000,000 and the rollup is
+    * bit-identical in both engines — float shares would drift in the
+    * last ulp and break the hash gate.
+    *
+    * Shape at 100 TB: touch discovery is the q37 bucketed range join
+    * (bucket width = window ⇒ lossless, 2 probes per purchase — no
+    * unbounded interval explosion); the two position windows (rank,
+    * size) share ONE hash(p_id) exchange; the final rollup
+    * map-combines into 24 groups. Nothing quadratic, nothing
+    * single-partition. */
+  val q82 = QueryDef(
+    "q82_multitouch_attribution",
+    (s, d) => {
+      val W = 1800000000L // 30 min in µs
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts_ns div 1000").as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("us").as("c_us"), expr(s"us div $W").as("cb"))
+      val probes = purchases.withColumn("cb",
+        explode(array(expr(s"p_us div $W") - 1, expr(s"p_us div $W"))))
+      val touches = probes.join(clicks, Seq("user_id", "cb"))
+        .filter(col("c_us") >= col("p_us") - W && col("c_us") < col("p_us"))
+        .select(col("p_id"), col("c_id"), col("c_us"))
+      val byP = Window.partitionBy(col("p_id"))
+      val weighted = touches
+        .withColumn("rn",
+          row_number().over(byP.orderBy(col("c_us"), col("c_id"))))
+        .withColumn("n", count(lit(1)).over(byP))
+        .withColumn("w_ppm",
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+            .otherwise(expr(
+              "200000L div (n - 2) + if(rn = 2, 200000L % (n - 2), 0L)")))
+      weighted
+        .groupBy(expr("(c_us div 3600000000L) % 24").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_touch"), sum(col("w_ppm")).as("credit_ppm"))
+        .orderBy(col("hour_of_day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      p AS (SELECT event_id AS p_id, user_id, us AS p_us
+            FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS c_id, user_id, us AS c_us
+            FROM ev WHERE event_type = 'click'),
+      m AS (
+        SELECT p.p_id, c.c_id, c.c_us
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us),
+      r AS (
+        SELECT p_id, c_id, c_us,
+               row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM m),
+      w AS (
+        SELECT c_us,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN 400000
+                    ELSE 200000 // (n - 2) +
+                         CASE WHEN rn = 2 THEN 200000 % (n - 2) ELSE 0 END
+               END AS w_ppm
+        FROM r)
+      SELECT (c_us // 3600000000) % 24 AS hour_of_day,
+             count(*) AS n_touch,
+             CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
+      FROM w GROUP BY 1 ORDER BY 1"""))
 }
