@@ -872,10 +872,13 @@ object TextOps {
         .withColumn("n_tok", count(lit(1)).over(byDoc))
         .withColumn("rn",
           row_number().over(byDoc.orderBy(col("df"), col("h60"))))
-      // prefix length |d| − ⌈|d|/2⌉ + 1, all-integer (t = 1/2)
-      val prefix = ranked
+      // prefix length |d| − ⌈|d|/2⌉ + 1, all-integer (t = 1/2).
+      // Persisted: the df join + two rank windows above it would
+      // otherwise run once per self-join side (DumpPlan: the whole
+      // subtree duplicated under both BroadcastHashJoin branches)
+      val prefix = Shingles.sharedPersist(ranked
         .filter(col("rn") <= expr("n_tok - ((n_tok + 1) div 2) + 1"))
-        .select(col("h60"), col("doc_id"), col("n_tok"))
+        .select(col("h60"), col("doc_id"), col("n_tok")))
       val a = prefix.select(col("h60"), col("doc_id").as("doc_a"),
         col("n_tok").as("na"))
       val b = prefix.select(col("h60"), col("doc_id").as("doc_b"),
@@ -884,18 +887,26 @@ object TextOps {
           a("h60") === b("h60") && col("doc_a") < col("doc_b") &&
             col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // verification by per-doc set arrays, not a token-level join: a
+      // candidate ⋈ tokens(a) ⋈ tokens(b) explosion costs
+      // |cand|·avg_tokens rows (measured 15M at sf0.1, the query's
+      // whole budget); two array lookups + an in-row array_intersect
+      // cost |cand| rows of O(n_a+n_b) work each, no shuffle, no
+      // re-aggregation. Per-doc array state is bounded by doc length
+      // (the same bound the shingle table itself carries).
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_set(col("h60")).as("hs"))
       val common = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("h60")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("h60")),
-          Seq("doc_b", "h60"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
           Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
           Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ha"), col("hb"))).cast("long")
+            .as("n_common"),
+          size(col("ha")).cast("long").as("n_a"),
+          size(col("hb")).cast("long").as("n_b"))
+      common
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
         .filter(col("jaccard") >= 0.5)
