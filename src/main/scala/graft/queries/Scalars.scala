@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70, q73, q74, q76, q78)
+      q67, q68, q69, q70, q73, q74, q76, q78, q83)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -1557,4 +1557,75 @@ object Scalars {
                   ELSE round((ss - s * s / n_vals) / (n_vals - 1), 6)
              END AS var_samp
       FROM a ORDER BY event_type"""))
+
+  /** EQUI-DEPTH HISTOGRAM — the optimizer's selectivity structure
+    * (what `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` builds,
+    * completing the stats family next to [[q69]]'s profile): 8
+    * equal-population buckets over o_totalprice — boundary values at
+    * the exact octile percentiles, per-bucket row counts from one
+    * assignment pass. Equi-depth beats equi-width under skew: every
+    * bucket carries the same evidence weight, so range-selectivity
+    * estimates have uniform relative error.
+    *
+    * Parity discipline: boundaries are ROUNDED (2 dec) in both
+    * engines BEFORE bucket assignment — the q32 rule extended from
+    * "compare the percentile" to "branch on the percentile": raw
+    * interpolated doubles could differ in the last ulp and flip a
+    * boundary-equal row's bucket, rounded ones cannot.
+    *
+    * At 100 TB: two fact passes (exact-percentile aggregate; bucket
+    * assignment against the broadcast 1-row boundary set — a
+    * map-combined 8-group aggregate). The exact percentile is the
+    * small-N path; at petabyte N the boundary pass swaps for the
+    * mergeable KLL sketch ([[q65]]) with the same downstream shape. */
+  val q83 = QueryDef(
+    "q83_equidepth_histogram",
+    (s, d) => {
+      val o = graft.Tables.orders(s, d).select(col("o_totalprice").as("x"))
+      val bounds = o.agg(
+        round(expr("percentile(x, 0.125)"), 2).as("b1"),
+        round(expr("percentile(x, 0.25)"), 2).as("b2"),
+        round(expr("percentile(x, 0.375)"), 2).as("b3"),
+        round(expr("percentile(x, 0.5)"), 2).as("b4"),
+        round(expr("percentile(x, 0.625)"), 2).as("b5"),
+        round(expr("percentile(x, 0.75)"), 2).as("b6"),
+        round(expr("percentile(x, 0.875)"), 2).as("b7"))
+      val bucket = (1 to 7)
+        .map(i => when(col("x") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      o.crossJoin(broadcast(bounds))
+        .groupBy(bucket.cast("bigint").as("bucket_id"))
+        .agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(bounds))
+        .select(col("bucket_id"),
+          element_at(array(col("b1"), col("b2"), col("b3"), col("b4"),
+            col("b5"), col("b6"), col("b7"), lit(null).cast("double")),
+            (col("bucket_id") + 1).cast("int")).as("hi"),
+          col("n_rows"))
+        .orderBy(col("bucket_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.125), 2) AS b1,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS b2,
+               round(quantile_cont(o_totalprice, 0.375), 2) AS b3,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS b4,
+               round(quantile_cont(o_totalprice, 0.625), 2) AS b5,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS b6,
+               round(quantile_cont(o_totalprice, 0.875), 2) AS b7
+        FROM orders),
+      a AS (
+        SELECT CAST(o_totalprice > b1 AS INT) + CAST(o_totalprice > b2 AS INT) +
+               CAST(o_totalprice > b3 AS INT) + CAST(o_totalprice > b4 AS INT) +
+               CAST(o_totalprice > b5 AS INT) + CAST(o_totalprice > b6 AS INT) +
+               CAST(o_totalprice > b7 AS INT) AS bucket_id
+        FROM orders CROSS JOIN b),
+      g AS (SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n_rows
+            FROM a GROUP BY 1)
+      SELECT g.bucket_id,
+             CASE g.bucket_id WHEN 0 THEN b.b1 WHEN 1 THEN b.b2
+                  WHEN 2 THEN b.b3 WHEN 3 THEN b.b4 WHEN 4 THEN b.b5
+                  WHEN 5 THEN b.b6 WHEN 6 THEN b.b7 ELSE NULL END AS hi,
+             g.n_rows
+      FROM g CROSS JOIN b ORDER BY g.bucket_id"""))
 }
