@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-7 analytics additions (q80–q83)
+  * beyond the registry smoke + driver oracle — the properties the
+  * external hash can't state directly (conservation, identity with an
+  * independent formulation, population balance). */
+class AnalyticsInvariantSpec extends SparkSpec {
+
+  test("q80: incrementally-maintained view equals the direct join aggregate") {
+    val incremental = Relational.q80.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val o = graft.Tables.orders(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val direct = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        QueryDef.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental === direct,
+      "delta-join maintenance must reproduce the direct recompute exactly")
+  }
+
+  test("q81: total triangle participation is divisible by 3 and positive") {
+    val out = Graph.q81.build(spark, sfDir)
+    val total = out.agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    assert(total > 0, "the co-purchase graph must contain triangles")
+    assert(total % 3 === 0,
+      "each triangle credits exactly its three corners")
+  }
+
+  test("q82: credit is conserved — exactly 1,000,000 ppm per touched purchase") {
+    val credit = Relational.q82.build(spark, sfDir)
+      .agg(sum(col("credit_ppm"))).collect()(0).getLong(0)
+    // independent count of purchases with >= 1 click touchpoint, via
+    // the oracle-proven q37 range-attribution output
+    val touched = Relational.q37.build(spark, sfDir)
+      .filter(col("n_clicks") > 0).count()
+    assert(credit === touched * 1000000L,
+      s"U-shaped weights must sum to exactly 1e6 per purchase " +
+        s"($credit ppm vs $touched purchases)")
+  }
+
+  test("q83: bucket counts cover the table and every bucket is populated") {
+    val hist = Scalars.q83.build(spark, sfDir).collect()
+    assert(hist.length === 8, "8 equi-depth buckets")
+    val total = hist.map(_.getAs[Long]("n_rows")).sum
+    val nOrders = graft.Tables.orders(spark, sfDir).count()
+    assert(total === nOrders, "bucket counts must partition the table")
+    assert(hist.forall(_.getAs[Long]("n_rows") > 0),
+      "equi-depth boundaries must populate every bucket")
+    // depth balance: no bucket more than 2x the ideal eighth (ties and
+    // rounding can skew slightly; gross imbalance = wrong boundaries)
+    val ideal = nOrders / 8.0
+    assert(hist.forall(_.getAs[Long]("n_rows") <= ideal * 2),
+      "equi-depth buckets must be balanced within 2x of ideal depth")
+  }
+}
