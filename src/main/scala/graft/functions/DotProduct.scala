@@ -160,6 +160,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
     ext.injectOptimizerRule(_ => graft.plans.EliminateUniqueLeftJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PushPartialAggThroughUniqueJoin)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -92,8 +92,10 @@ object EliminateUniqueLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
     else if (j.right.outputSet.contains(a) && j.left.outputSet.contains(b)) Some(a)
     else None
 
-  /** Is `plan` guaranteed to hold at most one row per value of `keys`? */
-  private def uniqueOn(plan: LogicalPlan, keys: AttributeSet): Boolean =
+  /** Is `plan` guaranteed to hold at most one row per value of `keys`?
+    * (shared with [[PushPartialAggThroughUniqueJoin]], which needs the
+    * same structural-uniqueness proof for its dim side) */
+  private[plans] def uniqueOn(plan: LogicalPlan, keys: AttributeSet): Boolean =
     plan match {
       case Project(list, child) =>
         // remap keys through the projection; only attribute passthroughs

@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82)
+    q77, q79, q80, q82, q84)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1599,4 +1599,56 @@ object Relational {
              count(*) AS n_touch,
              CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
       FROM w GROUP BY 1 ORDER BY 1"""))
+
+  /** The EAGER-AGGREGATION optimizer rule under the driver gate
+    * ([[graft.plans.PushPartialAggThroughUniqueJoin]], Yan & Larson
+    * VLDB'95): q01 performs the partial-aggregate-below-join rewrite
+    * BY HAND; this query hands the naive Aggregate-over-Join plan to
+    * the RULE and runs the rewritten tree — sum (decimal re-cast
+    * merge), count (sum-of-partial-counts merge) and max (idempotent
+    * merge) all cross the join as partials, and the oracle computes
+    * the naive form, so the hash gate proves the rewrite
+    * value-preserving end-to-end. `force` applies the rewrite to this
+    * one plan (a session-wide flag would leak into every subsequent
+    * query's optimization); the require() makes a silently-not-firing
+    * rewrite loud instead of quietly gating the unrewritten plan.
+    * PushPartialAggSpec pins the flag-gated optimizer pathway, the
+    * bail conditions, and result equality at spec scale. */
+  val q84 = QueryDef(
+    "q84_eager_agg_rule",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity").cast(DecimalType(18, 4)).as("qty"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("price"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .dropDuplicates("o_orderkey")
+      val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("qty")).cast("double").as("sum_qty"),
+          sum(col("price")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          max(col("qty")).cast("double").as("max_qty"))
+      val forced = graft.plans.PushPartialAggThroughUniqueJoin.force(
+        plain.queryExecution.analyzed)
+      val fired = forced.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.left.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isDefined => j
+      }.isDefined
+      require(fired, "eager-agg rewrite did not fire on the q84 plan")
+      org.apache.spark.sql.classic.GraftPlanBridge.ofRows(s, forced)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_price,
+             count(*) AS n_rows,
+             CAST(max(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
+      FROM lineitem
+      JOIN (SELECT DISTINCT o_orderkey, o_orderpriority FROM orders) o
+        ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
 }
