@@ -332,4 +332,31 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
     assert("Window".r.findAllIn(p).size >= 1, p.take(2000))
   }
+
+  test("q80 incremental maintenance runs exactly three joins (cross-delta term folded)") {
+    // V1 = A1⋈B1 plus TWO delta joins (ΔA⋈B₂, A1⋈ΔB): the naive
+    // four-term expansion would show a fourth join for ΔA⋈ΔB
+    val p = plan("q80_incremental_join_view")
+    val joins = "SortMergeJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins === 3, s"expected 3 joins, got $joins:\n${p.take(3000)}")
+  }
+
+  test("q82's rank and size windows share one hash(p_id) exchange") {
+    val p = plan("q82_multitouch_attribution")
+    // window-side partitioning: exactly one hashpartitioning(p_id…)
+    val pidExchanges = "Exchange hashpartitioning\\(p_id".r.findAllIn(p).size
+    assert(pidExchanges === 1,
+      s"expected 1 p_id exchange, got $pidExchanges:\n${p.take(3000)}")
+    assert("Window".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q84's eager-agg plan carries a partial aggregate below the join") {
+    // the merge aggregate sits above the join, the pushed partial
+    // below it — four HashAggregates total (partial+final × 2 levels)
+    val p = plan("q84_eager_agg_rule")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(p.contains("_partial"), p.take(3000))
+  }
 }
