@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15)
+      st12, st13, st14, st15, st16)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -258,6 +258,37 @@ object Streaming {
       CROSS JOIN mx
       WHERE p.p_us <= mx.cutoff
       ORDER BY p.user_id, p_us, c_us"""))
+
+  /** Stream-stream FULL OUTER join
+    * ([[graft.streaming.Streams.attributionFull]]) — the join
+    * triangle's last edge after st07 (inner) and st15 (left outer):
+    * BOTH directions of non-match surface — purchases with no click
+    * touchpoint AND clicks that never converted — each null-extended
+    * row emitted when the opposite stream's watermark proves no match
+    * can still arrive. One symmetric data-derived cutoff
+    * (`coalesce(p_us, c_us)`) bounds the decided set in both engines:
+    * matched rows ride p_us (a click precedes its purchase), orphan
+    * clicks ride c_us. */
+  val st16 = QueryDef(
+    "st16_stream_full_outer_join",
+    (s, d) =>
+      graft.streaming.Streams.attributionFull(s, s"$d/events.parquet")
+        .orderBy(col("user_id"), col("p_us"), col("c_us")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      mx AS (SELECT min(m) - 3600000000 - 1800000000 AS cutoff FROM (
+        SELECT event_type, max(us) AS m FROM ev
+        WHERE event_type IN ('click', 'purchase') GROUP BY 1)),
+      p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click'),
+      m AS (
+        SELECT coalesce(p.user_id, c.user_id) AS user_id, p.p_us, c.c_us
+        FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+         AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us)
+      SELECT user_id, p_us, c_us FROM m CROSS JOIN mx
+      WHERE (p_us IS NOT NULL AND p_us <= mx.cutoff)
+         OR (p_us IS NULL AND c_us < mx.cutoff)
+      ORDER BY user_id, p_us, c_us"""))
 
   /** Streaming corpus ingest — quality gate + watermark-bounded
     * near-exact dedup over a documents stream, the online twin of the

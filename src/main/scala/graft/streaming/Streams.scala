@@ -485,7 +485,25 @@ object Streams {
     * a finite replay — BOTH engines exclude that tail via the same
     * data-derived cutoff, so the compared region is exactly the
     * watermark-decided one. */
-  def attributionOuter(spark: SparkSession, eventsDir: String): DataFrame = {
+  def attributionOuter(spark: SparkSession, eventsDir: String): DataFrame =
+    attributionWithNulls(spark, eventsDir, "left_outer", "attributionOuter")
+
+  /** FULL OUTER stream-stream interval join — completes the streaming
+    * join triangle's last edge (st07 inner, st15 left outer): both
+    * unmatched purchases AND unmatched clicks surface as null-extended
+    * rows, each emitted when the OPPOSITE stream's watermark proves no
+    * match can still arrive. The decidability cutoff is symmetric: a
+    * purchase verdict needs the click watermark past its event time, a
+    * click verdict needs the purchase watermark past its time + the
+    * 30-min window — `coalesce(p_us, c_us) ≤ cutoff` covers both
+    * (matched rows are governed by p_us since clicks precede their
+    * purchase), and the oracle replays the identical data-derived
+    * rule. */
+  def attributionFull(spark: SparkSession, eventsDir: String): DataFrame =
+    attributionWithNulls(spark, eventsDir, "full_outer", "attributionFull")
+
+  private def attributionWithNulls(spark: SparkSession, eventsDir: String,
+      joinType: String, tag: String): DataFrame = {
     val s = spark.newSession()
     spark.conf.getOption("spark.sql.session.timeZone")
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
@@ -493,9 +511,29 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(eventsDir).schema
     val srcDir = streamDir(eventsDir)
-    val cutoff = s.read.parquet(eventsDir)
-      .select(max(unix_micros(etsCol(schema)))).head().getLong(0) -
-      3600000000L - 1800000000L
+    // Decidability cutoffs differ by join type because the GLOBAL
+    // watermark is min over BOTH inputs' (max event time − delay):
+    //  - left outer (st15): only purchases need verdicts, and the
+    //    corpus-max-derived cutoff has 30 min of slack over the
+    //    strict p_ets < wm requirement — proven green since round 7a.
+    //  - full outer (st16): orphan CLICKS need c_ets + 30min < wm
+    //    with ZERO slack, and wm is min(max_click, max_purchase) − 1h
+    //    — if the last purchase trails the corpus max by seconds (it
+    //    does at sf0.1: 53 s), a corpus-max cutoff claims clicks the
+    //    state store hasn't evicted. Derive it from the two joined
+    //    streams' own maxima.
+    val cutoff =
+      if (joinType == "full_outer")
+        s.read.parquet(eventsDir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(max(unix_micros(etsCol(schema))).as("m"))
+          .agg(min(col("m"))).head().getLong(0) -
+          3600000000L - 1800000000L
+      else
+        s.read.parquet(eventsDir)
+          .select(max(unix_micros(etsCol(schema)))).head().getLong(0) -
+          3600000000L - 1800000000L
     def src() = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", etsCol(schema))
     val clicks = src().filter(col("event_type") === "click")
@@ -507,19 +545,27 @@ object Streams {
     val joined = purchases.join(clicks, expr(
       """p_user = c_user AND
          c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"""),
-      "left_outer")
+      joinType)
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = joined.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    awaitAndRecord(q, "attributionOuter")
+    awaitAndRecord(q, tag)
+    // left outer: p_user is always present, so the filter degenerates
+    // to st15's p_us cutoff. Full outer adds click-only rows governed
+    // by c_us — STRICTLY below the cutoff: an orphan click is decided
+    // when watermark > c_ets + 30min, and at c_us == cutoff that
+    // inequality is exactly an equality, which Spark's state eviction
+    // treats as not-yet-expired (observed live: the one boundary click
+    // at sf0.1 emitted in DuckDB but still buffered here)
     val result = s.table(name)
-      .select(col("p_user").as("user_id"),
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
         unix_micros(col("p_ets")).as("p_us"),
         unix_micros(col("c_ets")).as("c_us"))
-      .filter(col("p_us") <= cutoff)
+      .filter(when(col("p_us").isNotNull, col("p_us") <= cutoff)
+        .otherwise(col("c_us") < cutoff))
       .localCheckpoint(eager = true)
     s.catalog.dropTempView(name)
     result

@@ -122,7 +122,7 @@ class RegistrySpec extends SparkSpec {
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
       "incrementalLoad", "attributionPairs", "attributionOuter",
-      "typeCountsTws", "corpusIngest", "hourlyDistinctUsers",
+      "attributionFull", "typeCountsTws", "corpusIngest", "hourlyDistinctUsers",
       "segmentHourlyRevenue", "nearDupFilter", "hourlyValueQuantiles",
       "hourlyTrending")
     assert(expected.subsetOf(plans.keySet),
