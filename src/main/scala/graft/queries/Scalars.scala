@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70, q73, q74, q76, q78, q83)
+      q67, q68, q69, q70, q73, q74, q76, q78, q83, q85)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -879,6 +879,99 @@ object Scalars {
                AS BIGINT) AS n_filled,
              ${QueryDef.dsumSql("v_filled")} AS sum_filled
       FROM f
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** LINEAR INTERPOLATION — the third time-series repair primitive,
+    * completing the trio ([[graft.queries.Relational.q51]] zero-fill
+    * for MISSING ROWS, [[q74]] LOCF for trailing nulls, this for
+    * interior nulls where a straight line between the surviving
+    * neighbors beats carrying the stale value): every masked point
+    * gets prev + (next − prev)·(t − t_prev) ÷ (t_next − t_prev),
+    * head nulls backfill from the next observation, tail nulls carry
+    * the previous one.
+    *
+    * Exactness: the series is integer cents (q73's proven
+    * `round(value·100)` bridge) and the interpolation is ALL-INTEGER
+    * — both engines' integer division truncates toward zero (probed:
+    * DuckDB `//` and Spark `div` both give −7÷2 = −3), so negative
+    * slopes divide identically and the repaired series is
+    * bit-identical with no float in the formula.
+    *
+    * Shape at 100 TB: FOUR window functions (prev/next value + their
+    * positions) over ONE hash(event_type) exchange and one sort —
+    * preceding and following frames share the same ordering, so
+    * Spark stacks them in one Window pass; the repair itself is a
+    * narrow projection and the report map-combines into |types|
+    * groups. */
+  val q85 = QueryDef(
+    "q85_linear_interp",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      val before = byType.rowsBetween(Window.unboundedPreceding, -1)
+      val after = byType.rowsBetween(1, Window.unboundedFollowing)
+      val withN = e
+        .withColumn("pv", last(col("x"), ignoreNulls = true).over(before))
+        .withColumn("pt", last(when(col("x").isNotNull, col("event_id")),
+          ignoreNulls = true).over(before))
+        .withColumn("nv", first(col("x"), ignoreNulls = true).over(after))
+        .withColumn("nt", first(when(col("x").isNotNull, col("event_id")),
+          ignoreNulls = true).over(after))
+      val repaired = withN.withColumn("x_rep",
+        when(col("x").isNotNull, col("x"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("pv + ((nv - pv) * (event_id - pt)) div (nt - pt)"))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")))
+      repaired.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("x").isNull.cast("long")).as("n_masked"),
+          sum((col("x").isNull && col("pv").isNotNull && col("nv").isNotNull)
+            .cast("long")).as("n_interp"),
+          sum(col("x_rep")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS x
+        FROM events),
+      n AS (
+        SELECT event_id, event_type, x,
+               last_value(x IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               last_value(CASE WHEN x IS NOT NULL THEN event_id END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+               first_value(x IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN x IS NOT NULL THEN event_id END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        FROM m),
+      r AS (
+        SELECT event_type, x, pv, nv,
+               CASE WHEN x IS NOT NULL THEN x
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + ((nv - pv) * (event_id - pt)) // (nt - pt)
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS x_rep
+        FROM n)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(count(*) FILTER (WHERE x IS NULL) AS BIGINT) AS n_masked,
+             CAST(count(*) FILTER (WHERE x IS NULL AND pv IS NOT NULL
+               AND nv IS NOT NULL) AS BIGINT) AS n_interp,
+             CAST(sum(x_rep) AS BIGINT) AS sum_cents
+      FROM r
       GROUP BY event_type
       ORDER BY event_type"""))
 
