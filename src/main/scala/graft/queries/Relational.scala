@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84)
+    q77, q79, q80, q82, q84, q86)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1651,4 +1651,46 @@ object Relational {
       JOIN (SELECT DISTINCT o_orderkey, o_orderpriority FROM orders) o
         ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
+
+  /** EXISTS / NOT EXISTS predicate subqueries (TPC-H Q4/Q21/Q22
+    * shape) — the Catalyst DECORRELATION surface the registry's other
+    * subquery query (q48: correlated SCALAR subqueries) doesn't touch:
+    * `RewritePredicateSubquery` lowers the correlated EXISTS to a
+    * LEFT SEMI join and the NOT EXISTS to a LEFT ANTI join, each an
+    * equi-shuffle on the correlation key — the row-at-a-time
+    * re-execution a naive engine would do becomes two set-joins.
+    * Entered as SQL TEXT (the q28 path) because predicate subqueries
+    * have no Column-API spelling; the oracle runs the identical
+    * statement, so the gate pins the decorrelation's SEMANTICS
+    * (orders with at least one big line and no deep-discount line).
+    *
+    * At 100 TB: both subquery scans prune to (key, filter column),
+    * the filters reach parquet, and the semi/anti joins shuffle on
+    * l_orderkey like any fact join — nothing correlated survives into
+    * execution (PlanQualitySpec pins semi+anti and zero re-scans
+    * beyond the two). */
+  val q86 = QueryDef(
+    "q86_exists_subqueries",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v
+                          WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+        AND NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
 }

@@ -352,6 +352,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q86's EXISTS/NOT EXISTS decorrelate to one semi + one anti join") {
+    // RewritePredicateSubquery must lower both correlated predicates
+    // to set-joins — any surviving correlated re-execution would show
+    // as extra scans or a nested-loop shape
+    val p = plan("q86_exists_subqueries")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q84's eager-agg plan carries a partial aggregate below the join") {
     // the merge aggregate sits above the join, the pushed partial
     // below it — four HashAggregates total (partial+final × 2 levels)
