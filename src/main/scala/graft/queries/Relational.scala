@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84, q86)
+    q77, q79, q80, q82, q84, q86, q87)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1693,4 +1693,62 @@ object Relational {
                         WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
+
+  /** NOT IN with a NULLABLE subquery — SQL's three-valued-logic trap
+    * and the NULL-AWARE ANTI JOIN it forces (the q86 anti join's evil
+    * twin), demonstrated on BOTH branches in one result: the `clean`
+    * variant (null-free subquery) returns the per-segment counts a
+    * plain anti join would, and the `polluted` variant (the same
+    * subquery with one key slice nulled) returns EXACTLY ZERO — one
+    * NULL in the list makes `x NOT IN (…)` UNKNOWN for every
+    * unmatched x, so the whole predicate filters everything, and the
+    * hash-gated 0 distinguishes standard semantics from the
+    * plain-anti-join bug an engine could silently ship. Spark plans
+    * the polluted variant as a null-aware anti join; DuckDB
+    * implements the same standard semantics natively.
+    *
+    * At 100 TB: the null-aware anti join only plans as BROADCAST (the
+    * contains-a-NULL verdict is a global property, so Spark refuses a
+    * shuffled version) — a huge nullable NOT IN subquery fails to
+    * plan rather than mis-partition, and the production fix is the
+    * NOT EXISTS spelling (q86) once keys are provably non-null.
+    * Keeping both spellings in the registry documents exactly that
+    * trade. */
+  val q87 = QueryDef(
+    "q87_not_in_null_aware",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT 'clean' AS variant, c_mktsegment, count(*) AS n_customers
+        FROM customer_v
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders_v
+          WHERE o_orderstatus = 'F' AND o_custkey % 13 <> 0)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'polluted' AS variant, 'ALL' AS c_mktsegment,
+               count(*) AS n_customers
+        FROM customer_v
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey END
+          FROM orders_v WHERE o_orderstatus = 'F')
+        ORDER BY variant, c_mktsegment""")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'clean' AS variant, c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderstatus = 'F' AND o_custkey % 13 <> 0)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'polluted' AS variant, 'ALL' AS c_mktsegment,
+               count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey END
+          FROM orders WHERE o_orderstatus = 'F'))
+      ORDER BY variant, c_mktsegment"""))
 }
