@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84, q86, q87)
+    q77, q79, q80, q82, q84, q86, q87, q88)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1751,4 +1751,40 @@ object Relational {
           SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey END
           FROM orders WHERE o_orderstatus = 'F'))
       ORDER BY variant, c_mktsegment"""))
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the
+    * top-N-per-group idiom in its SQL-standard spelling, and the
+    * hardest decorrelation in the registry's subquery family (q48
+    * scalar, q86 EXISTS, q87 NOT IN): a correlated LIMIT cannot
+    * become a plain join, so Catalyst's DecorrelateInnerQuery rewrites
+    * it into a per-key `WindowGroupLimit` + row_number filter + one
+    * equi-join — the engine DERIVES the q07/q33 top-N plan from
+    * row-at-a-time semantics. DuckDB executes the same statement with
+    * its native LATERAL machinery; result equality pins that the
+    * rewrite preserves per-row semantics (ties broken by name, so the
+    * top-2 set is unique).
+    *
+    * At 100 TB: nothing row-at-a-time survives — the decorrelated
+    * form is one customer shuffle for the group-limit window plus the
+    * nation join, exactly the hand-written q07 shape. */
+  val q88 = QueryDef(
+    "q88_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+    Some("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
 }
