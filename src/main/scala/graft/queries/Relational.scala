@@ -1423,8 +1423,10 @@ object Relational {
   val q71 = QueryDef(
     "q71_basket_pairs",
     (s, d) => {
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // persisted: four consumers (both pair-join sides, supports, n)
+      // otherwise each rebuild the scan + two-phase distinct
+      val b = Shingles.sharedPersist(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
       val supports = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
       val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val a1 = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
