@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15, st16)
+      st12, st13, st14, st15, st16, st17)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -393,6 +393,30 @@ object Streaming {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""))
+
+  /** Append-mode EMIT-ON-WINDOW-CLOSE hourly aggregate
+    * ([[graft.streaming.Streams.hourlyTypeCountsClosed]]) — st01's
+    * production twin: Complete mode re-emits every window each batch
+    * (affordable only in a finite replay); Append emits each window
+    * ONCE, when the watermark passes its end and drops its state —
+    * emission and eviction as one mechanism, the aggregate-side
+    * analog of st15/st16's outer-null emission. The gate compares
+    * exactly the closed-window set (window end ≤ max event time −
+    * 1 h), the same data-derived rule in both engines. */
+  val st17 = QueryDef(
+    "st17_stream_window_close",
+    (s, d) =>
+      graft.streaming.Streams.hourlyTypeCountsClosed(s, s"$d/events.parquet")
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN mx
+      WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
       GROUP BY 1, 2
       ORDER BY window_start, event_type"""))
 

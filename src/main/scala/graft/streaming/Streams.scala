@@ -325,6 +325,32 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
     }
 
+  /** APPEND-MODE windowed aggregate — EMIT ON WINDOW CLOSE, the
+    * production semantics for an UNBOUNDED stream (st01's Complete
+    * mode re-emits every window each batch, which only a finite
+    * replay can afford): a window's aggregate is emitted exactly ONCE,
+    * when the watermark passes its end and its state is dropped —
+    * emission and eviction are one mechanism, the aggregate-side twin
+    * of st15/st16's outer-join-null emission. Only watermark-CLOSED
+    * windows ever reach the sink, so the gate compares exactly the
+    * closed set: windows whose end ≤ max event time − 1 h (the
+    * single-stream watermark; hour-aligned ends vs an arbitrary-µs
+    * corpus max keep the boundary strict-vs-nonstrict question moot).
+    * The undecided tail — the last hour-ish of windows — is never
+    * emitted in a finite replay; both engines exclude it by the same
+    * data-derived rule. */
+  def hourlyTypeCountsClosed(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append(), "hourlyTypeCountsClosed") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    }
+
   /** STREAM-STATIC enrichment join — the third join shape next to
     * st07's stream-stream interval join: the events stream joins a
     * STATIC customer-segment dimension per micro-batch. The static

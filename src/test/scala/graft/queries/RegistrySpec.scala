@@ -121,7 +121,7 @@ class RegistrySpec extends SparkSpec {
     // (registration order — run the whole suite, not a -z subset).
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
-      "incrementalLoad", "attributionPairs", "attributionOuter",
+      "incrementalLoad", "attributionPairs", "attributionOuter", "hourlyTypeCountsClosed",
       "attributionFull", "typeCountsTws", "corpusIngest", "hourlyDistinctUsers",
       "segmentHourlyRevenue", "nearDupFilter", "hourlyValueQuantiles",
       "hourlyTrending")
