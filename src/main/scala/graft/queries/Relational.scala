@@ -1423,10 +1423,15 @@ object Relational {
   val q71 = QueryDef(
     "q71_basket_pairs",
     (s, d) => {
-      // persisted: four consumers (both pair-join sides, supports, n)
-      // otherwise each rebuild the scan + two-phase distinct
-      val b = Shingles.sharedPersist(Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct())
+      // four consumers each rebuild the scan + two-phase distinct —
+      // MEASURED cheaper than persisting it (bench min 2.17 s vs
+      // 2.92 s with sharedPersist at sf0.1/32 cores: the blocking
+      // cache materialization + deserializing four reads costs more
+      // than four fully-parallel 2-column scans; the d11/q81 persists
+      // pay off only because their rebuilt subtrees contain joins and
+      // windows, not a bare distinct)
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val supports = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
       val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val a1 = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
