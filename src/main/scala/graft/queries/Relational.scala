@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84, q86, q87, q88)
+    q77, q79, q80, q82, q84, q86, q87, q88, q89)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1794,4 +1794,72 @@ object Relational {
                WHERE c.c_nationkey = n.n_nationkey
                ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
+
+  /** SHARE-OF-PARENT (ratio_to_report) — the percent-of-total BI
+    * primitive the rollup family doesn't cover (q31/q54 produce the
+    * parent TOTALS; this produces each child's SHARE of its parent):
+    * every nation's fraction of its region's revenue, exact.
+    *
+    * Exactness: revenue aggregates as DECIMAL(18,4) (the q01 rule),
+    * then converts to integer ten-thousandths-of-a-cent units for the
+    * share — share_ppm = (10⁶ · nation_units) div region_units is
+    * all-integer, so the ratio is bit-identical in both engines
+    * (a double division would drift in the last ulp across
+    * differently-ordered partial sums).
+    *
+    * Shape at 100 TB: the per-(region, nation) aggregate is the only
+    * fact-sized work (revenue partial-sums per order BEFORE the
+    * customer join, the q01 pushdown); parent totals re-aggregate the
+    * 25-row child table and broadcast back — NOT a second fact pass
+    * and NOT a partition-wide window over fact rows. */
+  val q89 = QueryDef(
+    "q89_share_of_parent",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev"))
+      val byNation = perOrder
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev")).as("revd"))
+        // exact integer cents: DECIMAL(18,4)·10⁴ has no fraction (the
+        // BIGINT cast is exact, no rounding-mode exposure), then an
+        // integer div to cents keeps 10⁶·units inside int64 at any
+        // gate SF (ten-thousandths overflowed at sf0.1)
+        .withColumn("units", expr("CAST(revd * 10000 AS BIGINT) div 100"))
+      val byRegion = byNation.groupBy(col("r_name"))
+        .agg(sum(col("units")).as("reg_units"))
+      byNation.join(broadcast(byRegion), Seq("r_name"))
+        .select(col("r_name"), col("n_name"),
+          col("revd").cast("double").as("revenue"),
+          expr("(1000000L * units) div reg_units").as("share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      WITH bn AS (
+        SELECT r.r_name, n.n_name,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))) AS revd
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+      u AS (SELECT r_name, n_name, revd,
+                   CAST(revd * 10000 AS BIGINT) // 100 AS units FROM bn),
+      br AS (SELECT r_name, sum(units) AS reg_units FROM u GROUP BY 1)
+      SELECT u.r_name, u.n_name,
+             CAST(u.revd AS DOUBLE) AS revenue,
+             CAST((1000000 * u.units) // br.reg_units AS BIGINT) AS share_ppm
+      FROM u JOIN br ON u.r_name = br.r_name
+      ORDER BY u.r_name, u.n_name"""))
 }
