@@ -195,6 +195,7 @@ class PlanQualitySpec extends SparkSpec {
       ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)
       ("Curation.scala", "tot"),           // one-row corpus/token total
       ("Relational.scala", "n"), ("Relational.scala", "r"),
+      ("Relational.scala", "byRegion"),    // q89 parent totals (#regions rows)
       ("Scalars.scala", "n"),              // nation dim (25 rows, q57)
       ("Scalars.scala", "sk"),             // one-row CMS sketch (q60)
       ("Scalars.scala", "a"),              // q61 sketch table (G = #event
