@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84, q86, q87, q88, q89)
+    q77, q79, q80, q82, q84, q86, q87, q88, q89, q90)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1862,4 +1862,34 @@ object Relational {
              CAST((1000000 * u.units) // br.reg_units AS BIGINT) AS share_ppm
       FROM u JOIN br ON u.r_name = br.r_name
       ORDER BY u.r_name, u.n_name"""))
+
+  /** SEQUENCE-GAP AUDIT ([[graft.ops.Gaps]]) — islands-and-gaps over
+    * the finished-order key sequence (the archive-completeness
+    * question: which order-number ranges are absent from the
+    * 'F'-status set — the primitive for missing invoice numbers /
+    * dropped offsets / absent surrogate ids). The textbook
+    * `lag(k) OVER (ORDER BY k)` needs a TOTAL order — one reducer,
+    * the plan-gate-forbidden shape; the op computes the identical
+    * result with a range exchange + per-partition keyed lag + P
+    * boundary longs to the driver (the Ids.dense/Pack two-phase
+    * discipline). The oracle runs the naive global-lag form in
+    * DuckDB, where single-node totality is free — hash equality
+    * proves the two-phase decomposition exact, boundary stitches
+    * included. */
+  val q90 = QueryDef(
+    "q90_sequence_gaps",
+    (s, d) =>
+      graft.ops.Gaps.gaps(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          "o_orderkey")
+        .withColumn("span", col("gap_end") - col("gap_start") + 1)
+        .orderBy(col("gap_start")),
+    Some("""
+      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                 WHERE o_orderstatus = 'F'),
+      l AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+      SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+             k - prev - 1 AS span
+      FROM l WHERE prev IS NOT NULL AND k - prev > 1
+      ORDER BY gap_start"""))
 }
