@@ -36,6 +36,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // eager aggregation (Yan & Larson) in cost-gated AUTO mode: the
+      // rewrite fires only when a bounded sample of the fact side
+      // measures a key-group reduction ≥ minReduction — see
+      // PushPartialAggThroughUniqueJoin's scaladoc. EagerAggDiffSpec
+      // pins the exact set of registry queries whose plans change
+      // under this flag, so enabling it here is not order-dependent.
+      .config("spark.graft.eagerAgg", "auto")
     if (master.nonEmpty) b.master(master) else b
   }
 

@@ -33,7 +33,14 @@ object Gaps {
       .where(col("k").isNotNull)
       .distinct()
       .repartitionByRange(col("k"))
-    val withPid = keys.withColumn("pid", spark_partition_id())
+    // Persisted BEFORE either consumer runs: RangePartitioner samples
+    // with an RDD-id-derived seed, so re-executing the exchange for the
+    // second consumer could pick DIFFERENT range boundaries once a
+    // partition exceeds the reservoir sample size — the within-partition
+    // gaps (boundaries A) and the driver-stitched cross-partition gaps
+    // (boundaries B) would then disagree. One materialization, two reads.
+    val withPid = graft.queries.Shingles.sharedPersist(
+      keys.withColumn("pid", spark_partition_id()))
     val w = Window.partitionBy(col("pid")).orderBy(col("k"))
     val inner = withPid
       .withColumn("prev", lag(col("k"), 1).over(w))

@@ -1,10 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Optimizer rule: EAGER AGGREGATION through a unique-keyed inner join
@@ -39,36 +41,81 @@ import org.apache.spark.sql.internal.SQLConf
   * reference only fact columns, be non-DISTINCT and FILTER-free;
   * grouping expressions must be plain attributes (either side — dim
   * grouping columns are functions of the join key, so grouping the
-  * partial by the key preserves them). Anything else ⇒ no rewrite.
+  * partial by the key preserves them). A TRY-mode sum (`try_sum`)
+  * bails: its NULL-on-overflow marker would be silently SKIPPED by
+  * the merge Sum (Sum ignores nulls), converting "overflow ⇒ NULL
+  * total" into "overflow ⇒ partial total" — a semantics change no
+  * merge algebra over partial columns can reproduce. LEGACY/ANSI
+  * modes propagate into both layers unchanged (ordering-dependent
+  * ANSI overflow is already inherent to Spark's own physical partial
+  * aggregation). Anything else ⇒ no rewrite.
   *
-  * Guarded by `spark.graft.eagerAgg` (default false): profitability
-  * depends on the fact's key-group reduction factor, which the rule
-  * cannot see — the caller opts in per query/session (q84 is the
-  * registry's opted-in demonstration; the flag also keeps the rule
-  * from re-firing on its own output, whose join-left is the partial
-  * Aggregate it just built — the structural guard for that is the
-  * left-is-Aggregate bail).
+  * COST GATE — `spark.graft.eagerAgg` ∈ `false | true | auto`:
+  *
+  *  - `false` (library default): rule inert; [[force]] still applies
+  *    the rewrite to an explicit plan (spec/property-test surface).
+  *  - `true`: fire on every sound match (the pre-round-8 behavior;
+  *    profitability is the caller's problem).
+  *  - `auto` ([[graft.GraftSession]] sets this): fire only when the
+  *    measured key-group reduction factor clears
+  *    `spark.graft.eagerAgg.minReduction` (default 3.0). The factor
+  *    is rows/NDV(partial keys) over a bounded sample of the fact
+  *    side (`spark.graft.eagerAgg.probeRows`, default 100k): the rule
+  *    runs `count + approx_count_distinct` over `LIMIT probeRows` of
+  *    the fact sub-plan — one cheap first-partitions scan, cached by
+  *    canonicalized sub-plan so optimizer fixpoint iterations and
+  *    repeated queries probe once per session. A reduction of ~1
+  *    (keys nearly unique in the fact) means the partial aggregate
+  *    would shrink nothing and pay a full hash-aggregate pass — the
+  *    classic eager-aggregation LOSS case Yan & Larson's
+  *    profitability condition exists for; lineitem→orders (~4 lines
+  *    per order) clears the bar. Probes never run on streaming plans
+  *    (no bounded sample exists — auto bails) and never recurse (the
+  *    probe thread is marked; the rule is inert on probe queries).
   */
 object PushPartialAggThroughUniqueJoin
     extends Rule[LogicalPlan] with PredicateHelper {
 
   val FLAG = "spark.graft.eagerAgg"
+  val MIN_REDUCTION = "spark.graft.eagerAgg.minReduction"
+  val PROBE_ROWS = "spark.graft.eagerAgg.probeRows"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!SQLConf.get.getConfString(FLAG, "false").toBoolean) plan
-    else force(plan)
+  /** Guards against the rule firing on its own probe queries (the
+    * probe executes a full query through the session optimizer on the
+    * calling thread). */
+  private val inProbe = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
 
-  /** The rewrite itself, independent of the session flag — [[q84]]'s
-    * registry demonstration applies it explicitly to a single plan so
-    * the driver gate exercises the rewritten form without enabling
-    * the rule session-wide (a leaked flag would make every other
-    * query's plan order-dependent). */
-  def force(plan: LogicalPlan): LogicalPlan =
+  /** reduction-factor estimates keyed by canonicalized probe plan —
+    * optimizer batches run to fixpoint and bench repeats queries, so
+    * each distinct fact sub-plan is probed once per session. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Double]()
+
+  /** test/diagnostic hook: clear cached probe results. */
+  private[graft] def clearProbeCache(): Unit = probeCache.clear()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inProbe.get()) return plan
+    SQLConf.get.getConfString(FLAG, "false") match {
+      case "true" => rewrite(plan, costGated = false)
+      case "auto" => rewrite(plan, costGated = true)
+      case _ => plan
+    }
+  }
+
+  /** The rewrite itself, independent of the session flag and the cost
+    * gate — the spec/property-test surface (PushPartialAggSpec pins
+    * the bail conditions and result equality on random shapes). */
+  def force(plan: LogicalPlan): LogicalPlan = rewrite(plan, costGated = false)
+
+  private def rewrite(plan: LogicalPlan, costGated: Boolean): LogicalPlan =
     plan.transformUp {
       case agg @ Aggregate(_, _,
           join @ Join(left, _, Inner, Some(_), _), _)
           if !left.isInstanceOf[Aggregate] =>
-        tryRewrite(agg, join).getOrElse(agg)
+        tryRewrite(agg, join, costGated).getOrElse(agg)
       // column pruning interleaves in the same fixed-point batch and
       // may have inserted a narrowing Project between the two — an
       // attribute-only Project carries no computation, so the rewrite
@@ -77,10 +124,11 @@ object PushPartialAggThroughUniqueJoin
           Project(projList, join @ Join(left, _, Inner, Some(_), _)), _)
           if projList.forall(_.isInstanceOf[Attribute]) &&
             !left.isInstanceOf[Aggregate] =>
-        tryRewrite(agg, join).getOrElse(agg)
+        tryRewrite(agg, join, costGated).getOrElse(agg)
     }
 
-  private def tryRewrite(agg: Aggregate, join: Join): Option[Aggregate] = {
+  private def tryRewrite(agg: Aggregate, join: Join,
+      costGated: Boolean): Option[Aggregate] = {
     val left = join.left
     val right = join.right
 
@@ -106,7 +154,8 @@ object PushPartialAggThroughUniqueJoin
     }
 
     // 4. pushable aggregate calls: non-distinct, unfiltered,
-    //    Sum/Min/Max/Count over fact columns only
+    //    Sum/Min/Max/Count over fact columns only; TRY-mode sums bail
+    //    (NULL-on-overflow partials would be skipped by the merge Sum)
     val calls = agg.aggregateExpressions
       .flatMap(_.collect { case ae: AggregateExpression => ae })
     if (calls.isEmpty) return None
@@ -114,7 +163,8 @@ object PushPartialAggThroughUniqueJoin
         !ae.isDistinct && ae.filter.isEmpty &&
           ae.references.subsetOf(left.outputSet) &&
           (ae.aggregateFunction match {
-            case _: Sum | _: Min | _: Max | _: Count => true
+            case s: Sum => s.evalContext.evalMode != EvalMode.TRY
+            case _: Min | _: Max | _: Count => true
             case _ => false
           }))) return None
 
@@ -123,11 +173,17 @@ object PushPartialAggThroughUniqueJoin
     val partialKeys = (leftKeys ++ groupAttrs.filter(left.outputSet.contains))
       .foldLeft(Seq.empty[Attribute])((acc, a) =>
         if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+
+    // 5. cost gate (auto mode only): measured key-group reduction
+    if (costGated && !profitable(left, partialKeys)) return None
+
     val distinctCalls = calls.foldLeft(Seq.empty[AggregateExpression])(
       (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae)
     val partials: Seq[(AggregateExpression, Alias)] = distinctCalls.map { ae =>
       val fn = ae.aggregateFunction match {
-        case s: Sum => Sum(s.child)
+        // evalContext propagates: the partial must overflow (ANSI) or
+        // wrap (LEGACY) exactly as the original accumulation would
+        case s: Sum => Sum(s.child, s.evalContext)
         case m: Min => Min(m.child)
         case m: Max => Max(m.child)
         case c: Count => Count(c.children)
@@ -145,8 +201,8 @@ object PushPartialAggThroughUniqueJoin
         case ae: AggregateExpression =>
           val pa = partials.find(_._1.semanticEquals(ae)).get._2.toAttribute
           ae.aggregateFunction match {
-            case _: Sum =>
-              val merged = Sum(pa).toAggregateExpression()
+            case s: Sum =>
+              val merged = Sum(pa, s.evalContext).toAggregateExpression()
               if (merged.dataType == ae.dataType) merged
               else Cast(merged, ae.dataType)
             case _: Min => Min(pa).toAggregateExpression()
@@ -157,6 +213,55 @@ object PushPartialAggThroughUniqueJoin
       }.asInstanceOf[NamedExpression]
     }
     Some(Aggregate(agg.groupingExpressions, newResults, newJoin))
+  }
+
+  /** Auto-mode profitability: sampled rows/NDV over the partial keys,
+    * against the configured threshold. Any probe failure (no active
+    * session, exotic sub-plan that can't re-analyze, empty sample)
+    * counts as NOT profitable — the unrewritten plan is always safe. */
+  private def profitable(left: LogicalPlan, keys: Seq[Attribute]): Boolean = {
+    if (left.isStreaming) return false
+    // micro-batch plans re-optimize per batch with isStreaming=false and
+    // a fresh (uncacheable) batch sub-plan — a probe job per micro-batch
+    // would tax every stream for a batch-side optimization. StreamExecution
+    // stamps its thread's local properties with the query id; bail there.
+    if (SparkSession.getActiveSession.exists(s =>
+        s.sparkContext.getLocalProperty("sql.streaming.queryId") != null))
+      return false
+    val threshold =
+      SQLConf.get.getConfString(MIN_REDUCTION, "3.0").toDouble
+    val cacheKey = Project(keys, left).canonicalized
+    val cached = probeCache.get(cacheKey)
+    val reduction: Double = if (cached != null) cached else {
+      val measured = measureReduction(left, keys)
+      probeCache.put(cacheKey, measured)
+      measured
+    }
+    reduction >= threshold
+  }
+
+  private def measureReduction(left: LogicalPlan,
+      keys: Seq[Attribute]): Double = {
+    val spark = SparkSession.getActiveSession.getOrElse(return 0.0)
+    val probeRows =
+      SQLConf.get.getConfString(PROBE_ROWS, "100000").toInt
+    inProbe.set(true)
+    try {
+      val keyDf = org.apache.spark.sql.classic.GraftPlanBridge
+        .ofRows(spark, Project(keys, left))
+        .toDF(keys.indices.map(i => s"k$i"): _*)
+        .limit(probeRows)
+      val row = keyDf.agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(
+          struct(keys.indices.map(i => keyDf(s"k$i")): _*)).as("ndv"))
+        .head()
+      val n = row.getLong(0)
+      val ndv = row.getLong(1)
+      if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble
+    } catch {
+      case scala.util.control.NonFatal(_) => 0.0
+    } finally inProbe.set(false)
   }
 
   private def side(j: Join, a: Attribute, b: Attribute)

@@ -1611,16 +1611,24 @@ object Relational {
     * ([[graft.plans.PushPartialAggThroughUniqueJoin]], Yan & Larson
     * VLDB'95): q01 performs the partial-aggregate-below-join rewrite
     * BY HAND; this query hands the naive Aggregate-over-Join plan to
-    * the RULE and runs the rewritten tree — sum (decimal re-cast
-    * merge), count (sum-of-partial-counts merge) and max (idempotent
-    * merge) all cross the join as partials, and the oracle computes
-    * the naive form, so the hash gate proves the rewrite
-    * value-preserving end-to-end. `force` applies the rewrite to this
-    * one plan (a session-wide flag would leak into every subsequent
-    * query's optimization); the require() makes a silently-not-firing
-    * rewrite loud instead of quietly gating the unrewritten plan.
-    * PushPartialAggSpec pins the flag-gated optimizer pathway, the
-    * bail conditions, and result equality at spec scale. */
+    * the COST-GATED rule pathway (`auto` mode — the same one
+    * [[graft.GraftSession]] enables session-wide) and runs the
+    * rewritten tree — sum (decimal re-cast merge), count
+    * (sum-of-partial-counts merge) and max (idempotent merge) all
+    * cross the join as partials, and the oracle computes the naive
+    * form, so the hash gate proves the rewrite value-preserving
+    * end-to-end. Under a GraftSession the SESSION optimizer itself
+    * fires the rewrite (rule injected + flag=auto + lineitem→orders
+    * measures a ~4× key-group reduction, clearing the 3.0 bar) and
+    * the plain plan is returned as-is; in a session without the
+    * extensions (plain spec sessions) the same cost-gated `apply`
+    * entry point — probe included, never `force` — is applied to the
+    * one plan. The require() makes a silently-not-firing rewrite (or
+    * a mis-gating probe) loud instead of quietly shipping the
+    * unrewritten plan. PushPartialAggSpec pins the flag-gated
+    * pathway and bail conditions; EagerAggAutoSpec pins the cost
+    * gate's fire/skip decisions; EagerAggDiffSpec pins the exact set
+    * of registry plans the session-wide flag changes. */
   val q84 = QueryDef(
     "q84_eager_agg_rule",
     (s, d) => {
@@ -1636,17 +1644,32 @@ object Relational {
           sum(col("price")).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"),
           max(col("qty")).cast("double").as("max_qty"))
-      val forced = graft.plans.PushPartialAggThroughUniqueJoin.force(
-        plain.queryExecution.analyzed)
-      val fired = forced.collectFirst {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.left.collectFirst {
-              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-            }.isDefined => j
-      }.isDefined
-      require(fired, "eager-agg rewrite did not fire on the q84 plan")
-      org.apache.spark.sql.classic.GraftPlanBridge.ofRows(s, forced)
-        .orderBy(col("o_orderpriority"))
+      def aggBelowJoin(
+          p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.left.collectFirst {
+                case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+              }.isDefined => j
+        }.isDefined
+      if (aggBelowJoin(plain.queryExecution.optimizedPlan)) {
+        // GraftSession path: the injected rule + auto flag fired on the
+        // session's own optimization — run the plain plan
+        plain.orderBy(col("o_orderpriority"))
+      } else {
+        // extension-less session: exercise the SAME cost-gated entry
+        // point (apply under auto, probe and all — not force)
+        val flag = graft.plans.PushPartialAggThroughUniqueJoin.FLAG
+        val prev = s.conf.getOption(flag)
+        s.conf.set(flag, "auto")
+        val gated = try graft.plans.PushPartialAggThroughUniqueJoin(
+          plain.queryExecution.analyzed)
+        finally prev.fold(s.conf.unset(flag))(s.conf.set(flag, _))
+        require(aggBelowJoin(gated),
+          "cost-gated eager-agg rewrite did not fire on the q84 plan")
+        org.apache.spark.sql.classic.GraftPlanBridge.ofRows(s, gated)
+          .orderBy(col("o_orderpriority"))
+      }
     },
     Some(s"""
       SELECT o_orderpriority,

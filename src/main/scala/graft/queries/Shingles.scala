@@ -103,7 +103,7 @@ object Shingles {
   private val extras = java.util.concurrent.ConcurrentHashMap
     .newKeySet[DataFrame]()
 
-  private[queries] def sharedPersist(df: DataFrame): DataFrame = {
+  private[graft] def sharedPersist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     extras.add(p)
     p

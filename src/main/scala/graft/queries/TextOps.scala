@@ -906,10 +906,16 @@ object TextOps {
             .as("n_common"),
           size(col("ha")).cast("long").as("n_a"),
           size(col("hb")).cast("long").as("n_b"))
+      // Threshold on the EXACT integer form 2·|A∩B| ≥ |A∪B| (never the
+      // rounded double): round(j,4) ≥ 0.5 admits J ∈ [0.49995, 0.5),
+      // pairs the nb·2 ≥ na size-ratio filter legitimately prunes —
+      // rounding before the test would break losslessness on
+      // adversarial corpora. round() survives only as display.
       common
+        .filter(col("n_common") * 2 >=
+          col("n_a") + col("n_b") - col("n_common"))
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-        .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("n_common"),
           col("n_a"), col("n_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -928,6 +934,6 @@ object TextOps {
         FROM pairs p
         JOIN cnt ca ON p.doc_a = ca.doc_id
         JOIN cnt cb ON p.doc_b = cb.doc_id)
-      WHERE jaccard >= 0.5
+      WHERE n_common * 2 >= n_a + n_b - n_common
       ORDER BY doc_a, doc_b"""))
 }

@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.queries.Registry
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Registry-wide plan diff for the session-wide `auto` eager-agg flag
+  * ([[PushPartialAggThroughUniqueJoin]]) — the round-7 verdict's
+  * graduation condition: enabling the flag in [[graft.GraftSession]]
+  * must not silently rewrite plans beyond the pinned set. Every batch
+  * registry query is optimized twice (flag off / flag auto, rule
+  * registered both times so only the flag differs) and the set of
+  * queries whose canonicalized optimized plan changes is pinned
+  * EXACTLY — a new fire (or a lost one) fails here before it can
+  * drift into the driver gate. Streaming queries are excluded for the
+  * same reason as RegistrySpec's batch plan gate: their builders run
+  * the stream to completion and return a materialized sink, so the
+  * inspected plan never contains the streaming shape (the auto gate
+  * itself bails on streaming threads — see the rule's scaladoc).
+  */
+class EagerAggDiffSpec extends SparkSpec {
+
+  /** The two expected fires:
+    *  - q84: its naive Aggregate-over-Join plan exists precisely to
+    *    hand the rule its shape; lineitem→orders measures ~4 lines
+    *    per order — above the 3.0 bar.
+    *  - t17: `hit` is a per-doc count over trainShingles ⋈ DISTINCT
+    *    testShingles — the dim side is provably unique on h60 and
+    *    within-doc shingle repetition measures ≥3×, so the partial
+    *    count collapses repeated (doc, h60) pairs BEFORE the join — a
+    *    genuine win the gate discovered in an existing query (the
+    *    driver hash gate pins that values are unchanged).
+    * Every other registry query either lacks the shape (hand-pushed
+    * aggregates, non-unique dims, non-pushable calls) or fails the
+    * measured reduction. */
+  private val expectedDiff = Set("q84_eager_agg_rule", "t17_decontaminate")
+
+  test("flag=auto changes exactly the pinned set of registry plans") {
+    if (!spark.experimental.extraOptimizations
+        .contains(PushPartialAggThroughUniqueJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          (PushPartialAggThroughUniqueJoin: org.apache.spark.sql.catalyst
+            .rules.Rule[LogicalPlan])
+    PushPartialAggThroughUniqueJoin.clearProbeCache()
+    val flag = PushPartialAggThroughUniqueJoin.FLAG
+    def optimized(name: String): LogicalPlan = {
+      val df = Registry.queries(name)(spark, sfDir)
+      df.queryExecution.optimizedPlan.canonicalized
+    }
+    val batch = Registry.all.map(_.name).filterNot(_.startsWith("st"))
+    val prev = spark.conf.getOption(flag)
+    val diff = try {
+      batch.flatMap { name =>
+        spark.conf.set(flag, "false")
+        val off = optimized(name).toString
+        spark.conf.set(flag, "auto")
+        val auto = optimized(name).toString
+        if (off != auto) Some(name) else None
+      }.toSet
+    } finally prev.fold(spark.conf.unset(flag))(spark.conf.set(flag, _))
+    assert(diff === expectedDiff,
+      s"unexpected eager-agg plan drift: fired=${diff -- expectedDiff} " +
+        s"lost=${expectedDiff -- diff}")
+  }
+}

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Dev-only scale-factor data generator (sf1 and beyond).
+
+The driver ships deterministic synthetic testdata at sf0.001/0.01/0.1
+(TESTDATA.md, read-only). Every scale claim above sf0.1 was, through
+round 7, an extrapolation from plan shape; this generator closes that
+gap by producing SCHEMA- AND DISTRIBUTION-COMPATIBLE tables at any sf
+so the full Verify + DuckDB-oracle loop and Bench can run at 10x bench
+scale. It does NOT reproduce the driver's exact rows (its generator is
+not published); it reproduces the statistical shape, which is all the
+oracle gate needs — tools/check.py compares Spark vs DuckDB over the
+SAME generated files.
+
+Distribution contract (measured from /root/testdata/sf0.1, seed 42):
+  region/nation   constant 5/25 rows — copied verbatim from sf0.1
+  customer  150k/sf  uniform nation 0-24, acctbal U(-1000,10000),
+                     5 uniform mktsegments, name Customer#%09d
+  supplier  10k/sf   same shape, name Supplier#%09d
+  part      200k/sf  name = adj+noun (8x8), Brand#{0..24}, 6 types,
+                     size U{1..50}, retailprice = 900 + 0.1*(key%1000)
+  orders    1.5M/sf  custkey uniform, status U{F,O,P}, totalprice
+                     U(1000,500000), date U[1995-01-01,2001-08-01),
+                     5 uniform priorities
+  lineitem  ~6M/sf   1+Poisson(3) lines per order (measured mean 4.0),
+                     part/supp uniform, qty U{1..50}, extprice
+                     U(900,105000), disc U{0..0.10 by .01}, tax
+                     U{0..0.08 by .01}, rf U{A,N,R}, ls U{O,F},
+                     shipdate U[1995-01-02,2001-11-04) independent of
+                     orderdate (measured diff range -2399..+2496)
+  events    1M/sf    15k users/sf, ts U over 2024-01 (DENSITY grows
+                     with sf, span fixed — matches driver behavior),
+                     file ordered by ts with event_id in ts order
+                     (measured: zero inversions), type uniform over
+                     {signup,purchase,view,click,error}, value
+                     Exp(mean 50), props = {"k": U{0..99}},
+                     parquet TIMESTAMP(MICROS) (round-7+ layout)
+  documents 50k/sf   10..100 words uniform from the 31-word vocab,
+                     lang en 40% / zh,es,fr,de 15%, source src0..19
+  embeddings 20k/sf  64-d unit vectors = normalize(N(0,1) + 0.1 *
+                     label_centroid)  (measured intra-label cosine
+                     +0.008 vs inter -0.002 => weight ~ 0.1), label
+                     uniform 0..9
+
+Usage: python3 tools/gen_sf.py <sf> <outDir>   e.g. 1 /tmp/sf1
+"""
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REF = "/root/testdata/sf0.1"  # constant-table source + distribution reference
+
+VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
+         "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+         "order", "part", "query", "row", "scan", "slow", "small", "sort",
+         "spark", "stream", "table", "the", "value", "vector", "window"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ETYPES = ["signup", "purchase", "view", "click", "error"]
+LANGS = ["en", "zh", "es", "fr", "de"]
+
+DAY_US = 86_400_000_000
+
+
+def write(out, name, table):
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def ts_col(us):
+    return pa.array(us, type=pa.timestamp("us"))
+
+
+def main():
+    sf = float(sys.argv[1])
+    out = sys.argv[2]
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    k = sf / 0.1  # multiplier vs the reference sf0.1 row counts
+
+    # constant dims: verbatim copies
+    for t in ["region", "nation"]:
+        shutil.copy(f"{REF}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"  {t}: copied")
+
+    n_cust = int(15000 * k)
+    n_supp = int(1000 * k)
+    n_part = int(20000 * k)
+    n_ord = int(150000 * k)
+    n_evt = int(100000 * k)
+    n_user = int(1500 * k)
+    n_doc = int(5000 * k)
+    n_vec = int(2000 * k)
+
+    ck = np.arange(n_cust, dtype=np.int64)
+    write(out, "customer", pa.table({
+        "c_custkey": ck,
+        "c_name": [f"Customer#{i:09d}" for i in ck],
+        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": rng.choice(SEGMENTS, n_cust),
+    }))
+
+    sk = np.arange(n_supp, dtype=np.int64)
+    write(out, "supplier", pa.table({
+        "s_suppkey": sk,
+        "s_name": [f"Supplier#{i:09d}" for i in sk],
+        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
+        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+    }))
+
+    pk = np.arange(n_part, dtype=np.int64)
+    write(out, "part", pa.table({
+        "p_partkey": pk,
+        "p_name": [f"{rng.choice(ADJ)} {rng.choice(NOUN)}" for _ in pk],
+        "p_brand": [f"Brand#{rng.integers(0, 25)}" for _ in pk],
+        "p_type": rng.choice(PTYPES, n_part),
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_retailprice": np.round(900.0 + 0.1 * (pk % 1000), 1),
+    }))
+
+    ok = np.arange(n_ord, dtype=np.int64)
+    d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
+    d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype(np.int64)
+    odate = d0 + rng.integers(0, (d1 - d0) // DAY_US + 1, n_ord) * DAY_US
+    write(out, "orders", pa.table({
+        "o_orderkey": ok,
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_orderstatus": rng.choice(["F", "O", "P"], n_ord),
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": ts_col(odate),
+        "o_orderpriority": rng.choice(PRIORITIES, n_ord),
+    }))
+
+    lines = 1 + rng.poisson(3.0, n_ord)
+    lok = np.repeat(ok, lines)
+    n_li = lok.size
+    lno = np.concatenate([np.arange(1, c + 1) for c in lines]).astype(np.int32)
+    s0 = np.datetime64("1995-01-02").astype("datetime64[us]").astype(np.int64)
+    s1 = np.datetime64("2001-11-04").astype("datetime64[us]").astype(np.int64)
+    write(out, "lineitem", pa.table({
+        "l_orderkey": lok,
+        "l_partkey": rng.integers(0, n_part, n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_linenumber": lno,
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": rng.integers(0, 11, n_li) / 100.0,
+        "l_tax": rng.integers(0, 9, n_li) / 100.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+        "l_linestatus": rng.choice(["O", "F"], n_li),
+        "l_shipdate": ts_col(
+            s0 + rng.integers(0, (s1 - s0) // DAY_US + 1, n_li) * DAY_US),
+    }))
+
+    e0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    ets = np.sort(e0 + rng.integers(0, 30 * DAY_US, n_evt))
+    write(out, "events", pa.table({
+        "event_id": np.arange(n_evt, dtype=np.int64),
+        "ts": ts_col(ets),
+        "user_id": rng.integers(0, n_user, n_evt),
+        "event_type": rng.choice(ETYPES, n_evt),
+        "value": np.round(rng.exponential(50.0, n_evt), 2),
+        "props": [json.dumps({"k": int(x)})
+                  for x in rng.integers(0, 100, n_evt)],
+    }))
+
+    texts = []
+    vocab = np.array(VOCAB)
+    for _ in range(n_doc):
+        n_w = rng.integers(10, 101)
+        texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_w)]))
+    write(out, "documents", pa.table({
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(LANGS, n_doc, p=[0.4, 0.15, 0.15, 0.15, 0.15]),
+        "source": [f"src{rng.integers(0, 20)}" for _ in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }))
+
+    cent = rng.standard_normal((10, 64))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, n_vec)
+    vecs = rng.standard_normal((n_vec, 64)) + 0.1 * cent[labels]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    write(out, "embeddings", pa.table({
+        "vec_id": np.arange(n_vec, dtype=np.int64),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": labels.astype(np.int32),
+    }))
+    print(f"done: sf{sf} at {out}")
+
+
+if __name__ == "__main__":
+    main()
