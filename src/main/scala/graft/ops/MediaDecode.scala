@@ -9,15 +9,69 @@ final case class MediaMeta(
 
 /** Media decoding for binary columns.
   *
-  * ==== STUB ====
-  * A real implementation would hand `bytes` to an image/audio codec
-  * (javax.imageio / ffmpeg-JNI). Those libraries are not in this
-  * container, so `decodeStub` fabricates deterministic metadata from
-  * the payload's sha-256 — same signature, same batch shape, fully
-  * reproducible, and replayable in the SQL oracle. Swap the body for
-  * the codec call to go live; nothing upstream changes.
+  * TWO TIERS:
+  *
+  *  - REAL codec ([[encodePng]]/[[decodeImage]]): JVM-native
+  *    `javax.imageio` — genuine PNG/JPEG bytes in, decoded pixels
+  *    out, zero new dependencies. m01 runs this end-to-end (encode a
+  *    real PNG per document, decode it back, report the decoder's own
+  *    width/height/channels/pixel values); MediaDecodeSpec decodes a
+  *    COMMITTED PNG fixture (src/test/resources/graft/fixture_8x5.png,
+  *    handcrafted bytes — not written by ImageIO) so the read path is
+  *    proven against foreign-encoder output too.
+  *  - ==== STUB ==== (`decodeStub`/`featureStub`/`resizeStub`): for
+  *    the codec families the JVM does NOT ship (webp containers,
+  *    video frame extraction, learned feature encoders), deterministic
+  *    metadata fabricated from the payload's sha-256 — same signature,
+  *    same batch shape, replayable in the SQL oracle. m02–m05 use
+  *    these; swap the body for a JNI codec call to go live, nothing
+  *    upstream changes.
   */
 object MediaDecode {
+
+  /** Real-decoder metadata row: every field below comes out of
+    * `javax.imageio` reading actual PNG bytes — width/height from the
+    * decoded raster, channels = raster band count, format from the
+    * matched ImageReader, r/g/b from pixel (0,0) of the decoded
+    * image, n_pixels from the decoded geometry. */
+  final case class DecodedMeta(
+      doc_id: Long, width: Int, height: Int, channels: Int,
+      format: String, r: Int, g: Int, b: Int, n_pixels: Long)
+
+  /** Encode a solid-`rgb` width×height image as REAL PNG bytes
+    * (JVM-native encoder; TYPE_INT_RGB ⇒ 3-band PNG, no alpha). */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, Array.fill(width * height)(rgb), 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: hand the payload to `javax.imageio`, let the
+    * registry pick the codec from the magic bytes, and read the
+    * raster. Throws on undecodable payloads (ANSI-style loudness —
+    * a quarantine variant would catch per-row). */
+  def decodeImage(id: Long, bytes: Array[Byte]): DecodedMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no installed codec recognizes doc $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        val px = img.getRGB(0, 0)
+        DecodedMeta(id, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, fmt,
+          (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff,
+          img.getWidth.toLong * img.getHeight)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
 
   private def sha256Hex(bytes: Array[Byte]): String = {
     val md = MessageDigest.getInstance("SHA-256")

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * `Dataset.mapPartitions` (the JVM analog of `mapInPandas` — one
   * iterator per partition, constant memory, no per-row UDF overhead).
   *
-  * REAL DECODE IS STUBBED: this container has no image/audio codecs,
-  * so [[graft.ops.MediaDecode.decodeStub]] is a clearly-marked
-  * deterministic fake (dimensions derived from the payload's sha-256).
-  * The Spark-side plumbing — binary schema, partition batching, typed
-  * row shape — is real and oracle-checked; swapping the stub for a
-  * JNI/codec call changes nothing else.
+  * DECODE TIERS: m01 decodes REAL PNG bytes with the JVM-native
+  * `javax.imageio` codec ([[graft.ops.MediaDecode.decodeImage]]) —
+  * genuine encoder → genuine decoder, dimensions/channels/pixels read
+  * from the decoded raster, with the oracle recomputing the expected
+  * values arithmetically so the gate proves the codec roundtrip
+  * faithful. m02–m05 keep the clearly-marked deterministic stub
+  * ([[graft.ops.MediaDecode.decodeStub]], sha-256-derived) for the
+  * codec families the JVM does not ship (webp, video frames, learned
+  * encoders); their Spark-side plumbing — binary schema, partition
+  * batching, typed row shape — is real and oracle-checked, and
+  * swapping the stub for a JNI codec call changes nothing else.
   *
   * Scale: mapPartitions over binary columns streams batches; payloads
   * never hit the driver. Partition sizing for 100 TB media comes from
@@ -23,28 +28,50 @@ object Multimodal {
 
   def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 
-  /** Decode metadata for a batch of media payloads (documents.text
-    * bytes stand in for image blobs). */
+  /** REAL codec roundtrip over a binary media column: synthesize one
+    * genuine PNG per document (deterministic geometry/color from
+    * doc_id, encoded by the JVM's real PNG writer), then DECODE it
+    * with `javax.imageio` and report what the decoder itself read —
+    * width/height from the raster, channels = band count, format from
+    * the codec registry's magic-byte match, r/g/b from pixel (0,0).
+    * Both steps run iterator-batched in one mapPartitions pass (no
+    * shuffle between encode and decode; payload bytes never leave the
+    * executor). The oracle recomputes the EXPECTED metadata from the
+    * same doc_id arithmetic, so a hash match proves the real
+    * encode→decode roundtrip preserved geometry and pixel values —
+    * the PNG byte stream itself is the only thing the oracle cannot
+    * see (encoder-dependent), which is exactly why n_bytes/sha left
+    * the output schema when the stub retired. MediaDecodeSpec
+    * additionally proves the read path on a committed fixture PNG
+    * that ImageIO did NOT write. */
   val m01 = QueryDef(
     "m01_media_decode_meta",
     (s, d) => {
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      media.mapPartitions { batch =>
-        batch.map { case (id, bytes) => graft.ops.MediaDecode.decodeStub(id, bytes) }
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + ((id / 48) % 48).toInt
+          val rgb = (((id * 37) % 256).toInt << 16) |
+            (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+          val png = graft.ops.MediaDecode.encodePng(w, h, rgb)
+          graft.ops.MediaDecode.decodeImage(id, png)
+        }
       }.toDF()
         .orderBy(col("doc_id"))
     },
     Some("""
-      WITH m AS (SELECT doc_id, sha256(text) AS sha, octet_length(encode(text)) AS n_bytes FROM documents)
-      SELECT doc_id, n_bytes, sha AS sha256,
-             CAST(64 + CAST(concat('0x', substr(sha, 1, 8)) AS BIGINT) % 960 AS INT) AS width,
-             CAST(64 + CAST(concat('0x', substr(sha, 9, 8)) AS BIGINT) % 960 AS INT) AS height,
-             CASE CAST(concat('0x', substr(sha, 17, 1)) AS BIGINT) % 3
-               WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-      FROM m
+      SELECT doc_id,
+             CAST(16 + doc_id % 48 AS INT) AS width,
+             CAST(16 + (doc_id // 48) % 48 AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             'png' AS format,
+             CAST(doc_id * 37 % 256 AS INT) AS r,
+             CAST(doc_id * 59 % 256 AS INT) AS g,
+             CAST(doc_id * 83 % 256 AS INT) AS b,
+             (16 + doc_id % 48) * (16 + (doc_id // 48) % 48) AS n_pixels
+      FROM documents
       ORDER BY doc_id"""))
 
   /** Resize planning chained after decode — the decode→transform
