@@ -34,18 +34,34 @@ object Graph {
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       // persist the distinct pair-set BEFORE symmetrizing: the union's
-      // two branches (forward + reversed) and the degree count would
+      // two branches (forward + reversed) and the degree counts would
       // otherwise each rebuild the join+distinct from the base tables
       val cs = Shingles.sharedPersist(
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
           .distinct())
-      val edges0 = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // BIPARTITE degree trick (round-8 build diet): customers appear
+      // only as src and suppliers only as dst of the pre-symmetrize
+      // pair set, so total degree = one |V|-row aggregate per side of
+      // the CACHED cs — replacing the old 2|E|-row groupBy over the
+      // symmetrized union. Both joins broadcast (|V| rows), the union
+      // pays ONE exchange (the repartition by src every superstep
+      // reuses), and `nodes` derives from the tiny degree tables
+      // instead of a second 2|E|-row distinct. Family pass at sf0.1
+      // (GraphFamilyProbe): build-dominated q66 drops measurably with
+      // bit-identical results (the oracle replays the naive form).
+      val degC = cs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val degS = cs.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      val fwd = cs.join(broadcast(degC), Seq("src"))
+        .select(col("src"), col("dst"), col("deg"))
+      val rev = cs.select(col("dst").as("src"), col("src").as("dst"))
+        .join(broadcast(degS.select(col("dst").as("src"), col("deg"))), Seq("src"))
+        .select(col("src"), col("dst"), col("deg"))
       val edges = Shingles.sharedPersist(
-        edges0.join(deg, Seq("src")).repartition(col("src")))
+        fwd.unionByName(rev).repartition(col("src")))
       val nodes = Shingles.sharedPersist(
-        edges.select(col("src").as("node")).distinct())
+        degC.select(col("src").as("node"))
+          .unionByName(degS.select(col("dst").as("node"))))
       (edges, nodes)
     })
     // an external catalog.clearCache() (Bench, between warmup and the
@@ -93,17 +109,28 @@ object Graph {
   val q66 = QueryDef(
     "q66_pagerank",
     (s, d) => {
-      val (edges, nodes) = purchaseGraph(s, d)
-      var ranks: DataFrame = nodes.withColumn("r", lit(1000000L))
-      for (_ <- 1 to 3) {
-        val contrib = edges
+      val (edges, _) = purchaseGraph(s, d)
+      // The symmetrized graph makes two superstep simplifications
+      // exact (the oracle replays the NAIVE nodes-left-join form, so
+      // the hash gate proves both):
+      //  - r0 is the constant 1_000_000, so superstep 1's "join ranks
+      //    then divide" is just `1000000 div deg` read off the cached
+      //    edge table — no join at all;
+      //  - u→v implies v→u, so EVERY node has an in-edge and receives
+      //    ≥1 contribution — contrib's key set is exactly the node
+      //    set, and the per-superstep `nodes LEFT JOIN contrib`
+      //    (+ coalesce for never-reached nodes) is a no-op dropped
+      //    here. Two joins and three |V|-row stages gone per run.
+      def fold(contrib: DataFrame): DataFrame = contrib
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * csum) div 100L").as("r"))
+      var ranks: DataFrame = fold(edges
+        .groupBy(col("dst")).agg(sum(expr("1000000L div deg")).as("csum")))
+      for (_ <- 2 to 3) {
+        ranks = fold(edges
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("r div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-        ranks = nodes
-          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"),
-            expr("150000L + (85L * coalesce(csum, 0L)) div 100L").as("r"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("csum")))
       }
       ranks.filter(col("node") >= 10000000L)
         .select((col("node") - 10000000L).as("supplier"), col("r").as("rank_ppm"))
@@ -256,13 +283,18 @@ object Graph {
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       val fwd = col("da") < col("db") ||
         (col("da") === col("db") && col("pa") < col("pb"))
+      // cached PARTITIONED BY src: the wedge self-join below joins dir
+      // to itself on src — a cache that already hashes by src hands
+      // both sides their required distribution, no per-consumer
+      // exchange (the closing join's (v, w) shuffle is unavoidable)
       val dir = Shingles.sharedPersist(e
         .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
         .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
         .select(
           when(fwd, col("pa")).otherwise(col("pb")).as("src"),
           when(fwd, col("pb")).otherwise(col("pa")).as("dst"),
-          when(fwd, col("db")).otherwise(col("da")).as("dd")))
+          when(fwd, col("db")).otherwise(col("da")).as("dd"))
+        .repartition(col("src")))
       val e1 = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
       val e2 = dir.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
       val wedges = e1.join(e2, Seq("src"))
