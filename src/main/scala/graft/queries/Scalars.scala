@@ -899,11 +899,20 @@ object Scalars {
     * bit-identical with no float in the formula.
     *
     * Shape at 100 TB: FOUR window functions (prev/next value + their
-    * positions) over ONE hash(event_type) exchange and one sort —
-    * preceding and following frames share the same ordering, so
-    * Spark stacks them in one Window pass; the repair itself is a
-    * narrow projection and the report map-combines into |types|
-    * groups. */
+    * positions) over ONE hash(event_type) exchange and TWO sorts
+    * (asc + desc). The desc pass is load-bearing, not cosmetic: the
+    * natural `first(x) OVER (ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+    * FOLLOWING)` spelling makes Spark's
+    * UnboundedFollowingWindowFunctionFrame RE-SCAN the frame from
+    * each row to the partition end — O(n²) per partition, and with
+    * |event_type| = 5 partitions that is (N/5)² work: the sf1
+    * determinism run measured it as a multi-hour hang at 200k rows
+    * per partition (fine at sf0.1's 20k — the bug class that hides
+    * below the bench SF). "Nearest FOLLOWING non-null" is the same
+    * value as "nearest PRECEDING non-null under the REVERSED order",
+    * and preceding frames are evaluated incrementally (O(n) total),
+    * so both directions run linear; the repair itself is a narrow
+    * projection and the report map-combines into |types| groups. */
   val q85 = QueryDef(
     "q85_linear_interp",
     (s, d) => {
@@ -911,15 +920,19 @@ object Scalars {
       val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
         when(col("event_id") % 7 === 0, lit(null))
           .otherwise(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
-      val byType = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      val before = byType.rowsBetween(Window.unboundedPreceding, -1)
-      val after = byType.rowsBetween(1, Window.unboundedFollowing)
+      val before = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // strictly-after rows, nearest first under the reversed sort
+      val after = Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val withN = e
         .withColumn("pv", last(col("x"), ignoreNulls = true).over(before))
         .withColumn("pt", last(when(col("x").isNotNull, col("event_id")),
           ignoreNulls = true).over(before))
-        .withColumn("nv", first(col("x"), ignoreNulls = true).over(after))
-        .withColumn("nt", first(when(col("x").isNotNull, col("event_id")),
+        .withColumn("nv", last(col("x"), ignoreNulls = true).over(after))
+        .withColumn("nt", last(when(col("x").isNotNull, col("event_id")),
           ignoreNulls = true).over(after))
       val repaired = withN.withColumn("x_rep",
         when(col("x").isNotNull, col("x"))
