@@ -49,6 +49,42 @@ object MediaDecode {
     bos.toByteArray
   }
 
+  /** Real-resize output row: geometry and pixel values read back from
+    * a SECOND decode of the re-encoded resized image — the full
+    * decode → transform → encode → decode loop a production image
+    * pipeline runs per payload. */
+  final case class ResizedReal(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, r: Int, g: Int, b: Int)
+
+  /** REAL aspect-preserving resize: decode the payload, scale onto a
+    * maxDim box with Graphics2D (headless-safe), re-encode as PNG,
+    * decode AGAIN, and report the second decoder's geometry and
+    * center pixel. Integer geometry matches [[resizeStub]]'s formula,
+    * so the oracle can predict it; a solid-color input must come back
+    * the same color through the whole loop (any interpolation of a
+    * constant field is that constant). */
+  def resizeImage(id: Long, bytes: Array[Byte], maxDim: Int): ResizedReal = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"no installed codec recognizes doc $id")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val longest = math.max(w, h)
+    val (ow, oh) =
+      if (longest <= maxDim) (w, h)
+      else (w * maxDim / longest, h * maxDim / longest)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = out.createGraphics()
+    try g2.drawImage(img, 0, 0, ow, oh, null) finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    val again = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val px = again.getRGB(again.getWidth / 2, again.getHeight / 2)
+    ResizedReal(id, w, h, again.getWidth, again.getHeight,
+      (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+  }
+
   /** REAL image decode: hand the payload to `javax.imageio`, let the
     * registry pick the codec from the magic bytes, and read the
     * raster. Throws on undecodable payloads (ANSI-style loudness —

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 
   /** REAL codec roundtrip over a binary media column: synthesize one
     * genuine PNG per document (deterministic geometry/color from
@@ -176,6 +176,53 @@ object Multimodal {
       GROUP BY 1, 2, 3
       HAVING count(*) >= 2
       ORDER BY canonical_id"""))
+
+  /** The REAL transform loop (m01's codec tier, m02's geometry): per
+    * document, encode a genuine PNG, decode it, aspect-resize onto a
+    * 32-px box through Graphics2D, RE-encode, decode AGAIN, and
+    * report the second decoder's geometry and center pixel — the
+    * full decode→transform→encode→decode cycle an image-curation
+    * pipeline runs per payload, iterator-batched with payload bytes
+    * never leaving the executor. The oracle predicts the output
+    * arithmetically (integer geometry; a constant color field
+    * survives any interpolation), so the hash gate proves BOTH codec
+    * passes and the scaler faithful — versus m02, which pins the
+    * geometry planning alone via the documented stub. */
+  val m06 = QueryDef(
+    "m06_media_real_resize",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + ((id / 48) % 48).toInt
+          val rgb = (((id * 37) % 256).toInt << 16) |
+            (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+          graft.ops.MediaDecode.resizeImage(
+            id, graft.ops.MediaDecode.encodePng(w, h, rgb), maxDim = 32)
+        }
+      }.toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(16 + doc_id % 48 AS INT) AS width,
+               CAST(16 + (doc_id // 48) % 48 AS INT) AS height
+        FROM documents),
+      l AS (SELECT doc_id, width, height,
+                   greatest(width, height) AS longest FROM g)
+      SELECT doc_id, width, height,
+             CAST(CASE WHEN longest <= 32 THEN width
+                       ELSE width * 32 // longest END AS INT) AS out_w,
+             CAST(CASE WHEN longest <= 32 THEN height
+                       ELSE height * 32 // longest END AS INT) AS out_h,
+             CAST(doc_id * 37 % 256 AS INT) AS r,
+             CAST(doc_id * 59 % 256 AS INT) AS g,
+             CAST(doc_id * 83 % 256 AS INT) AS b
+      FROM l
+      ORDER BY doc_id"""))
 
   /** The full multimodal retrieval composition: decode → feature-
     * extract (batched mapPartitions, stub encoder) → cosine scoring
