@@ -33,7 +33,7 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q28, q30, q33, q37, q38, q39,
     q40, q41, q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q71, q72,
-    q77, q79, q80, q82, q84, q86, q87, q88, q89, q90)
+    q77, q79, q80, q82, q84, q86, q87, q88, q89, q90, q91)
 
   /** Flagship (SURVEY §7.2): top-k revenue customers.
     * Ops: A1 grouped sum, A6 HAVING, J6 multiway join, O3 top-k
@@ -1915,4 +1915,53 @@ object Relational {
              k - prev - 1 AS span
       FROM l WHERE prev IS NOT NULL AND k - prev > 1
       ORDER BY gap_start"""))
+
+  /** RECURSIVE CTE — the iterative-query surface expressed in SQL
+    * (`WITH RECURSIVE`, Catalyst's UnionLoop execution, new in
+    * Spark 4): walk a synthetic customer hierarchy (parent(c) =
+    * (c−1) div 3, a deterministic 3-ary tree over c_custkey) from the
+    * root and roll up headcount and account balance per depth. The
+    * declarative twin of the hand-built Pregel loops (q66/q75/d07):
+    * the ENGINE drives the fixpoint — each iteration is one
+    * frontier⋈customer equi-join (the frontier is the only moving
+    * state, O(level width) rows), terminating when the frontier
+    * empties; ~log₃|customer| rounds here. At 100 TB the per-round
+    * shuffle is the frontier, never the full table, and the join key
+    * derives arithmetically (no parent table scan per round beyond
+    * the one the join needs). Entered as SQL TEXT (the q28/q86
+    * pathway) because WITH RECURSIVE has no Column-API spelling;
+    * DuckDB replays the identical recursion, depths and DECIMAL
+    * balance sums hash-exact.
+    *
+    * Ref: recursion replaces the reference's imperative re-query
+    * loops (scr/Load.py's per-season fetch loop is the closest
+    * analog); the capability itself is an extension. */
+  val q91 = QueryDef(
+    "q91_recursive_hierarchy",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v91")
+      s.sql(s"""
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS node, 0 AS depth, c_acctbal
+          FROM customer_v91 WHERE c_custkey = 0
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+          FROM customer_v91 c JOIN tree t
+            ON (c.c_custkey - 1) DIV 3 = t.node
+          WHERE c.c_custkey > 0)
+        SELECT depth, count(*) AS n_nodes,
+               ${QueryDef.dsumSql("c_acctbal")} AS sum_bal
+        FROM tree GROUP BY depth ORDER BY depth""")
+    },
+    Some(s"""
+      WITH RECURSIVE tree AS (
+        SELECT c_custkey AS node, 0 AS depth, c_acctbal
+        FROM customer WHERE c_custkey = 0
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+        FROM customer c JOIN tree t ON (c.c_custkey - 1) // 3 = t.node
+        WHERE c.c_custkey > 0)
+      SELECT depth, count(*) AS n_nodes,
+             ${QueryDef.dsumSql("c_acctbal")} AS sum_bal
+      FROM tree GROUP BY depth ORDER BY depth"""))
 }
