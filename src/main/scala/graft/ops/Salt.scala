@@ -48,7 +48,7 @@ object Salt {
         count(lit(1)).as("__pcnt"))
     partial
       .groupBy(keys: _*)
-      .agg(sum(col("__psum")).cast("double").as(sumName),
+      .agg(sum(col("__psum")).cast("string").cast("double").as(sumName),
         sum(col("__pcnt")).cast("bigint").as(cntName))
   }
 

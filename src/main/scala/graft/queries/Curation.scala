@@ -265,7 +265,7 @@ object Curation {
         round(log(col("n_w").cast("double") / col("n_tok_total")), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("logp").cast(DecimalType(18, 6))).cast("double") /
+        round(sum(col("logp").cast(DecimalType(18, 6))).cast("string").cast("double") /
           count(lit(1)), 4).as("avg_logp"))
   }
 
@@ -284,7 +284,7 @@ object Curation {
         FROM q_w JOIN q_vocab USING (word) CROSS JOIN q_tot),
       qscore AS (
         SELECT doc_id, count(*) AS n_tok,
-               round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logp
+               round(CAST(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / count(*), 4) AS avg_logp
         FROM q_lp GROUP BY doc_id)"""
 
   /** The quality gate both t19 and t20 apply, spelled once. */

@@ -25,11 +25,20 @@ object QueryDef {
   /** Order-independent sum of a 2-dec money double: route through an
     * exact decimal so Spark's partial/final aggregation tree and
     * DuckDB's sequential sum produce the identical value, then cast
-    * back to double (deterministic IEEE nearest). */
+    * back to double VIA A STRING. The string hop is load-bearing
+    * (sf1 catch, round 8): a direct DECIMAL→DOUBLE cast is
+    * correctly-rounded in Spark but computed as
+    * `(double)unscaled / (double)10^scale` in DuckDB — two IEEE
+    * roundings that land one ulp off the nearest double once the sum
+    * needs >15 significant digits (first bitten by q02's sum_charge
+    * at sf1: …648838 exact → Spark …648834, DuckDB …64884).
+    * Decimal→string is exact in both engines and string→double is
+    * correctly rounded in both, so the hop pins the conversion to
+    * nearest(value) everywhere at any magnitude. */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(18, scale))).cast("string").cast("double")
 
   /** SQL twin of [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 4): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS STRING) AS DOUBLE)"
 }

@@ -55,7 +55,7 @@ object Relational {
       perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg(sum(col("rev")).cast("string").cast("double").as("revenue"))
         .filter(col("revenue") > 0)
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
@@ -136,7 +136,7 @@ object Relational {
       e.groupBy(col("user_id"))
         .agg(
           sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2)))
-            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("purchase_value"),
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("string").cast("double").as("purchase_value"),
           sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
@@ -144,7 +144,7 @@ object Relational {
     },
     Some("""
       SELECT user_id,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+             CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS purchase_value,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
@@ -492,14 +492,14 @@ object Relational {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
       s.sql("""
         SELECT count(*) AS n_orders,
-               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+               round(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(*), 2) AS avg_price,
                count(DISTINCT c.c_nationkey) AS n_nations
         FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus = 'F'""")
     },
     Some("""
       SELECT count(*) AS n_orders,
-             round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+             round(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(*), 2) AS avg_price,
              count(DISTINCT c.c_nationkey) AS n_nations
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderstatus = 'F'"""))
@@ -1514,7 +1514,7 @@ object Relational {
       v1.unionByName(dv)
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("n")).as("n_rows"),
-          sum(col("r")).cast("double").as("revenue"))
+          sum(col("r")).cast("string").cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
     },
     Some(s"""
@@ -1640,8 +1640,8 @@ object Relational {
         .dropDuplicates("o_orderkey")
       val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("qty")).cast("double").as("sum_qty"),
-          sum(col("price")).cast("double").as("sum_price"),
+        .agg(sum(col("qty")).cast("string").cast("double").as("sum_qty"),
+          sum(col("price")).cast("string").cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"),
           max(col("qty")).cast("double").as("max_qty"))
       def aggBelowJoin(

@@ -197,12 +197,12 @@ object Scalars {
       val e = Tables.events(s, d)
       e.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+          sum(col("value").cast(DecimalType(18, 2))).cast("string").cast("double").as("total_value"))
         .orderBy(col("window_start"))
     },
     Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_value
       FROM events
       GROUP BY 1
       ORDER BY window_start"""))
@@ -334,7 +334,7 @@ object Scalars {
     },
     Some("""
       SELECT event_type,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events
       GROUP BY event_type

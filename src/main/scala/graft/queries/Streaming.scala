@@ -79,7 +79,7 @@ object Streaming {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
              c_mktsegment AS segment,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       FROM events
       JOIN customer ON c_custkey = user_id
       GROUP BY 1, 2
@@ -344,7 +344,7 @@ object Streaming {
     Some("""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY day, event_type"""))
@@ -391,7 +391,7 @@ object Streaming {
     Some("""
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type"""))
@@ -414,7 +414,7 @@ object Streaming {
       WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN mx
       WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
       GROUP BY 1, 2
