@@ -44,18 +44,18 @@ object Graph {
       // only as src and suppliers only as dst of the pre-symmetrize
       // pair set, so total degree = one |V|-row aggregate per side of
       // the CACHED cs — replacing the old 2|E|-row groupBy over the
-      // symmetrized union. Both joins broadcast (|V| rows), the union
-      // pays ONE exchange (the repartition by src every superstep
-      // reuses), and `nodes` derives from the tiny degree tables
-      // instead of a second 2|E|-row distinct. Family pass at sf0.1
-      // (GraphFamilyProbe): build-dominated q66 drops measurably with
-      // bit-identical results (the oracle replays the naive form).
+      // symmetrized union. The degree joins carry NO broadcast hint
+      // (|V| scales with the data — the q01-customer rule: pinning it
+      // would OOM at 100 TB; at bench SF the auto threshold broadcasts
+      // them anyway), the union pays ONE exchange (the repartition by
+      // src every superstep reuses), and `nodes` derives from the
+      // tiny degree tables instead of a second 2|E|-row distinct.
       val degC = cs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val degS = cs.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
-      val fwd = cs.join(broadcast(degC), Seq("src"))
+      val fwd = cs.join(degC, Seq("src"))
         .select(col("src"), col("dst"), col("deg"))
       val rev = cs.select(col("dst").as("src"), col("src").as("dst"))
-        .join(broadcast(degS.select(col("dst").as("src"), col("deg"))), Seq("src"))
+        .join(degS.select(col("dst").as("src"), col("deg")), Seq("src"))
         .select(col("src"), col("dst"), col("deg"))
       val edges = Shingles.sharedPersist(
         fwd.unionByName(rev).repartition(col("src")))

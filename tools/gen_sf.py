@@ -172,11 +172,26 @@ def main():
                   for x in rng.integers(0, 100, n_evt)],
     }))
 
+    # ~3% of docs are PLANTED near-duplicates of an earlier doc (the
+    # driver's corpus has these too: sf0.1 yields 25 J>=0.5 pairs for
+    # d11): copy a prior doc and perturb the tail ~10% of words, so
+    # Jaccard over word-3-grams stays well above 1/2. Purely random
+    # 31-token word salads essentially never share half their shingle
+    # sets, which would leave the near-dup family (d02/d07/d11)
+    # vacuously green at generated SFs.
     texts = []
     vocab = np.array(VOCAB)
-    for _ in range(n_doc):
-        n_w = rng.integers(10, 101)
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_w)]))
+    for i in range(n_doc):
+        if i > 0 and rng.random() < 0.03:
+            src_i = rng.integers(0, i)
+            w = texts[src_i].split(" ")
+            n_mut = max(1, len(w) // 10)
+            for _ in range(n_mut):
+                w[rng.integers(0, len(w))] = str(vocab[rng.integers(0, len(vocab))])
+            texts.append(" ".join(w))
+        else:
+            n_w = rng.integers(10, 101)
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_w)]))
     write(out, "documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": texts,
