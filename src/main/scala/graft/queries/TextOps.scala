@@ -878,15 +878,34 @@ object TextOps {
       // subtree duplicated under both BroadcastHashJoin branches)
       val prefix = Shingles.sharedPersist(ranked
         .filter(col("rn") <= expr("n_tok - ((n_tok + 1) div 2) + 1"))
-        .select(col("h60"), col("doc_id"), col("n_tok")))
+        .select(col("h60"), col("doc_id"), col("n_tok"), col("rn")))
       val a = prefix.select(col("h60"), col("doc_id").as("doc_a"),
-        col("n_tok").as("na"))
+        col("n_tok").as("na"), col("rn").as("pa"))
       val b = prefix.select(col("h60"), col("doc_id").as("doc_b"),
-        col("n_tok").as("nb"))
+        col("n_tok").as("nb"), col("rn").as("pb"))
+      // POSITIONAL filter (the PPJoin refinement, Xiao et al. 2008):
+      // group the prefix matches per pair and keep the RAREST shared
+      // prefix token (min global rank — min(pa) and min(pb) name the
+      // same token, since per-doc rank follows the one global order).
+      // Every common token of a J ≥ 1/2 pair sorts at-or-after it, so
+      // overlap ≤ 1 + min(n_a − pa, n_b − pb); pairs whose bound
+      // can't reach the overlap threshold ⌈(n_a+n_b)/3⌉ die BEFORE
+      // the array verify. Lossless (the bound only ever exceeds the
+      // true overlap); on saturated corpora — where prefix tokens are
+      // common and matches sit late in the prefix — this prunes the
+      // bulk of the candidate set the plain prefix filter lets
+      // through (the sf1 generated corpus measures avg posting 88.7
+      // vs the bench corpus's 9.6). The groupBy replaces the old
+      // `.distinct()` — same shuffle, one extra tiny filter.
       val cand = a.join(b,
           a("h60") === b("h60") && col("doc_a") < col("doc_b") &&
             col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
+          min(col("na")).as("na"), min(col("nb")).as("nb"))
+        .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+          >= expr("(na + nb + 2) div 3"))
+        .select(col("doc_a"), col("doc_b"))
       // verification by per-doc set arrays, not a token-level join: a
       // candidate ⋈ tokens(a) ⋈ tokens(b) explosion costs
       // |cand|·avg_tokens rows (measured 15M at sf0.1, the query's
