@@ -187,24 +187,28 @@ object Graph {
     "q75_bfs_hops",
     (s, d) => {
       val (edges, nodes) = purchaseGraph(s, d)
-      val seed = nodes.agg(min(col("node")).as("node"))
-        .withColumn("dist", lit(0L))
-      var dist: DataFrame = nodes
-        .join(seed.withColumnRenamed("dist", "d0"), Seq("node"), "left")
-        .select(col("node"), col("d0").as("dist"))
+      // SETTLED-ONLY state (round-8 stage diet): dist carries only
+      // reached nodes, so each round is (a) probe the cached edges
+      // with the settled set, (b) UNION + min-combine — one shuffle —
+      // instead of the old all-nodes frame with a null-tracking LEFT
+      // JOIN back (a third stage per round that existed purely to
+      // carry unreached nulls). min is idempotent, so re-reaching a
+      // settled node is harmless and the combine keeps the first
+      // (smallest) hop; results are row-identical (the oracle still
+      // replays the naive all-nodes form). Per-round persist stays:
+      // round k+1 references dist_k TWICE (edge probe + union), so an
+      // unpersisted chain re-executes prior rounds' joins.
+      var dist: DataFrame = Shingles.sharedPersist(
+        nodes.agg(min(col("node")).as("node")).withColumn("dist", lit(0L)))
       for (_ <- 1 to 3) {
         val reached = edges
-          .join(dist.filter(col("dist").isNotNull)
-            .withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst")).agg(min(col("dist") + 1L).as("nd"))
-        // persist each round's |V|-row frontier: round k+1 references
-        // dist_k TWICE (frontier filter + join-back), so an unpersisted
-        // chain re-executes 2^rounds copies of the base join
-        dist = Shingles.sharedPersist(dist
-          .join(reached.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), least(col("dist"), col("nd")).as("dist")))
+          .join(dist.withColumnRenamed("node", "src")
+            .select(col("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        dist = Shingles.sharedPersist(dist.unionByName(reached)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
       }
-      dist.filter(col("dist").isNotNull)
+      dist
         .groupBy(col("dist").as("hops"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("hops"))
@@ -301,8 +305,19 @@ object Graph {
         .filter(col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w")))
         .select(col("src").as("u"), col("v"), col("w"))
-      val tri = wedges
-        .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      // closing test IN-ROW (the d11 verify trick): per-apex OUT-
+      // neighbor sets from the cached oriented edges — array size is
+      // bounded by the orientation's outdeg ≤ √(2m), so per-group
+      // state is safe at any scale — then one equi-join on v and an
+      // array membership probe, replacing the old (v, w) join that
+      // re-shuffled BOTH the wedge set and the edge set and paid two
+      // SMJ sorts. At bench SF the neighbor table auto-broadcasts
+      // (no hint — it scales with |E| and must degrade to a shuffle
+      // join at 100 TB, the q01-customer rule).
+      val adj = dir.groupBy(col("src").as("v"))
+        .agg(collect_set(col("dst")).as("nbrs"))
+      val tri = wedges.join(adj, Seq("v"))
+        .filter(array_contains(col("nbrs"), col("w")))
         .select(col("u"), col("v"), col("w"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
         .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri"))

@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15, st16, st17)
+      st12, st13, st14, st15, st16, st17, st18)
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by
@@ -367,6 +367,32 @@ object Streaming {
       FROM p JOIN c ON p.user_id = c.user_id
        AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
       ORDER BY p.user_id, p_us, c_us"""))
+
+  /** Stream-stream LEFT SEMI interval join
+    * ([[graft.streaming.Streams.attributionSemi]]) — the set-member
+    * of the streaming join family (st07 inner = pairs, st15/st16
+    * outer = null verdicts, this = membership): each purchase with
+    * ≥1 preceding-30-min click emits exactly ONCE regardless of
+    * touchpoint count, so output is |matched purchases|, not |pairs|.
+    * The interval forces the click to precede the purchase, so the
+    * event-time replay always has the match in state on arrival —
+    * every matched row emits and the oracle is a plain EXISTS over
+    * the whole corpus, no watermark cutoff. */
+  val st18 = QueryDef(
+    "st18_stream_semi_join",
+    (s, d) =>
+      graft.streaming.Streams.attributionSemi(s, s"$d/events.parquet")
+        .orderBy(col("user_id"), col("p_us")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase')
+      SELECT p.user_id, p.p_us
+      FROM p
+      WHERE EXISTS (
+        SELECT 1 FROM ev c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.us >= p.p_us - 1800000000 AND c.us < p.p_us)
+      ORDER BY user_id, p_us"""))
 
   /** Spark 4 `transformWithState` arbitrary-state processor
     * ([[graft.streaming.Streams.TypeCountProcessor]]): per-user

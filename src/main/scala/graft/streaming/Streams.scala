@@ -495,6 +495,54 @@ object Streams {
     result
   }
 
+  /** [[attributionPairs]]'s SEMI sibling — "which purchases had at
+    * least one touchpoint", WITHOUT materializing the pairs: a
+    * stream-stream LEFT SEMI join emits each matched purchase row
+    * exactly ONCE however many clicks sit in its window (the inner
+    * join's output is |pairs|; this is |matched purchases| — at 100 TB
+    * the difference is the whole fan-out). State/eviction mechanics
+    * are the inner join's (both sides watermarked, interval condition
+    * bounds retention); emission happens at match time, and because
+    * the interval demands the click PRECEDE the purchase, the
+    * event-time-ordered replay always has the click in state when the
+    * purchase arrives — every matched purchase in the corpus emits,
+    * so the oracle is a plain EXISTS with no decidability cutoff
+    * (unmatched rows never emit, exactly like batch EXISTS). */
+  def attributionSemi(spark: SparkSession, eventsDir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsDir).schema
+    val srcDir = streamDir(eventsDir)
+    def src() = s.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ets", etsCol(schema))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      """p_user = c_user AND
+         c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"""),
+      "left_semi")
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q, "attributionSemi")
+    val result = s.table(name)
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("p_ets")).as("p_us"))
+      .localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    result
+  }
+
   /** [[attributionPairs]]'s OUTER sibling: purchases LEFT OUTER
     * clicks in the same preceding-30-min interval — the "which
     * conversions had NO touchpoint" question an inner join cannot

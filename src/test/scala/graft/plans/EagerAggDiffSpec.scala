@@ -50,18 +50,28 @@ class EagerAggDiffSpec extends SparkSpec {
             .rules.Rule[LogicalPlan])
     PushPartialAggThroughUniqueJoin.clearProbeCache()
     val flag = PushPartialAggThroughUniqueJoin.FLAG
-    def optimized(name: String): LogicalPlan = {
-      val df = Registry.queries(name)(spark, sfDir)
-      df.queryExecution.optimizedPlan.canonicalized
-    }
     val batch = Registry.all.map(_.name).filterNot(_.startsWith("st"))
     val prev = spark.conf.getOption(flag)
     val diff = try {
       batch.flatMap { name =>
-        spark.conf.set(flag, "false")
-        val off = optimized(name).toString
+        // build ONCE (under auto, so q84's builder takes its
+        // session-rule path), then optimize the SAME analyzed plan
+        // under both flags: two separate builds get fresh exprIds,
+        // and RewriteDistinctAggregates orders its Expand branches by
+        // an exprId-keyed hash — a multi-distinct query (q03) then
+        // differs between builds for reasons that have nothing to do
+        // with this rule. One analyzed tree, two optimizations,
+        // exprIds fixed ⇒ only flag-driven differences survive.
         spark.conf.set(flag, "auto")
-        val auto = optimized(name).toString
+        val analyzed =
+          Registry.queries(name)(spark, sfDir).queryExecution.analyzed
+        def optimized(mode: String): String = {
+          spark.conf.set(flag, mode)
+          org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, analyzed)
+            .queryExecution.optimizedPlan.canonicalized.toString
+        }
+        val off = optimized("false")
+        val auto = optimized("auto")
         if (off != auto) Some(name) else None
       }.toSet
     } finally prev.fold(spark.conf.unset(flag))(spark.conf.set(flag, _))

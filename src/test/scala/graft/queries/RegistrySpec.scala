@@ -122,9 +122,9 @@ class RegistrySpec extends SparkSpec {
     val plans = graft.streaming.Streams.lastPlans
     val expected = Set("hourlyTypeCounts", "distinctKeyDays",
       "incrementalLoad", "attributionPairs", "attributionOuter", "hourlyTypeCountsClosed",
-      "attributionFull", "typeCountsTws", "corpusIngest", "hourlyDistinctUsers",
-      "segmentHourlyRevenue", "nearDupFilter", "hourlyValueQuantiles",
-      "hourlyTrending")
+      "attributionFull", "attributionSemi", "typeCountsTws", "corpusIngest",
+      "hourlyDistinctUsers", "segmentHourlyRevenue", "nearDupFilter",
+      "hourlyValueQuantiles", "hourlyTrending")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
