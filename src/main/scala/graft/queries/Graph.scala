@@ -33,35 +33,28 @@ object Graph {
     val tuple = graphCache.computeIfAbsent((s, d), { _ =>
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      // persist the distinct pair-set BEFORE symmetrizing: the union's
-      // two branches (forward + reversed) and the degree counts would
-      // otherwise each rebuild the join+distinct from the base tables
-      val cs = Shingles.sharedPersist(
-        li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
-          .distinct())
-      // BIPARTITE degree trick (round-8 build diet): customers appear
-      // only as src and suppliers only as dst of the pre-symmetrize
-      // pair set, so total degree = one |V|-row aggregate per side of
-      // the CACHED cs — replacing the old 2|E|-row groupBy over the
-      // symmetrized union. The degree joins carry NO broadcast hint
-      // (|V| scales with the data — the q01-customer rule: pinning it
-      // would OOM at 100 TB; at bench SF the auto threshold broadcasts
-      // them anyway), the union pays ONE exchange (the repartition by
-      // src every superstep reuses), and `nodes` derives from the
-      // tiny degree tables instead of a second 2|E|-row distinct.
-      val degC = cs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val degS = cs.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
-      val fwd = cs.join(degC, Seq("src"))
-        .select(col("src"), col("dst"), col("deg"))
-      val rev = cs.select(col("dst").as("src"), col("src").as("dst"))
-        .join(degS.select(col("dst").as("src"), col("deg")), Seq("src"))
-        .select(col("src"), col("dst"), col("deg"))
+      // ONE-EXCHANGE build (round-8 final shape, AttrProbe-measured:
+      // the old build cost 3–4× the supersteps it feeds). Symmetrize
+      // the RAW join output first (two 2-column scans through the
+      // broadcast orders join — no shuffle), then pay a single
+      // repartition(src): HashPartitioning(src) satisfies the
+      // (src, dst) dedup's clustering requirement (subset rule), so
+      // dropDuplicates runs in place, and the degree is a keyed
+      // window over the same partitioning — dedup + degree + the
+      // superstep-ready layout all ride one exchange where the old
+      // shape paid distinct + a second persist + repartition.
+      // `nodes` dedups the cached edges on src — also exchange-free.
+      val cs0 = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+      val sym = cs0.unionByName(
+        cs0.select(col("dst").as("src"), col("src").as("dst")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
       val edges = Shingles.sharedPersist(
-        fwd.unionByName(rev).repartition(col("src")))
+        sym.repartition(col("src"))
+          .dropDuplicates("src", "dst")
+          .withColumn("deg", count(lit(1)).over(w)))
       val nodes = Shingles.sharedPersist(
-        degC.select(col("src").as("node"))
-          .unionByName(degS.select(col("dst").as("node"))))
+        edges.dropDuplicates("src").select(col("src").as("node")))
       (edges, nodes)
     })
     // an external catalog.clearCache() (Bench, between warmup and the
