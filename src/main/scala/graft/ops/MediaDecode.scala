@@ -85,6 +85,58 @@ object MediaDecode {
       (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
   }
 
+  /** Encode a width×height GRADIENT image as real PNG bytes: pixel
+    * (x, y) carries luminance `(base + 3x + 5y) mod 256` in all three
+    * channels — deterministic per-pixel content an oracle can predict
+    * arithmetically while the reader sees genuine raster data. */
+  def encodeGradientPng(width: Int, height: Int, base: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (base + 3 * x + 5 * y) % 256
+        px(y * width + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, width, height, px, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real feature row: an 8-bin luminance histogram of the decoded
+    * image's top-left `patch`×`patch` window, normalized to [0, 1] —
+    * the patch-feature step of an image retrieval pipeline, computed
+    * from ACTUAL decoded pixels. */
+  final case class MediaRealFeatures(doc_id: Long, features: Array[Double])
+
+  /** Decode the payload with `javax.imageio` and histogram the REAL
+    * pixels: 8 luminance bins (div 32) over the top-left patch. */
+  def extractFeatures(id: Long, bytes: Array[Byte],
+      patch: Int): MediaRealFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"no installed codec recognizes doc $id")
+    val w = math.min(patch, img.getWidth)
+    val h = math.min(patch, img.getHeight)
+    val bins = new Array[Double](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bins((img.getRGB(x, y) & 0xff) / 32) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    MediaRealFeatures(id, bins.map(_ / n))
+  }
+
   /** REAL image decode: hand the payload to `javax.imageio`, let the
     * registry pick the codec from the magic bytes, and read the
     * raster. Throws on undecodable payloads (ANSI-style loudness —

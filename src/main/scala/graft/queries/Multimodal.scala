@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
 
   /** REAL codec roundtrip over a binary media column: synthesize one
     * genuine PNG per document (deterministic geometry/color from
@@ -223,6 +223,71 @@ object Multimodal {
              CAST(doc_id * 83 % 256 AS INT) AS b
       FROM l
       ORDER BY doc_id"""))
+
+  /** REAL feature extraction from decoded pixels (closing the last
+    * stub tier the codec can reach): every document gets a genuine
+    * GRADIENT PNG (per-pixel luminance `(doc_id + 3x + 5y) mod 256`,
+    * real encoder), `javax.imageio` decodes it, and the feature
+    * vector is an 8-bin luminance histogram of the decoded top-left
+    * 16×16 patch — actual raster reads, not payload hashes — then
+    * cosine top-20 against a probe through the native
+    * [[graft.functions.DotProduct]] expression. The oracle predicts
+    * the histogram ARITHMETICALLY from the same gradient formula, so
+    * a hash match proves encoder → decoder → pixel-walk fidelity
+    * end-to-end (features are exact multiples of 1/256 — dyadic, so
+    * the normalization introduces no cross-engine float drift; the
+    * 8-element dots evaluate left-to-right in both engines, the m04
+    * precedent). m04 keeps the sha-derived stub as the
+    * learned-encoder placeholder; this is the classical-CV tier run
+    * for real. */
+  val m07 = QueryDef(
+    "m07_media_real_features",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val probe = Seq(0.25, 0.05, 0.1, 0.2, 0.05, 0.1, 0.05, 0.2)
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val feats = docs.mapPartitions { batch =>
+        batch.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + ((id / 48) % 48).toInt
+          graft.ops.MediaDecode.extractFeatures(id,
+            graft.ops.MediaDecode.encodeGradientPng(w, h, (id % 256).toInt),
+            patch = 16)
+        }
+      }.toDF()
+      val dot = graft.functions.GraftFunctions.dot(col("features"), typedlit(probe))
+      val pn = math.sqrt(probe.map(x => x * x).sum)
+      val fn = sqrt(graft.functions.GraftFunctions.dot(col("features"), col("features")))
+      feats
+        .withColumn("cosine", round(dot / (fn * lit(pn)), 6))
+        .orderBy(col("cosine").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("cosine"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT d.doc_id, ((d.doc_id % 256) + 3*xs.x + 5*ys.y) % 256 AS g
+        FROM documents d, range(16) xs(x), range(16) ys(y)),
+      hb AS (SELECT doc_id, g // 32 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2),
+      bins AS (
+        SELECT d.doc_id, bs.bin, coalesce(hb.c, 0) AS c
+        FROM documents d CROSS JOIN range(8) bs(bin)
+        LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = bs.bin),
+      f AS (SELECT doc_id, list(c / 256.0 ORDER BY bin) AS features
+            FROM bins GROUP BY doc_id),
+      p AS (SELECT [0.25, 0.05, 0.1, 0.2, 0.05, 0.1, 0.05, 0.2] AS probe),
+      scored AS (
+        SELECT doc_id,
+               round(list_dot_product(features, probe) /
+                     (sqrt(list_dot_product(features, features)) *
+                      sqrt(list_dot_product(probe, probe))), 6) AS cosine
+        FROM f, p)
+      SELECT doc_id, cosine
+      FROM scored
+      ORDER BY cosine DESC, doc_id
+      LIMIT 20"""))
 
   /** The full multimodal retrieval composition: decode → feature-
     * extract (batched mapPartitions, stub encoder) → cosine scoring
