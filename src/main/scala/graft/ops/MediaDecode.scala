@@ -49,6 +49,17 @@ object MediaDecode {
     bos.toByteArray
   }
 
+  /** The registry's deterministic doc_id → (width, height, rgb) media
+    * synthesis, spelled ONCE for m01/m06 and MediaDecodeSpec (their
+    * SQL oracles replay the same arithmetic by design). */
+  def synthMedia(id: Long): (Int, Int, Int) = {
+    val w = 16 + (id % 48).toInt
+    val h = 16 + ((id / 48) % 48).toInt
+    val rgb = (((id * 37) % 256).toInt << 16) |
+      (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+    (w, h, rgb)
+  }
+
   /** Real-resize output row: geometry and pixel values read back from
     * a SECOND decode of the re-encoded resized image — the full
     * decode → transform → encode → decode loop a production image
@@ -69,9 +80,13 @@ object MediaDecode {
     require(img != null, s"no installed codec recognizes doc $id")
     val (w, h) = (img.getWidth, img.getHeight)
     val longest = math.max(w, h)
+    // max(1, …): an extreme aspect ratio (e.g. 100×1 into a 32-box)
+    // truncates the short side to 0 — a 0-dim BufferedImage throws.
+    // The oracle twin mirrors the same greatest(1, …) clamp.
     val (ow, oh) =
       if (longest <= maxDim) (w, h)
-      else (w * maxDim / longest, h * maxDim / longest)
+      else (math.max(1, w * maxDim / longest),
+        math.max(1, h * maxDim / longest))
     val out = new java.awt.image.BufferedImage(
       ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g2 = out.createGraphics()
@@ -123,6 +138,8 @@ object MediaDecode {
     require(img != null, s"no installed codec recognizes doc $id")
     val w = math.min(patch, img.getWidth)
     val h = math.min(patch, img.getHeight)
+    require(w > 0 && h > 0,
+      s"doc $id: empty feature patch ($w x $h) — failing loudly, not NaN")
     val bins = new Array[Double](8)
     var y = 0
     while (y < h) {

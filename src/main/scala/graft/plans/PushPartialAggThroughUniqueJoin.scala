@@ -228,25 +228,39 @@ object PushPartialAggThroughUniqueJoin
     if (SparkSession.getActiveSession.exists(s =>
         s.sparkContext.getLocalProperty("sql.streaming.queryId") != null))
       return false
-    val threshold =
-      SQLConf.get.getConfString(MIN_REDUCTION, "3.0").toDouble
+    // malformed conf counts as not-profitable, never as a query error
+    // (the scaladoc's "the unrewritten plan is always safe" contract)
+    val threshold = scala.util.Try(
+      SQLConf.get.getConfString(MIN_REDUCTION, "3.0").toDouble)
+      .getOrElse(return false)
     val cacheKey = Project(keys, left).canonicalized
     val cached = probeCache.get(cacheKey)
-    val reduction: Double = if (cached != null) cached else {
-      val measured = measureReduction(left, keys)
-      probeCache.put(cacheKey, measured)
-      measured
+    val reduction: Double = if (cached != null) cached.doubleValue else {
+      measureReduction(left, keys) match {
+        case Some(measured) =>
+          // bounded cache (distinct plan shapes per session are few;
+          // a runaway producer of novel shapes just loses memoization)
+          if (probeCache.size() >= 256) probeCache.clear()
+          probeCache.put(cacheKey, measured)
+          measured
+        case None =>
+          // transient probe failure: skip the rewrite THIS time but do
+          // NOT cache the verdict — a one-off job hiccup must not
+          // disable the optimization (or fail q84's fired-require) for
+          // the session lifetime
+          return false
+      }
     }
     reduction >= threshold
   }
 
   private def measureReduction(left: LogicalPlan,
-      keys: Seq[Attribute]): Double = {
-    val spark = SparkSession.getActiveSession.getOrElse(return 0.0)
-    val probeRows =
-      SQLConf.get.getConfString(PROBE_ROWS, "100000").toInt
+      keys: Seq[Attribute]): Option[Double] = {
+    val spark = SparkSession.getActiveSession.getOrElse(return None)
     inProbe.set(true)
     try {
+      val probeRows =
+        SQLConf.get.getConfString(PROBE_ROWS, "100000").toInt
       val keyDf = org.apache.spark.sql.classic.GraftPlanBridge
         .ofRows(spark, Project(keys, left))
         .toDF(keys.indices.map(i => s"k$i"): _*)
@@ -258,9 +272,9 @@ object PushPartialAggThroughUniqueJoin
         .head()
       val n = row.getLong(0)
       val ndv = row.getLong(1)
-      if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble
+      Some(if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble)
     } catch {
-      case scala.util.control.NonFatal(_) => 0.0
+      case scala.util.control.NonFatal(_) => None
     } finally inProbe.set(false)
   }
 

@@ -51,10 +51,7 @@ object Multimodal {
       val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
       docs.mapPartitions { batch =>
         batch.map { id =>
-          val w = 16 + (id % 48).toInt
-          val h = 16 + ((id / 48) % 48).toInt
-          val rgb = (((id * 37) % 256).toInt << 16) |
-            (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+          val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
           val png = graft.ops.MediaDecode.encodePng(w, h, rgb)
           graft.ops.MediaDecode.decodeImage(id, png)
         }
@@ -195,10 +192,7 @@ object Multimodal {
       val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
       docs.mapPartitions { batch =>
         batch.map { id =>
-          val w = 16 + (id % 48).toInt
-          val h = 16 + ((id / 48) % 48).toInt
-          val rgb = (((id * 37) % 256).toInt << 16) |
-            (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+          val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
           graft.ops.MediaDecode.resizeImage(
             id, graft.ops.MediaDecode.encodePng(w, h, rgb), maxDim = 32)
         }
@@ -215,9 +209,9 @@ object Multimodal {
                    greatest(width, height) AS longest FROM g)
       SELECT doc_id, width, height,
              CAST(CASE WHEN longest <= 32 THEN width
-                       ELSE width * 32 // longest END AS INT) AS out_w,
+                       ELSE greatest(1, width * 32 // longest) END AS INT) AS out_w,
              CAST(CASE WHEN longest <= 32 THEN height
-                       ELSE height * 32 // longest END AS INT) AS out_h,
+                       ELSE greatest(1, height * 32 // longest) END AS INT) AS out_h,
              CAST(doc_id * 37 % 256 AS INT) AS r,
              CAST(doc_id * 59 % 256 AS INT) AS g,
              CAST(doc_id * 83 % 256 AS INT) AS b

@@ -38,10 +38,7 @@ class MediaDecodeSpec extends AnyFunSuite {
 
   test("encodePng -> decodeImage roundtrip is lossless (the m01 path)") {
     for (id <- Seq(0L, 1L, 47L, 48L, 499L, 123457L)) {
-      val w = 16 + (id % 48).toInt
-      val h = 16 + ((id / 48) % 48).toInt
-      val rgb = (((id * 37) % 256).toInt << 16) |
-        (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+      val (w, h, rgb) = MediaDecode.synthMedia(id)
       val m = MediaDecode.decodeImage(id, MediaDecode.encodePng(w, h, rgb))
       assert(m.width == w && m.height == h, s"geometry for doc $id")
       assert(m.channels == 3 && m.format == "png")
