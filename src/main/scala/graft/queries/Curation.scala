@@ -263,10 +263,24 @@ object Curation {
       .crossJoin(broadcast(tot))
       .withColumn("logp",
         round(log(col("n_w").cast("double") / col("n_tok_total")), 6))
+      // INTEGER micro-units from here down (sf1 planted-dup catch):
+      // the rounded 6-dec logp recovers its integer numerator exactly
+      // (the double sits within 1e-10 of k·1e-6 in both engines), the
+      // per-doc mean is integer division with half-away-from-zero
+      // rounding, and only the final /10⁴ returns to double — because
+      // `round(sum/count, 4)` hit a TRUE TIE (a 10-token doc whose
+      // mean is exactly -3.43345) where Spark's exact-expansion
+      // HALF_UP and DuckDB's scaled-multiply rounding legitimately
+      // disagree. Ties are now decided in integer arithmetic,
+      // identically everywhere.
+      .withColumn("logp_u", expr("CAST(round(logp * 1000000) AS BIGINT)"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("logp").cast(DecimalType(18, 6))).cast("string").cast("double") /
-          count(lit(1)), 4).as("avg_logp"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("logp_u")).as("s_u"))
+      .withColumn("avg_u4", expr(
+        """CASE WHEN s_u >= 0 THEN (s_u + 50 * n_tok) div (100 * n_tok)
+           ELSE -((-s_u + 50 * n_tok) div (100 * n_tok)) END"""))
+      .withColumn("avg_logp", col("avg_u4").cast("double") / 10000.0)
+      .select(col("doc_id"), col("n_tok"), col("avg_logp"))
   }
 
   /** Oracle twin of [[logprob]]; exposes `qscore`. */
@@ -280,12 +294,16 @@ object Curation {
       q_tot AS (SELECT count(*) AS n_tok_total FROM q_w),
       q_lp AS (
         SELECT q_w.doc_id,
-               round(ln(CAST(q_vocab.n_w AS DOUBLE) / q_tot.n_tok_total), 6) AS logp
+               CAST(round(round(ln(CAST(q_vocab.n_w AS DOUBLE) / q_tot.n_tok_total), 6) * 1000000) AS BIGINT) AS logp_u
         FROM q_w JOIN q_vocab USING (word) CROSS JOIN q_tot),
+      q_s AS (
+        SELECT doc_id, count(*) AS n_tok, sum(logp_u) AS s_u
+        FROM q_lp GROUP BY doc_id),
       qscore AS (
-        SELECT doc_id, count(*) AS n_tok,
-               round(CAST(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / count(*), 4) AS avg_logp
-        FROM q_lp GROUP BY doc_id)"""
+        SELECT doc_id, n_tok,
+               CAST(CASE WHEN s_u >= 0 THEN (s_u + 50 * n_tok) // (100 * n_tok)
+                         ELSE -((-s_u + 50 * n_tok) // (100 * n_tok)) END AS DOUBLE) / 10000.0 AS avg_logp
+        FROM q_s)"""
 
   /** The quality gate both t19 and t20 apply, spelled once. */
   private val KEEP_THRESHOLD = -3.55
