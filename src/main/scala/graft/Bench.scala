@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // optional subset: comma-separated name prefixes (e.g.
+    // "d02,d05,d11" for the near-dup scale study) — default all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected = only match {
+      case Some(ps) => SparkEntry.queries.filter {
+        case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val spark = GraftSession.local(cpus)
     // Steady-state methodology: one untimed warmup pass (codegen, JIT,
     // parquet reader paths), then TWO timed passes, each from a cold
@@ -12,12 +21,12 @@ object Bench {
     // the per-query MIN: host load spikes inflate single runs by ±25%,
     // and the minimum of independent cold-cache runs is the standard
     // low-variance steady-state estimator.
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def timedPass(): Map[String, Double] = {
       spark.catalog.clearCache()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -39,19 +48,29 @@ object Bench {
     // Key order puts top15 + the headline total LAST: harness logs keep
     // only the final ~2KB of output, and with 90+ queries the map alone
     // exceeds that — leading keys would be truncated out of the tail.
-    val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
+    // optional provenance note (e.g. the gen_sf.py invocation + seed
+    // that produced a generated corpus) — pinned INSIDE the artifact
+    // so a committed bench_full_*.json is self-describing
+    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
+      .map(n => s""""note":"${n.replace("\"", "'")}",""").getOrElse("")
+    val line = s"""{$note"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
     println(line)
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
     // cross-round diffs depend on regexing tails). Default lands in
     // the repo as bench_full_latest.json; rounds commit a copy as
     // bench_full_rN.json.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_full_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      line.getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"bench artifact write failed: $e") }
+    // Resolved against user.dir CAPTURED HERE (absolute), not left to
+    // whatever CWD the JVM has when the write happens; only NonFatal
+    // is swallowed — an OOM/interrupt must propagate, not vanish
+    // behind a stderr line (and catching InterruptedException would
+    // also clear the interrupt flag).
+    val outPath = java.nio.file.Paths.get(
+      System.getProperty("user.dir", ".")).resolve(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json"))
+    try java.nio.file.Files.write(outPath, line.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench artifact write failed ($outPath): $e") }
     spark.stop()
   }
 }

@@ -2,30 +2,26 @@ package graft.ops
 
 import java.security.MessageDigest
 
-/** Decoded media metadata row (multimodal pipeline). */
-final case class MediaMeta(
-    doc_id: Long, n_bytes: Int, sha256: String,
-    width: Int, height: Int, format: String)
-
 /** Media decoding for binary columns.
   *
   * TWO TIERS:
   *
-  *  - REAL codec ([[encodePng]]/[[decodeImage]]): JVM-native
-  *    `javax.imageio` — genuine PNG/JPEG bytes in, decoded pixels
-  *    out, zero new dependencies. m01 runs this end-to-end (encode a
-  *    real PNG per document, decode it back, report the decoder's own
-  *    width/height/channels/pixel values); MediaDecodeSpec decodes a
-  *    COMMITTED PNG fixture (src/test/resources/graft/fixture_8x5.png,
-  *    handcrafted bytes — not written by ImageIO) so the read path is
-  *    proven against foreign-encoder output too.
-  *  - ==== STUB ==== (`decodeStub`/`featureStub`/`resizeStub`): for
-  *    the codec families the JVM does NOT ship (webp containers,
-  *    video frame extraction, learned feature encoders), deterministic
-  *    metadata fabricated from the payload's sha-256 — same signature,
-  *    same batch shape, replayable in the SQL oracle. m02–m05 use
-  *    these; swap the body for a JNI codec call to go live, nothing
-  *    upstream changes.
+  *  - REAL codec ([[encodePng]]/[[decodeImage]]/[[resizeImage]]/
+  *    [[extractFeatures]]): JVM-native `javax.imageio` — genuine
+  *    PNG/JPEG bytes in, decoded pixels out, zero new dependencies.
+  *    m01 (decode metadata), m02 (decode → resize plan), m05 (decode
+  *    → signature dedup), m06 (decode → pixel resize → re-encode →
+  *    decode) and m07 (decode → pixel histogram features) all run
+  *    this tier end-to-end; MediaDecodeSpec decodes a COMMITTED PNG
+  *    fixture (src/test/resources/graft/fixture_8x5.png, handcrafted
+  *    bytes — not written by ImageIO) so the read path is proven
+  *    against foreign-encoder output too, plus non-square and
+  *    grayscale PNGs.
+  *  - ==== STUB ==== ([[featureStub]], the only one left): the
+  *    learned-encoder embed step — a vision/audio MODEL does not ship
+  *    in a bare JVM, so m04 keeps a deterministic sha-256-derived
+  *    placeholder (replayable in the SQL oracle; swap the body for a
+  *    model-serving call to go live, nothing upstream changes).
   */
 object MediaDecode {
 
@@ -131,7 +127,13 @@ object MediaDecode {
   final case class MediaRealFeatures(doc_id: Long, features: Array[Double])
 
   /** Decode the payload with `javax.imageio` and histogram the REAL
-    * pixels: 8 luminance bins (div 32) over the top-left patch. */
+    * pixels: 8 luminance bins (div 32) over the top-left patch.
+    * Luminance is integer ITU-R BT.601 `(299r + 587g + 114b) / 1000`
+    * — genuinely channel-weighted, not a single-channel shortcut (a
+    * colored input histograms its true luma, not blue); for gray
+    * pixels (r = g = b = v) the weights sum to exactly 1000, so the
+    * value is v with NO rounding drift, which is what lets m07's
+    * oracle replay the gradient arithmetic bit-exactly. */
   def extractFeatures(id: Long, bytes: Array[Byte],
       patch: Int): MediaRealFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -145,7 +147,10 @@ object MediaDecode {
     while (y < h) {
       var x = 0
       while (x < w) {
-        bins((img.getRGB(x, y) & 0xff) / 32) += 1.0
+        val px = img.getRGB(x, y)
+        val luma = (299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) +
+          114 * (px & 0xff)) / 1000
+        bins(luma / 32) += 1.0
         x += 1
       }
       y += 1
@@ -183,24 +188,19 @@ object MediaDecode {
     md.digest(bytes).map("%02x".format(_)).mkString
   }
 
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val sha = sha256Hex(bytes)
-    val width  = 64 + (java.lang.Long.parseLong(sha.substring(0, 8), 16) % 960).toInt
-    val height = 64 + (java.lang.Long.parseLong(sha.substring(8, 16), 16) % 960).toInt
-    val format = (java.lang.Long.parseLong(sha.substring(16, 17), 16) % 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-    }
-    MediaMeta(id, bytes.length, sha, width, height, format)
-  }
-
   /** Extracted feature row: 8 pseudo-embedding dims in [0,1). */
   final case class MediaFeatures(doc_id: Long, features: Array[Double])
 
-  /** ==== STUB ==== Feature extraction (the embed step of a multimodal
-    * retrieval pipeline). A real implementation runs a vision/audio
-    * encoder over the decoded payload; the stub derives 8 deterministic
-    * dims from sha-256 32-bit slices scaled to [0,1) — replayable in
-    * SQL, so the decode→embed→search composition is oracle-checked.
+  /** ==== STUB (the only one left) ==== Learned-encoder feature
+    * extraction (the embed step of a multimodal retrieval pipeline).
+    * A real implementation runs a vision/audio ENCODER MODEL over the
+    * decoded payload — no such model ships in a bare JVM, so this is
+    * the one tier that stays stubbed BY DESIGN: 8 deterministic dims
+    * from sha-256 32-bit slices scaled to [0,1), replayable in SQL,
+    * so the decode→embed→search composition is oracle-checked. m04 is
+    * its only caller; the classical-CV counterpart (m07) extracts
+    * features from REAL decoded pixels. The former decode/resize stubs
+    * are gone — m01/m02/m05/m06/m07 all run `javax.imageio` for real.
     */
   def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val sha = sha256Hex(bytes)
@@ -210,25 +210,24 @@ object MediaDecode {
     MediaFeatures(id, feats)
   }
 
-  /** Resized-image metadata row. */
+  /** Resize-plan row: input geometry as READ BY THE REAL DECODER plus
+    * the planned output box and integer scale percentage. */
   final case class ResizedMeta(
       doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, scale_pct: Int)
 
-  /** ==== STUB ==== Aspect-preserving resize plan to fit a maxDim box.
-    * A real implementation hands pixels to the codec; the geometry
-    * arithmetic (integer, replayable in SQL) and the batch shape are
-    * the real product. No-op (scale 100%) when already inside the box.
-    */
-  def resizeStub(m: MediaMeta, maxDim: Int): ResizedMeta = {
-    val longest = math.max(m.width, m.height)
+  /** Aspect-preserving resize PLAN to fit a maxDim box — the geometry
+    * step a batch image pipeline computes per payload before touching
+    * pixels (m02; [[resizeImage]] is the full pixel loop, m06).
+    * Integer arithmetic only, mirrored exactly in the oracle SQL.
+    * No-op (scale 100%) when already inside the box. */
+  def resizePlan(id: Long, width: Int, height: Int, maxDim: Int): ResizedMeta = {
+    val longest = math.max(width, height)
     if (longest <= maxDim)
-      ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height, 100)
-    else {
-      // integer arithmetic only — mirrored exactly in the oracle SQL
-      val outW = m.width * maxDim / longest
-      val outH = m.height * maxDim / longest
-      ResizedMeta(m.doc_id, m.width, m.height, outW, outH, maxDim * 100 / longest)
-    }
+      ResizedMeta(id, width, height, width, height, 100)
+    else
+      ResizedMeta(id, width, height,
+        width * maxDim / longest, height * maxDim / longest,
+        maxDim * 100 / longest)
   }
 }

@@ -8,17 +8,20 @@ import org.apache.spark.sql.functions._
   * `Dataset.mapPartitions` (the JVM analog of `mapInPandas` — one
   * iterator per partition, constant memory, no per-row UDF overhead).
   *
-  * DECODE TIERS: m01 decodes REAL PNG bytes with the JVM-native
-  * `javax.imageio` codec ([[graft.ops.MediaDecode.decodeImage]]) —
-  * genuine encoder → genuine decoder, dimensions/channels/pixels read
-  * from the decoded raster, with the oracle recomputing the expected
-  * values arithmetically so the gate proves the codec roundtrip
-  * faithful. m02–m05 keep the clearly-marked deterministic stub
-  * ([[graft.ops.MediaDecode.decodeStub]], sha-256-derived) for the
-  * codec families the JVM does not ship (webp, video frames, learned
-  * encoders); their Spark-side plumbing — binary schema, partition
-  * batching, typed row shape — is real and oracle-checked, and
-  * swapping the stub for a JNI codec call changes nothing else.
+  * DECODE TIERS: every query that claims to decode, DECODES — m01
+  * (metadata), m02 (resize plan), m05 (signature dedup), m06 (full
+  * pixel-resize loop) and m07 (pixel features) all run REAL PNG bytes
+  * through the JVM-native `javax.imageio` codec
+  * ([[graft.ops.MediaDecode.decodeImage]]): genuine encoder → genuine
+  * decoder, dimensions/channels/pixels read from the decoded raster,
+  * with the oracle recomputing the expected values arithmetically so
+  * the gate proves each codec roundtrip faithful. The ONE remaining
+  * stub is m04's learned-encoder embed step
+  * ([[graft.ops.MediaDecode.featureStub]], sha-256-derived, by
+  * design — no vision model ships in a bare JVM); its Spark-side
+  * plumbing — binary schema, partition batching, typed row shape —
+  * is real and oracle-checked, and swapping the stub for a
+  * model-serving call changes nothing else.
   *
   * Scale: mapPartitions over binary columns streams batches; payloads
   * never hit the driver. Partition sizing for 100 TB media comes from
@@ -71,20 +74,26 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  /** Resize planning chained after decode — the decode→transform
-    * composition of an image pipeline, still iterator-batched. The
-    * stubbed geometry is integer arithmetic mirrored in the oracle. */
+  /** Resize PLANNING chained after a REAL decode — the
+    * decode→plan-transform composition of an image pipeline (the
+    * geometry pass that sizes output buffers before any pixel work;
+    * m06 is the full pixel loop). Each document's genuine PNG is
+    * decoded by `javax.imageio` and the plan is computed from the
+    * dimensions THE DECODER read — the oracle predicts them from the
+    * doc_id arithmetic, so a hash match proves the real codec
+    * roundtrip AND the integer plan. maxDim 48 against 16–63-px
+    * inputs exercises both branches (in-box no-op and shrink). */
   val m02 = QueryDef(
     "m02_media_resize",
     (s, d) => {
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      media.mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          graft.ops.MediaDecode.resizeStub(
-            graft.ops.MediaDecode.decodeStub(id, bytes), maxDim = 256)
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
+          val m = graft.ops.MediaDecode.decodeImage(
+            id, graft.ops.MediaDecode.encodePng(w, h, rgb))
+          graft.ops.MediaDecode.resizePlan(id, m.width, m.height, maxDim = 48)
         }
       }.toDF()
         .orderBy(col("doc_id"))
@@ -92,14 +101,14 @@ object Multimodal {
     Some("""
       WITH m AS (
         SELECT doc_id,
-               CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 960 AS INT) AS width,
-               CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 960 AS INT) AS height
+               CAST(16 + doc_id % 48 AS INT) AS width,
+               CAST(16 + (doc_id // 48) % 48 AS INT) AS height
         FROM documents),
       g AS (SELECT doc_id, width, height, greatest(width, height) AS longest FROM m)
       SELECT doc_id, width, height,
-             CASE WHEN longest <= 256 THEN width  ELSE width  * 256 // longest END AS out_w,
-             CASE WHEN longest <= 256 THEN height ELSE height * 256 // longest END AS out_h,
-             CASE WHEN longest <= 256 THEN 100 ELSE 256 * 100 // longest END AS scale_pct
+             CAST(CASE WHEN longest <= 48 THEN width  ELSE width  * 48 // longest END AS INT) AS out_w,
+             CAST(CASE WHEN longest <= 48 THEN height ELSE height * 48 // longest END AS INT) AS out_h,
+             CAST(CASE WHEN longest <= 48 THEN 100 ELSE 48 * 100 // longest END AS INT) AS scale_pct
       FROM g
       ORDER BY doc_id"""))
 
@@ -132,45 +141,49 @@ object Multimodal {
       FROM s
       ORDER BY doc_id, frame_idx"""))
 
-  /** Media dedup by decoded signature — the multimodal member of the
-    * dedup family: payloads whose DECODED properties collide
-    * (dimensions + container format from the stub decoder) form
+  /** Media dedup by DECODED signature — the multimodal member of the
+    * dedup family: payloads whose decoded properties collide form
     * candidate duplicate groups, the cheap first pass of image dedup
-    * (exact-byte dedup is d01's shape; real perceptual hashing slots
-    * into the same groupBy once a codec exists). One hash shuffle on
-    * the signature; only groups with ≥2 members surface. */
+    * (exact-byte dedup is d01's shape; a perceptual hash slots into
+    * the same groupBy). Every field of the signature comes out of the
+    * REAL `javax.imageio` decode of genuine PNG bytes: size class
+    * (16-px bins of the raster dimensions), red-channel class of
+    * pixel (0,0), and the container format the codec registry matched
+    * from the magic bytes. One hash shuffle on the signature; only
+    * groups with ≥2 members surface. */
   val m05 = QueryDef(
     "m05_media_sigdup",
     (s, d) => {
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      media.mapPartitions { batch =>
-        batch.map { case (id, bytes) => graft.ops.MediaDecode.decodeStub(id, bytes) }
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
+          graft.ops.MediaDecode.decodeImage(
+            id, graft.ops.MediaDecode.encodePng(w, h, rgb))
+        }
       }.toDF()
-        // size-CLASS signature (64px bins): exact dims rarely collide,
-        // size class + container is the realistic first-pass bucket
-        .groupBy(expr("width div 64").as("w_bin"),
-          expr("height div 64").as("h_bin"), col("format"))
+        .groupBy(expr("width div 16").as("w_bin"),
+          expr("height div 16").as("h_bin"),
+          expr("r div 64").as("r_bin"), col("format"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_media"))
         .filter(col("n_media") >= 2)
-        .select(col("w_bin"), col("h_bin"), col("format"),
+        .select(col("w_bin"), col("h_bin"), col("r_bin"), col("format"),
           col("canonical_id"), col("n_media"))
         .orderBy(col("canonical_id"))
     },
     Some("""
       WITH m AS (
         SELECT doc_id,
-               CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 960 AS INT) AS width,
-               CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 960 AS INT) AS height,
-               CASE CAST(concat('0x', substr(sha256(text), 17, 1)) AS BIGINT) % 3
-                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+               CAST(16 + doc_id % 48 AS INT) AS width,
+               CAST(16 + (doc_id // 48) % 48 AS INT) AS height,
+               CAST(doc_id * 37 % 256 AS INT) AS r
         FROM documents)
-      SELECT width // 64 AS w_bin, height // 64 AS h_bin, format,
+      SELECT width // 16 AS w_bin, height // 16 AS h_bin, r // 64 AS r_bin,
+             'png' AS format,
              min(doc_id) AS canonical_id, count(*) AS n_media
       FROM m
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, 3, 4
       HAVING count(*) >= 2
       ORDER BY canonical_id"""))
 

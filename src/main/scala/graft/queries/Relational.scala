@@ -1658,13 +1658,18 @@ object Relational {
         plain.orderBy(col("o_orderpriority"))
       } else {
         // extension-less session: exercise the SAME cost-gated entry
-        // point (apply under auto, probe and all — not force)
-        val flag = graft.plans.PushPartialAggThroughUniqueJoin.FLAG
-        val prev = s.conf.getOption(flag)
-        s.conf.set(flag, "auto")
-        val gated = try graft.plans.PushPartialAggThroughUniqueJoin(
-          plain.queryExecution.analyzed)
-        finally prev.fold(s.conf.unset(flag))(s.conf.set(flag, _))
+        // point (apply under auto, probe and all — not force). The
+        // flag rides a CLONED SQLConf scoped to this thread, never the
+        // live session conf: a concurrent query optimizing on the same
+        // session must not see auto flip on mid-flight.
+        import org.apache.spark.sql.internal.SQLConf
+        val cloned = s.sessionState.conf.clone()
+        cloned.setConfString(
+          graft.plans.PushPartialAggThroughUniqueJoin.FLAG, "auto")
+        val gated = SQLConf.withExistingConf(cloned) {
+          graft.plans.PushPartialAggThroughUniqueJoin(
+            plain.queryExecution.analyzed)
+        }
         require(aggBelowJoin(gated),
           "cost-gated eager-agg rewrite did not fire on the q84 plan")
         org.apache.spark.sql.classic.GraftPlanBridge.ofRows(s, gated)

@@ -357,6 +357,89 @@ class UiParitySpec extends SparkSpec {
     fpm
   }
 
+  /** ui.py:620-621 — the dashboard's pandas tail after
+    * get_home_away_performance: derive
+    * `home_advantage = home_pts - away_pts` (:620) and take
+    * `nlargest(10, 'home_advantage')` (:621). pandas `nlargest` uses
+    * keep='first': descending by value, TIES broken by position in
+    * the frame (the SQL's total-points order). Replayed two ways on
+    * the same deterministically-ordered base — a driver-side stable
+    * sort (Scala `sortBy` is stable, exactly pandas keep='first')
+    * and our distributed formulation (row_number position as the
+    * tie-break) — which must agree row-for-row, order included. */
+  test("home-advantage nlargest tail (ui.py:620-621)") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    def csum(cat: String, c: String) =
+      sum(when(lower(col("Match_Category")) === cat, col(c)).otherwise(0))
+    // the ui.py:196-217 base, with team_name appended to its ORDER BY
+    // as a deterministic tie-break (the SQL leaves total-points ties
+    // engine-ordered; pinning them makes the pandas replay exact)
+    val base = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season &&
+        lower(col("Match_Category")).isin("home", "away"))
+      .groupBy("team_name")
+      .agg(csum("home", "Pts").as("home_pts"), csum("away", "Pts").as("away_pts"))
+      .orderBy((col("home_pts") + col("away_pts")).desc, col("team_name"))
+    // pandas replay: frame order = base order; stable sort, head(10)
+    val frame = base.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = frame.map { case (t, h, a) => (t, h - a) }
+      .sortBy { case (_, adv) => -adv }.take(10)
+    // our formulation: position window over the SAME base order
+    import org.apache.spark.sql.expressions.Window
+    val pos = row_number().over(Window.orderBy(
+      (col("home_pts") + col("away_pts")).desc, col("team_name")))
+    val ours = base.withColumn("position", pos)
+      .withColumn("home_advantage", col("home_pts") - col("away_pts"))
+      .orderBy(col("home_advantage").desc, col("position"))
+      .limit(10)
+      .select(col("team_name"), col("home_advantage"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(ours === expected)
+    assert(ours.size === 10)
+  }
+
+  /** ui.py:697-698 — the quadrant-chart pandas tail: after merging
+    * offensive and defensive stats on team_name (:685-688),
+    * `avg_attack = attack_defense['avg_goals_scored'].mean()` and
+    * `avg_defense = attack_defense['avg_goals_conceded'].mean()`.
+    * The pinned semantics: the means run over the PER-TEAM ROUNDED
+    * ratios (each ROUND(GF/MP, 2) from get_offensive_stats /
+    * get_defensive_stats), i.e. round-then-mean — NOT a mean of raw
+    * ratios and NOT a league-total ratio. Replayed driver-side from
+    * the two stat queries' collected rows vs our distributed
+    * join + avg formulation. */
+  test("quadrant means tail (ui.py:697-698)") {
+    assume(available)
+    val (ftp, _, dt, ds) = load()
+    def statQuery(valueCol: String, alias: String) = ftp
+      .join(broadcast(dt), "team_id").join(broadcast(ds), "season_id")
+      .filter(col("season_name") === season && lower(col("Match_Category")) === "overall")
+      .select(col("team_name"),
+        round(col(valueCol).cast("decimal(10,0)") /
+          when(col("MP") === 0, lit(null)).otherwise(col("MP")), 2).as(alias))
+    val off = statQuery("GF", "avg_goals_scored")
+    val deff = statQuery("GA", "avg_goals_conceded")
+    // pandas replay: merge on team_name, column means over the frame
+    val offRows = off.collect().map(r =>
+      r.getString(0) -> r.getDecimal(1).doubleValue).toMap
+    val defRows = deff.collect().map(r =>
+      r.getString(0) -> r.getDecimal(1).doubleValue).toMap
+    val merged = offRows.keySet.intersect(defRows.keySet)
+    assert(merged.size === 20)
+    val expAttack = merged.toSeq.map(offRows).sum / merged.size
+    val expDefense = merged.toSeq.map(defRows).sum / merged.size
+    // our formulation: inner join (pandas merge default) + avg
+    val ours = off.join(deff, "team_name")
+      .agg(avg(col("avg_goals_scored")).cast("double").as("avg_attack"),
+        avg(col("avg_goals_conceded")).cast("double").as("avg_defense"))
+      .collect()(0)
+    assert(math.abs(ours.getDouble(0) - expAttack) < 1e-9)
+    assert(math.abs(ours.getDouble(1) - expDefense) < 1e-9)
+  }
+
   test("get_top_scorers (ui.py:76-93): goal sums + HAVING over our built fact") {
     assume(available)
     val (_, _, dt, ds) = load()

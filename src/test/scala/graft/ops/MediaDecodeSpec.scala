@@ -55,4 +55,59 @@ class MediaDecodeSpec extends AnyFunSuite {
       MediaDecode.decodeImage(7L, garbage)
     }
   }
+
+  test("non-square PNG: decode, resize plan and real pixel resize agree") {
+    // 60x20 solid orange — aspect 3:1, well off square
+    val png = MediaDecode.encodePng(60, 20, 0xff8000)
+    val m = MediaDecode.decodeImage(9L, png)
+    assert(m.width == 60 && m.height == 20 && m.n_pixels == 1200L)
+    // plan: longest 60 > 48 ⇒ (60*48/60, 20*48/60) = (48, 16), 80%
+    val plan = MediaDecode.resizePlan(9L, m.width, m.height, maxDim = 48)
+    assert((plan.out_w, plan.out_h, plan.scale_pct) == ((48, 16, 80)))
+    // the real pixel loop lands on the SAME geometry and a constant
+    // color field survives both codec passes and the scaler
+    val real = MediaDecode.resizeImage(9L, png, maxDim = 48)
+    assert((real.out_w, real.out_h) == ((plan.out_w, plan.out_h)))
+    assert((real.r, real.g, real.b) == ((255, 128, 0)))
+    // in-box input is a 100% no-op in the plan
+    val noop = MediaDecode.resizePlan(9L, 30, 20, maxDim = 48)
+    assert((noop.out_w, noop.out_h, noop.scale_pct) == ((30, 20, 100)))
+  }
+
+  test("grayscale PNG (TYPE_BYTE_GRAY): 1 band, gray pixels, true-luma features") {
+    // ImageIO writes TYPE_BYTE_GRAY as a single-channel grayscale PNG
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      // mid-bin gray per column (16, 48, …, 240 cycling): Java's
+      // sRGB↔gray round trip drifts values by ±1–2, so bin-CENTER
+      // values keep the histogram exact while edge values would flap
+      val v = 16 + (x % 8) * 32
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = MediaDecode.decodeImage(11L, bos.toByteArray)
+    assert(m.channels == 1, "grayscale raster must report a single band")
+    assert(m.format == "png" && m.width == 16 && m.height == 16)
+    assert(m.r == m.g && m.g == m.b, "gray pixel must decode with r=g=b")
+    // features: luminance of a gray pixel IS its value; columns cycle
+    // through the 8 bin centers, so every bin receives exactly two
+    // full columns = 32 of 256 pixels.
+    val f = MediaDecode.extractFeatures(11L, bos.toByteArray, patch = 16)
+    assert(f.features.toSeq == Seq.fill(8)(32.0 / 256.0))
+  }
+
+  test("colored pixels histogram true BT.601 luminance, not the blue channel") {
+    // solid pure blue: luma = 114*255/1000 = 29 ⇒ bin 0. The
+    // pre-round-9 blue-channel shortcut would put it in bin 7 (255/32).
+    val blue = MediaDecode.encodePng(8, 8, 0x0000ff)
+    val fb = MediaDecode.extractFeatures(3L, blue, patch = 8)
+    assert(fb.features(0) == 1.0 && fb.features(7) == 0.0)
+    // solid pure green: luma = 587*255/1000 = 149 ⇒ bin 4; the blue
+    // shortcut would have read 0 ⇒ bin 0.
+    val green = MediaDecode.encodePng(8, 8, 0x00ff00)
+    val fg = MediaDecode.extractFeatures(4L, green, patch = 8)
+    assert(fg.features(4) == 1.0 && fg.features(0) == 0.0)
+  }
 }

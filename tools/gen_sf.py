@@ -41,7 +41,32 @@ Distribution contract (measured from /root/testdata/sf0.1, seed 42):
                      +0.008 vs inter -0.002 => weight ~ 0.1), label
                      uniform 0..9
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>   e.g. 1 /tmp/sf1
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab-growth] [--skew]
+       e.g. 1 /tmp/sf1
+
+Modes (round-9 verdict tasks 1 and 6):
+
+  --vocab-growth  NATURAL-CORPUS documents + embeddings. The default
+      corpus reuses the driver's fixed 31-word vocabulary, which
+      saturates the trigram space at 31^3: posting lists then grow
+      ~linearly with SF and any lossless candidate enumeration
+      (d11's PPJoin) pays ~SF^2 — a corpus artifact, not a plan
+      property. This mode grows the vocabulary by Heaps' law
+      (V = 8 * N_tokens^0.55, so 10x data => ~3.5x vocab) with a
+      Zipf(1.1) rank distribution — the empirical shape of natural
+      text — and scales embedding cluster count with corpus size
+      (1 centroid per 200 vectors) instead of 10 fixed centroids,
+      de-saturating d05's signature space the same way. Planted
+      near-duplicates (3%, tail-perturbed) are kept so the near-dup
+      family stays non-vacuous. Measuring d02/d05/d11 at sf0.1 and
+      sf1 on THIS corpus is the test of the PLANS.md claim that the
+      plans are linear-class on realistic data.
+
+  --skew  One hot customer owns ~20% of orders (the rest uniform).
+      Every sf1 scale measurement through round 8 ran on
+      near-uniform keys; this probes the AQE skew-join and salting
+      paths (q36/q53) and the grouped-agg hot-key behavior
+      (q01/q79) under a realistic power-law key.
 """
 import json
 import os
@@ -81,6 +106,8 @@ def ts_col(us):
 def main():
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    vocab_growth = "--vocab-growth" in sys.argv[3:]
+    skew = "--skew" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     k = sf / 0.1  # multiplier vs the reference sf0.1 row counts
@@ -130,9 +157,14 @@ def main():
     d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
     d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype(np.int64)
     odate = d0 + rng.integers(0, (d1 - d0) // DAY_US + 1, n_ord) * DAY_US
+    o_cust = rng.integers(0, n_cust, n_ord)
+    if skew:
+        # one hot key: ~20% of all orders land on customer 0
+        o_cust[rng.random(n_ord) < 0.2] = 0
+        print(f"  skew: customer 0 owns {(o_cust == 0).mean():.1%} of orders")
     write(out, "orders", pa.table({
         "o_orderkey": ok,
-        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_custkey": o_cust,
         "o_orderstatus": rng.choice(["F", "O", "P"], n_ord),
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": ts_col(odate),
@@ -180,18 +212,38 @@ def main():
     # sets, which would leave the near-dup family (d02/d07/d11)
     # vacuously green at generated SFs.
     texts = []
-    vocab = np.array(VOCAB)
+    if vocab_growth:
+        # Heaps' law: V = 8 * N^0.55 over the expected token count
+        # (mean 55 words/doc), Zipf(1.1) rank distribution — natural
+        # text grows its vocabulary with corpus size, which keeps
+        # shingle posting lists short and bounded instead of packing
+        # the whole corpus into 31^3 trigram keys.
+        n_tok = n_doc * 55
+        v_size = max(len(VOCAB), int(8 * n_tok ** 0.55))
+        ranks = np.arange(1, v_size + 1, dtype=np.float64)
+        zipf_p = ranks ** -1.1
+        zipf_p /= zipf_p.sum()
+        vocab = np.array([f"w{r}" for r in range(v_size)])
+        print(f"  vocab-growth: {v_size} words over ~{n_tok} tokens")
+
+        def draw_words(n_w):
+            return vocab[rng.choice(v_size, n_w, p=zipf_p)]
+    else:
+        vocab = np.array(VOCAB)
+
+        def draw_words(n_w):
+            return vocab[rng.integers(0, len(vocab), n_w)]
     for i in range(n_doc):
         if i > 0 and rng.random() < 0.03:
             src_i = rng.integers(0, i)
             w = texts[src_i].split(" ")
             n_mut = max(1, len(w) // 10)
             for _ in range(n_mut):
-                w[rng.integers(0, len(w))] = str(vocab[rng.integers(0, len(vocab))])
+                w[rng.integers(0, len(w))] = str(draw_words(1)[0])
             texts.append(" ".join(w))
         else:
             n_w = rng.integers(10, 101)
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_w)]))
+            texts.append(" ".join(draw_words(n_w)))
     write(out, "documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": texts,
@@ -200,9 +252,16 @@ def main():
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     }))
 
-    cent = rng.standard_normal((10, 64))
+    # default: the driver's 10 fixed centroids; vocab-growth mode
+    # scales cluster count with corpus size (1 per 200 vectors) so
+    # the embedding signature space grows with the data instead of
+    # saturating — same schema (int32 label), just more groups
+    n_cent = max(10, n_vec // 200) if vocab_growth else 10
+    if vocab_growth:
+        print(f"  vocab-growth: {n_cent} embedding centroids")
+    cent = rng.standard_normal((n_cent, 64))
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    labels = rng.integers(0, 10, n_vec)
+    labels = rng.integers(0, n_cent, n_vec)
     vecs = rng.standard_normal((n_vec, 64)) + 0.1 * cent[labels]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     write(out, "embeddings", pa.table({
