@@ -778,14 +778,32 @@ object Relational {
              (eff_to IS NULL) AS is_current
       FROM h ORDER BY o_custkey, eff_from, o_orderkey"""))
 
-  /** Point-in-time join over the [[q40]] SCD2 history — the consumer
-    * side of versioned dims: each order joins the status version valid
-    * AT its date (`eff_from <= t < eff_to`, open current interval).
-    * The interval chain partitions time per key, so every order
-    * matches EXACTLY one version — the join can't fan out. Plan: one
-    * equi-shuffle on the key with the interval bound as residual
-    * predicate; versions-per-key is small and bounded, so the
-    * per-key probe stays cheap at any SF. */
+  /** Point-in-time (as-of) join over the [[q40]] SCD2 history — the
+    * consumer side of versioned dims: each order picks up the status
+    * version valid AT its date (`eff_from <= t < eff_to`, open
+    * current interval; the interval chain partitions time per key, so
+    * every order matches EXACTLY one version).
+    *
+    * Spelled as the scalable UNION-AND-WINDOW as-of (the kdb `aj` /
+    * pandas `merge_asof` evaluation strategy), NOT a key-equi join
+    * with the interval bound as residual: version starts and probe
+    * rows union into one stream, one hash exchange on the key, a
+    * per-key sort on (ts, kind, ver_key) with version rows ordered
+    * BEFORE probe rows at equal ts (inclusive eff_from; the running
+    * last same-date version wins, exactly the non-empty interval),
+    * and a running `last(..., ignoreNulls)` frame propagates the
+    * in-effect version to each probe row — O(n log n) per key, O(1)
+    * frame state.
+    *
+    * WHY (round-9 skew probe, the q85 lesson's join-shaped sibling):
+    * the previous residual-predicate join was "versions-per-key is
+    * small and bounded" — TRUE on uniform keys, FALSE under skew,
+    * where a hot customer's version count scales with its own order
+    * count and the per-key probe degenerates to O(orders × versions)
+    * inside one task. At sf1 with one customer owning 20% of orders
+    * that is ~3·10^5 × 2·10^5 residual evaluations in a single
+    * thread — a measured multi-hour hang (gen_sf.py --skew caught
+    * it); the window formulation runs the same key in seconds. */
   val q41 = QueryDef(
     "q41_pit_join",
     (s, d) => {
@@ -794,16 +812,30 @@ object Relational {
           col("o_orderstatus"))
       val hist = graft.ops.Scd2.history(o, Seq("o_custkey"),
           ts = "o_orderdate", tie = "o_orderkey", attrs = Seq("o_orderstatus"))
-        .select(col("o_custkey").as("h_custkey"),
-          col("o_orderkey").as("ver_key"),
-          col("o_orderstatus").as("status_then"),
-          col("eff_from"), col("eff_to"))
-      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .join(hist, col("o_custkey") === col("h_custkey") &&
-          col("o_orderdate") >= col("eff_from") &&
-          (col("eff_to").isNull || col("o_orderdate") < col("eff_to")))
+      // kind 0 = version start, kind 1 = probe (order): at equal ts
+      // the version sorts first, so `eff_from <= t` is inclusive and
+      // the LAST same-ts version (highest ver_key) is the one whose
+      // interval is non-empty — identical to the interval-join result
+      val vers = hist.select(col("o_custkey"), col("eff_from").as("ts"),
+        lit(0).as("kind"), col("o_orderkey").as("ver_key"),
+        col("o_orderstatus").as("status_then"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast(o.schema("o_orderdate").dataType).as("o_orderdate"))
+      val probes = o.select(col("o_custkey"), col("o_orderdate").as("ts"),
+        lit(1).as("kind"), lit(null).cast("long").as("ver_key"),
+        lit(null).cast("string").as("status_then"),
+        col("o_orderkey"), col("o_orderdate"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("ts"), col("kind"), col("ver_key"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      vers.unionByName(probes)
+        .withColumn("status_asof", last(col("status_then"), ignoreNulls = true).over(w))
+        .withColumn("ver_asof", last(col("ver_key"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          col("status_then"), col("ver_key"))
+          col("status_asof").as("status_then"), col("ver_asof").as("ver_key"))
         .orderBy(col("o_orderkey"))
     },
     Some("""
