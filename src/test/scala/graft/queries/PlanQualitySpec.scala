@@ -371,4 +371,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
     assert(p.contains("_partial"), p.take(3000))
   }
+
+  test("q41 as-of join is union+window — NO join operator anywhere") {
+    // the round-9 skew probe found the key-equi + interval-residual
+    // formulation degenerating to O(probes × versions) in one task on
+    // a hot key (version count scales with the key's own rows). The
+    // scalable spelling is window-only: a reappearing Join of any
+    // kind re-opens that hole
+    val p = plan("q41_pit_join")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(3000))
+  }
 }
