@@ -21,14 +21,26 @@ object Bench {
     // the per-query MIN: host load spikes inflate single runs by ±25%,
     // and the minimum of independent cold-cache runs is the standard
     // low-variance steady-state estimator.
+    // SPARK_GRAFT_BENCH_MODE: `count` (default — the cross-round
+    // comparable methodology) or `noop` (write to the noop datasource,
+    // forcing FULL materialization of every output column). count()
+    // lets Catalyst prune work that doesn't affect cardinality — a
+    // query whose tail is a filter-free windowed projection (q30/q41's
+    // as-of pattern) times its scan, not its window, under count. The
+    // noop mode exists to measure that honestly; the default stays
+    // count so round-over-round artifacts compare like with like.
+    val noop = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
     selected.values.foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     def timedPass(): Map[String, Double] = {
       spark.catalog.clearCache()
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
