@@ -82,6 +82,7 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "graft_text_quality" -> { exprs => TextQuality(exprs(0)) },
     "graft_cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
     "graft_zorder" -> { exprs => ZOrderKey(exprs(0), exprs(1)) },
     "graft_rolling_minhash" -> { exprs =>
@@ -122,6 +123,7 @@ object GraftFunctions {
     * must name the actual expression class, not a shared one. */
   private val implClass: Map[String, String] = Map(
     "graft_dot" -> classOf[DotProduct].getName,
+    "graft_text_quality" -> classOf[TextQuality].getName,
     "graft_cms_estimate" -> classOf[CmsEstimate].getName,
     "graft_zorder" -> classOf[ZOrderKey].getName,
     "graft_rolling_minhash" -> classOf[RollingMinHash].getName,

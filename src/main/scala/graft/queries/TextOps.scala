@@ -643,28 +643,26 @@ object TextOps {
 
   /** Repetition-ratio quality signals (the Gopher/C4-style filters):
     * fraction of duplicated word-trigrams and distinct-word ratio per
-    * document. Both are pure array HOFs over the token list — linear
-    * per doc, no shuffle, no per-doc state beyond the row itself, so
-    * a 10 MB document costs O(its length), not O(length²). */
+    * document — linear per doc, no shuffle, no per-doc state beyond
+    * the row itself, so a 10 MB document costs O(its length), not
+    * O(length²). Computed by the native one-pass
+    * [[graft.functions.TextQuality]] expression: the equivalent
+    * array-HOF chain (`transform` trigrams → `array_distinct`) runs
+    * as interpreted lambdas at ~1.3 ms/doc (round-9 materialized
+    * bench: 6.48 s at sf0.1, hidden behind `count()`-pruning);
+    * the expression does the same arithmetic in one codegen-resident
+    * JVM pass. TextQualitySpec pins HOF-equality on random corpora;
+    * the DuckDB oracle pins it externally. */
   val t13 = QueryDef(
     "t13_repetition_quality",
     (s, d) => {
-      val words = split(col("text"), " ")
-      val n = size(words)
-      val tg = when(n >= 3,
-        transform(sequence(lit(1), n - 2), i => concat_ws(" ",
-          element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2))))
-        .otherwise(array())
+      graft.functions.GraftFunctions.register(s)
+      val q = call_function("graft_text_quality", split(col("text"), " "))
       Tables.documents(s, d)
-        .select(col("doc_id"), words.as("w"), tg.as("tg"))
+        .select(col("doc_id"), q.as("q"))
         .select(col("doc_id"),
-          when(size(col("tg")) > 0,
-            lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
-              size(col("tg")).cast("double"))
-            .otherwise(lit(0.0)).as("rep3_ratio"),
-          (size(array_distinct(col("w"))).cast("double") /
-            size(col("w")).cast("double")).as("distinct_word_ratio"))
+          col("q.rep3_ratio").as("rep3_ratio"),
+          col("q.distinct_word_ratio").as("distinct_word_ratio"))
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -62,11 +62,14 @@ Modes (round-9 verdict tasks 1 and 6):
       sf1 on THIS corpus is the test of the PLANS.md claim that the
       plans are linear-class on realistic data.
 
-  --skew  One hot customer owns ~20% of orders (the rest uniform).
-      Every sf1 scale measurement through round 8 ran on
-      near-uniform keys; this probes the AQE skew-join and salting
-      paths (q36/q53) and the grouped-agg hot-key behavior
-      (q01/q79) under a realistic power-law key.
+  --skew  One hot customer owns ~20% of orders AND one hot user owns
+      ~20% of events (the rest uniform). Every sf1 scale measurement
+      through round 8 ran on near-uniform keys; this probes the AQE
+      skew-join and salting paths (q36/q53), the grouped-agg hot-key
+      behavior (q01/q79), per-key window chains (q40/q41/q56/q59),
+      and the per-user bucketed range joins (q37/q82) under a
+      realistic power-law key. Round 9 found q41's
+      O(probes × versions) hot-key hang with exactly this corpus.
 """
 import json
 import os
@@ -194,10 +197,15 @@ def main():
 
     e0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
     ets = np.sort(e0 + rng.integers(0, 30 * DAY_US, n_evt))
+    e_user = rng.integers(0, n_user, n_evt)
+    if skew:
+        # one hot key here too: ~20% of all events land on user 0
+        e_user[rng.random(n_evt) < 0.2] = 0
+        print(f"  skew: user 0 owns {(e_user == 0).mean():.1%} of events")
     write(out, "events", pa.table({
         "event_id": np.arange(n_evt, dtype=np.int64),
         "ts": ts_col(ets),
-        "user_id": rng.integers(0, n_user, n_evt),
+        "user_id": e_user,
         "event_type": rng.choice(ETYPES, n_evt),
         "value": np.round(rng.exponential(50.0, n_evt), 2),
         "props": [json.dumps({"k": int(x)})
