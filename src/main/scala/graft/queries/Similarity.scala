@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, d03, d04, d05, d06, d07, d09, q34)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, d03, d04, d05, d06, d07, d09, q34)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -521,45 +521,45 @@ object Similarity {
     * ≈0.10 (≈7× chance-within-probed-cells) vs s03's 0.46 exact-
     * rerank ceiling; on clustered real corpora the gap closes. The
     * hash gate is unaffected: it proves the ADC pipeline EXACTLY,
-    * recall is a data property. */
-  val s07 = QueryDef(
-    "s07_pq_adc_topk",
-    (s, d) => {
-      val (cb, codes) = pqTrained(s, d)
-      val ranked = ivfRanked(s, d)
-      val cellOf = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("cell"), col("n").as("nn"))
-      val probes = ranked
-        .filter((col("crn") <= IVF_NPROBE) && (col("vec_id") % 50 === 0))
-        .select(col("vec_id").as("query_id"), col("cell"),
-          col("v").as("qv"), col("n").as("qn"))
-      val dtab = probes.select(col("query_id"), col("qv")).distinct()
-        .select(col("query_id"),
-          explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("qv"))
-        .withColumn("qs", slice(col("qv"), col("m") * PQ_L + 1, lit(PQ_L)))
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("pd", dot(col("qs"), col("cv")))
-        .select(col("query_id"), col("m"), col("c"), col("pd"))
-      val cand = codes.select(col("vec_id").as("neighbor_id"), col("m"), col("c"))
-        .join(cellOf, Seq("neighbor_id"))
-      val scored = probes.select(col("query_id"), col("cell"), col("qn"))
-        .join(cand, Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .join(dtab, Seq("query_id", "m", "c"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("qn"), col("nn"))
-        .agg(sum(col("pd").cast(
-          org.apache.spark.sql.types.DecimalType(28, 12))).as("ip_dec"))
-        .withColumn("adc_cos",
-          col("ip_dec").cast("double") / (col("qn") * col("nn")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_cos").desc, col("neighbor_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          round(col("adc_cos"), 6).as("adc_cosine"))
-        .orderBy(col("query_id"), col("rn"))
-    },
-    Some("""
-      WITH en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+    * recall is a data property.
+    *
+    * This helper is the scored candidate frame (query_id, neighbor_id,
+    * qn, nn, adc_cos) shared by [[s07]] (top-k straight off the table
+    * lookups) and [[s08]] (shortlist → exact re-rank). */
+  private def adcScored(s: SparkSession, d: String): DataFrame = {
+    val (cb, codes) = pqTrained(s, d)
+    val ranked = ivfRanked(s, d)
+    val cellOf = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("n").as("nn"))
+    val probes = ranked
+      .filter((col("crn") <= IVF_NPROBE) && (col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("v").as("qv"), col("n").as("qn"))
+    val dtab = probes.select(col("query_id"), col("qv")).distinct()
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("qv"))
+      .withColumn("qs", slice(col("qv"), col("m") * PQ_L + 1, lit(PQ_L)))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pd", dot(col("qs"), col("cv")))
+      .select(col("query_id"), col("m"), col("c"), col("pd"))
+    val cand = codes.select(col("vec_id").as("neighbor_id"), col("m"), col("c"))
+      .join(cellOf, Seq("neighbor_id"))
+    probes.select(col("query_id"), col("cell"), col("qn"))
+      .join(cand, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(dtab, Seq("query_id", "m", "c"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qn"), col("nn"))
+      .agg(sum(col("pd").cast(
+        org.apache.spark.sql.types.DecimalType(28, 12))).as("ip_dec"))
+      .withColumn("adc_cos",
+        col("ip_dec").cast("double") / (col("qn") * col("nn")))
+  }
+
+  /** Shared oracle CTE of the ADC family ([[s07]]/[[s08]]): coarse
+    * layer + PQ train + encode + per-query lookup tables + candidate
+    * lookup-sum. Exposes `en` (vec_id, v, n) and `scored`
+    * (query_id, neighbor_id, adc_cos). */
+  private val adcOracleCte: String = """en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                           CAST(embedding AS DOUBLE[]))) AS n
              FROM embeddings),
@@ -625,7 +625,21 @@ object Similarity {
         JOIN cand c USING (cell)
         JOIN dt d ON d.query_id = p.query_id AND d.m = c.m AND d.c = c.c
         WHERE c.neighbor_id <> p.query_id
-        GROUP BY p.query_id, c.neighbor_id, p.qn, c.nn),
+        GROUP BY p.query_id, c.neighbor_id, p.qn, c.nn)"""
+
+  val s07 = QueryDef(
+    "s07_pq_adc_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      adcScored(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("adc_cos"), 6).as("adc_cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some(s"""
+      WITH $adcOracleCte,
       r AS (SELECT query_id, neighbor_id, adc_cos,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY adc_cos DESC, neighbor_id) AS rn
@@ -633,6 +647,77 @@ object Similarity {
       SELECT query_id, rn, neighbor_id,
              round(adc_cos, 6) AS adc_cosine
       FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+
+  /** ADC shortlist width for [[s08]] — candidates kept per query for
+    * the exact re-rank (FAISS's k' refinement factor; 4× the final
+    * k=5). */
+  private[queries] val ADC_SHORTLIST = 20
+
+  /** TWO-STAGE RETRIEVAL: ADC SHORTLIST → EXACT RE-RANK — the missing
+    * production half of [[s07]] and how IVF-PQ is actually served
+    * (FAISS `IndexRefine` / ScaNN's reordering stage): quantized
+    * lookup-sum scores are accurate enough to FIND the right
+    * neighborhood but too lossy to ORDER it, so the index returns a
+    * k′=20 shortlist per query and the true top-5 is decided by exact
+    * cosine against the full-precision vectors of just those 20.
+    *
+    * Plan shape at 10⁹ vectors: stage 1 is [[adcScored]] verbatim
+    * (every join an equi-join, codes not vectors in the scan); stage 2
+    * touches full-precision vectors for |Q|·k′ rows ONLY — two
+    * equi-joins against the vector table (query side, neighbor side)
+    * and an in-row dot product, no window wider than k′ rows per
+    * query. This is the architecture that lets the full-precision
+    * vectors live on slow storage while the PQ codes stay in RAM.
+    *
+    * Parity: the exact cosine replays [[s01]]'s IEEE-identical
+    * dot/(n·n) DAG; the shortlist rank and the final rank both break
+    * ties on neighbor_id; output carries adc_rn so the gate also pins
+    * HOW MUCH the re-rank reordered the quantized order. */
+  val s08 = QueryDef(
+    "s08_adc_rerank",
+    (s, d) => {
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      val short = adcScored(s, d)
+        .withColumn("adc_rn", row_number().over(wAdc))
+        .filter(col("adc_rn") <= ADC_SHORTLIST)
+        .select(col("query_id"), col("neighbor_id"), col("adc_rn"))
+      val e = docVectors(s, d)
+      val q = e.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("n").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("n").as("nn"))
+      val wEx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      short.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+        .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("adc_rn"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some(s"""
+      WITH $adcOracleCte,
+      short AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_cos DESC, neighbor_id) AS adc_rn
+        FROM scored),
+      ex AS (
+        SELECT sl.query_id, sl.neighbor_id, sl.adc_rn,
+               list_dot_product(q.v, c.v) / (q.n * c.n) AS cosine
+        FROM (SELECT * FROM short WHERE adc_rn <= $ADC_SHORTLIST) sl
+        JOIN en q ON q.vec_id = sl.query_id
+        JOIN en c ON c.vec_id = sl.neighbor_id),
+      rr AS (
+        SELECT query_id, neighbor_id, adc_rn, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM ex)
+      SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine, adc_rn
+      FROM rr WHERE rn <= 5
       ORDER BY query_id, rn"""))
 
   /** ANN RECALL EVALUATION — the measurement half every approximate

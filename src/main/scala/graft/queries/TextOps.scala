@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t21, d01, d02, d11)
+      t14, t15, t16, t21, t22, d01, d02, d11, d12)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -953,4 +953,169 @@ object TextOps {
         JOIN cnt cb ON p.doc_b = cb.doc_id)
       WHERE n_common * 2 >= n_a + n_b - n_common
       ORDER BY doc_a, doc_b"""))
+
+  /** Substring-level gram length for [[d12]]: 8 tokens. Lee et al.
+    * (ACL 2022, "Deduplicating Training Data Makes Language Models
+    * Better") use 50 BPE tokens on web corpora; the synthetic docs
+    * average ~50 words, so 8 keeps planted duplicate overlaps
+    * detectable while random 8-grams stay unique. */
+  private[queries] val GRAM_L = 8
+
+  /** EXACT SUBSTRING DEDUP — maximal duplicated-span detection, the
+    * within-document complement of [[d01]]'s whole-doc dedup and
+    * [[t11]]'s disjoint-chunk boilerplate removal: find every maximal
+    * token span that occurs more than once ANYWHERE in the corpus (at
+    * any alignment, any document — including twice inside one
+    * document), the substring-dedup stage of Lee et al. ACL 2022.
+    * t11 cannot see a duplicated passage that straddles its fixed
+    * 10-token chunk grid; this query slides an overlapping
+    * [[GRAM_L]]-token window over every position, so a shared span is
+    * caught wherever it starts.
+    *
+    * Shape: (1) one gram per token position (n − L + 1 per doc),
+    * hashed to 60-bit md5 keys immediately — gram STRINGS never
+    * shuffle; (2) corpus-wide occurrence count per gram hash — an
+    * algebraic hash-agg; grams occurring ≥ 2× are "duplicated"
+    * (NOTE: no df cap is needed, unlike d02/d11 — there is no pair
+    * self-join anywhere, a gram shared by 10⁶ docs just means 10⁶
+    * covered positions, work linear in the data); (3) left-semi-style
+    * join of gram starts against the duplicated set; (4) per-doc
+    * merge of covered intervals [i, i+L−1] into maximal spans —
+    * classic gaps-and-islands over one doc_id-partitioned window
+    * (running max of span end; a new island opens when a start clears
+    * the previous coverage edge + 1).
+    *
+    * At 100 TB: stage 2 and 4 are the only shuffles (8-byte hash
+    * keys; doc_id keys), both with map-side partials; per-doc window
+    * state is one long. Gram construction is O(n·L) characters — the
+    * distributed trade for the suffix array's O(n) (which needs
+    * global order, hostile to partitioning); L is a small constant.
+    * 60-bit hashing can alias two distinct grams (P ≈ n²/2⁶¹ — at
+    * 10¹² grams, ~one in 2300 corpora), the same accepted collision
+    * budget as t11/d02's h60 keys; the oracle replays the identical
+    * hash so the gate is exact. */
+  val d12 = QueryDef(
+    "d12_substring_dedup",
+    (s, d) => {
+      val L = GRAM_L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w"))
+        .filter(size(col("w")) >= L)
+      val grams = toks.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, size(w) - $L), i -> concat_ws(' ', slice(w, i + 1, $L)))"))
+            .as(Seq("i", "g")))
+        .select(col("doc_id"), col("i"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      val dup = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > 1)
+        .select(col("h"))
+      val hits = grams.join(dup, "h").select(col("doc_id"), col("i"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      hits
+        .withColumn("prev_end",
+          max(col("i") + lit(L - 1))
+            .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1)
+            .otherwise(0))
+        .withColumn("span_id",
+          sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("i")).cast("long").as("span_start"),
+          (max(col("i")) + lit(L - 1)).cast("long").as("span_end"),
+          (max(col("i")) - min(col("i")) + lit(L)).cast("long").as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+      g AS (
+        SELECT doc_id, i - 1 AS i,
+               CAST(concat('0x', substr(md5(array_to_string(w[i:i+${GRAM_L - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - $GRAM_L + 2)) AS i
+              FROM toks WHERE len(w) >= $GRAM_L)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+      hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+      sp AS (
+        SELECT doc_id, i,
+               max(i + ${GRAM_L - 1}) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM hits),
+      isl AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM sp)
+      SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+             CAST(max(i) + ${GRAM_L - 1} AS BIGINT) AS span_end,
+             CAST(max(i) - min(i) + $GRAM_L AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_start"""))
+
+  /** HASHED LINEAR CLASSIFIER INFERENCE — the fastText-style quality
+    * classifier of the CCNet / LLaMA pretraining pipelines (Joulin et
+    * al. 2016's hashing trick), as pure map-side Spark: features are
+    * unigrams plus word bigrams, each hashed straight to its weight —
+    * weight(f) = (h60(f) mod 2001) − 1000, a deterministic stand-in
+    * in [−1000, 1000] milli-units for a trained table (a real model
+    * ships as a broadcast hash-bucket→weight array; the pipeline
+    * shape — hash, look up, average, threshold — is identical, and
+    * NO vocabulary join is ever needed: that is the point of the
+    * hashing trick at 10¹¹ docs). The doc score is the mean feature
+    * weight; keep = score ≥ 0.
+    *
+    * Decided entirely in integer micro-units (the t19 lesson): the
+    * weight sum is an exact long, and the mean is computed as
+    * ((sum + 1000·n) · 1000) div n − 10⁶ — the +1000·n shift keeps
+    * the dividend non-negative so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree. No float enters the comparison.
+    *
+    * At 100 TB: one explode + one hash-agg on doc_id with map-side
+    * partials; no join, no broadcast, no window — the cheapest
+    * possible distributed shape, entirely inside whole-stage
+    * codegen. */
+  val t22 = QueryDef(
+    "t22_classifier_score",
+    (s, d) => {
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("w"))
+        .select(col("doc_id"), explode(expr(
+          """concat(
+               transform(w, t -> concat('uqw:', t)),
+               CASE WHEN size(w) >= 2
+                 THEN transform(sequence(0, size(w) - 2),
+                                i -> concat('bgw:', w[i], ' ', w[i + 1]))
+                 ELSE array() END)""")).as("f"))
+      val wm = (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long")
+        % 2001) - 1000
+      feats.select(col("doc_id"), wm.as("wm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("wm")).as("wsum"))
+        .withColumn("logit_micro",
+          expr("((wsum + 1000 * n_feats) * 1000) div n_feats - 1000000"))
+        .withColumn("keep", col("logit_micro") >= 0)
+        .select(col("doc_id"), col("n_feats"), col("logit_micro"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      f AS (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(w, t -> 'uqw:' || t),
+          list_transform(range(1, len(w)), i -> 'bgw:' || w[i] || ' ' || w[i+1]))) AS f
+        FROM toks),
+      wm AS (
+        SELECT doc_id,
+               (CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 2001) - 1000 AS wm
+        FROM f)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             ((CAST(sum(wm) AS BIGINT) + 1000 * count(*)) * 1000) // count(*) - 1000000 AS logit_micro,
+             (((CAST(sum(wm) AS BIGINT) + 1000 * count(*)) * 1000) // count(*) - 1000000) >= 0 AS keep
+      FROM wm GROUP BY doc_id
+      ORDER BY doc_id"""))
 }
