@@ -306,6 +306,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("d12's two island windows + span aggregate share one doc_id exchange") {
+    // the gaps-and-islands chain (running-max window → island-id
+    // window → span min/max aggregate) all clusters by doc_id, so ONE
+    // hash(doc_id) exchange + one sort must feed all three (the
+    // aggregate via the subset rule). Other exchanges: the gram-hash
+    // occurrence aggregate and the final ORDER BY range — three
+    // total. The duplicated-gram set reaches the gram stream as a
+    // join (broadcast at spec scale), never a cartesian; and the dup
+    // side's scan must prune to `text` only (it needs no doc_id).
+    val p = plan("d12_substring_dedup")
+    assert("Window".r.findAllIn(p).size === 2, p.take(3000))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Exchange (hash|range)".r.findAllIn(p).size === 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<text:string>"), p.take(3000))
+  }
+
+  test("t22 is one explode + one doc_id hash aggregate — no join, no window") {
+    // the hashing trick's whole point: feature→weight needs NO
+    // vocabulary join at any scale. One generate, one partial+final
+    // aggregate pair on doc_id, the ORDER BY range — nothing else.
+    val p = plan("t22_classifier_score")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Window".r.findAllIn(p).isEmpty, p.take(3000))
+    assert("Exchange".r.findAllIn(p).size === 2, p.take(3000)) // agg + sort
+    assert("partial_count|partial".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("t16 tokenizes the corpus once: tf and df read one shared cache") {
     // without the persist, Spark's self-reference semantics duplicate
     // the tf subtree: the df branch re-scans and re-explodes the whole
