@@ -21,7 +21,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t21, t22, d01, d02, d11, d12)
+      t14, t15, t16, t21, t22, t23, d01, d02, d11, d12)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
 
@@ -1118,4 +1118,125 @@ object TextOps {
              (((CAST(sum(wm) AS BIGINT) + 1000 * count(*)) * 1000) // count(*) - 1000000) >= 0 AS keep
       FROM wm GROUP BY doc_id
       ORDER BY doc_id"""))
+
+  /** Merge rounds learned by [[t23]]. Real tokenizers run 30k–100k
+    * rounds with incremental pair-delta updates; K=8 full-recount
+    * rounds exercise the same distributed shape per round (and reach
+    * the first multi-char merges on the spec corpora). */
+  private[queries] val BPE_ROUNDS = 8
+
+  /** DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. ACL 2016) —
+    * the step BEFORE every token-counting query ([[t05]]) exists: learn
+    * the merge table itself. The classic algorithm is inherently
+    * sequential (each merge depends on the last), but its per-round
+    * body is pure data-parallel aggregation, and — the scale key — it
+    * runs over the WORD-FREQUENCY TABLE, not the corpus: the corpus is
+    * touched exactly once (one explode + word hash-agg, the only
+    * corpus-scale stage, persisted); every round then (1) sums
+    * adjacent-symbol-pair counts weighted by word frequency over the
+    * |V|-row vocab, (2) takes the argmax pair (count desc, then
+    * lexicographic — total order, so both engines pick the identical
+    * pair), (3) rewrites each word's symbol array by a greedy
+    * left-to-right fold (`aggregate` HOF: merge when the accumulator's
+    * last symbol is L and the next is R — merged symbols are strictly
+    * longer than their parts, so a replacement can never create a new
+    * (L,R) adjacency, which makes the fold equal to repeated
+    * first-occurrence replacement; the oracle exploits exactly that
+    * equivalence with a recursive CTE per round).
+    *
+    * The per-round argmax is a one-row driver collect (the q67
+    * bounded-gather class: K rows total, never scaling with data) —
+    * unavoidable, because round k's fold literals ARE round k−1's
+    * result; the vocab table itself stays distributed (at 100 TB web
+    * scale |V| is 10⁷–10⁸ noisy types and must never sit on the
+    * driver). Output = the learned merge table, the artifact a
+    * tokenizer trainer ships. */
+  val t23 = QueryDef(
+    "t23_bpe_train",
+    (s, d) => {
+      val words = Shingles.sharedPersist(
+        Tables.documents(s, d)
+          .select(explode(tokens).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wc")))
+      var vocab = words.withColumn("syms",
+        filter(split(col("word"), ""), x => x =!= ""))
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      var k = 1
+      var exhausted = false
+      // a tiny corpus can run out of adjacent pairs before K rounds —
+      // the merge table then legitimately stops short (the oracle's
+      // empty b_k stages produce the same truncation)
+      while (k <= BPE_ROUNDS && !exhausted) {
+        val pairs = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("pr"))
+          .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+          .agg(sum(col("wc")).as("pair_count"))
+        val bestDf = pairs
+          .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+        bestDf.collect().headOption match {
+          case None => exhausted = true
+          case Some(best) =>
+            val (bl, br) = (best.getString(0), best.getString(1))
+            vocab = vocab.withColumn("syms",
+              aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === lit(bl) && x === lit(br),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+                  .otherwise(concat(acc, array(x)))))
+            rounds += bestDf.select(lit(k).as("merge_rank"), col("lhs"),
+              col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+              col("pair_count"))
+            k += 1
+        }
+      }
+      rounds.reduce(_ unionAll _).orderBy(col("merge_rank"))
+    },
+    Some(bpeOracle(BPE_ROUNDS)))
+
+  /** Oracle twin of [[t23]]: K unrolled rounds, each = pair-count agg
+    * + argmax + a recursive-CTE first-occurrence merge (equivalent to
+    * the greedy fold — see t23's scaladoc). The w0/v_k stages are
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each stage
+    * references its predecessor ~3× — un-materialized, the K-stage
+    * chain re-expands the corpus scan ~3^K times (measured: minutes
+    * at sf1 vs 0.8 s materialized). */
+  private def bpeOracle(rounds: Int): String = {
+    val head =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents) GROUP BY word),
+        |v0 AS MATERIALIZED (SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS syms FROM w0)""".stripMargin
+    val stages = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |          i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+         |        FROM v$p)
+         |  GROUP BY pr.l, pr.r),
+         |b$k AS (SELECT lhs, rhs, pair_count FROM p$k
+         |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |f$k AS (
+         |  SELECT word, wc, syms, 0 AS it FROM v$p
+         |  UNION ALL
+         |  SELECT word, wc, syms[:pp-1] || [lhs || rhs] || syms[pp+2:], it+1
+         |  FROM (SELECT f.word, f.wc, f.syms, f.it, b.lhs, b.rhs,
+         |          list_filter(range(1, len(f.syms)),
+         |            i -> f.syms[i] = b.lhs AND f.syms[i+1] = b.rhs)[1] AS pp
+         |        FROM f$k f, b$k b)
+         |  WHERE pp IS NOT NULL),
+         |v$k AS MATERIALIZED (
+         |  SELECT word, wc, syms FROM f$k
+         |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1)""".stripMargin
+    }
+    val sel = (1 to rounds).map { k =>
+      s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    "WITH RECURSIVE " + (head +: stages).mkString(",\n") +
+      s" SELECT * FROM ($sel) ORDER BY merge_rank"
+  }
 }
