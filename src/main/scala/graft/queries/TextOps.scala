@@ -1160,8 +1160,16 @@ object TextOps {
           .groupBy(col("word")).agg(count(lit(1)).as("wc")))
       var vocab = words.withColumn("syms",
         filter(split(col("word"), ""), x => x =!= ""))
-      val rounds = scala.collection.mutable.ArrayBuffer.empty[
-        org.apache.spark.sql.DataFrame]
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      // iteration discipline (the q66/q75 class): each round's vocab is
+      // persisted so round k's pair-count job reads round k-1's cached
+      // rows instead of re-evaluating the whole fold chain from the
+      // word table (O(K) fold evaluations, not O(K^2)); the copy two
+      // rounds back is released as soon as its successor materializes,
+      // so peak cache = 2 x |V| rows at any K
+      var prevCached: Option[org.apache.spark.sql.DataFrame] = None
+      var curCached: Option[org.apache.spark.sql.DataFrame] = None
       var k = 1
       var exhausted = false
       // a tiny corpus can run out of adjacent pairs before K rounds —
@@ -1174,25 +1182,38 @@ object TextOps {
             "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("pr"))
           .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
           .agg(sum(col("wc")).as("pair_count"))
-        val bestDf = pairs
+        val best = pairs
           .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
-        bestDf.collect().headOption match {
+          .collect().headOption
+        // that action materialized curCached (= this round's input), so
+        // the copy feeding IT is no longer reachable by future rounds
+        prevCached.foreach(_.unpersist(false))
+        prevCached = curCached
+        best match {
           case None => exhausted = true
-          case Some(best) =>
-            val (bl, br) = (best.getString(0), best.getString(1))
+          case Some(b) =>
+            val (bl, br) = (b.getString(0), b.getString(1))
+            merges += ((k, bl, br, bl + br, b.getLong(2)))
             vocab = vocab.withColumn("syms",
               aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
                 when(size(acc) > 0 &&
                     element_at(acc, -1) === lit(bl) && x === lit(br),
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
                   .otherwise(concat(acc, array(x)))))
-            rounds += bestDf.select(lit(k).as("merge_rank"), col("lhs"),
-              col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
-              col("pair_count"))
+              .persist()
+            curCached = Some(vocab)
             k += 1
         }
       }
-      rounds.reduce(_ unionAll _).orderBy(col("merge_rank"))
+      prevCached.foreach(_.unpersist(false))
+      curCached.foreach(_.unpersist(false))
+      // the merge table already lives on the driver (K bounded rows —
+      // the per-round argmax collects ARE the result); returning it as
+      // a local relation instead of a union of K limit(1) plans means
+      // downstream materialization doesn't re-run the training chain
+      import s.implicits._
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("merge_rank"))
     },
     Some(bpeOracle(BPE_ROUNDS)))
 
