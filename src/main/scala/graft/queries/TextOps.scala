@@ -21,9 +21,19 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t21, t22, t23, d01, d02, d11, d12)
+      t14, t15, t16, t21, t22, t23, t24, t25, d01, d02, d11, d12)
 
   private val tokens = split(lower(trim(col("text"))), "\\s+")
+
+  /** [[t08]]'s deterministic split bucket — md5(doc_id) mod 100 — as a
+    * shared column so split-aware queries (t25's held-out apply) use
+    * the IDENTICAL assignment and cannot drift from the split query. */
+  private[queries] val docBucket = pmod(conv(substring(
+    md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+
+  /** DuckDB spelling of [[docBucket]] for split-aware oracles. */
+  private val duckBucket =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
 
   /** Hard per-doc chunk cap for t11: bounds the reassembly agg buffer
     * (and every downstream per-doc state) for adversarial single-row
@@ -39,10 +49,8 @@ object TextOps {
   val t08 = QueryDef(
     "t08_hash_split",
     (s, d) => {
-      val bucket = pmod(conv(substring(
-        md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
       Tables.documents(s, d)
-        .select(col("doc_id"), bucket.as("bucket"))
+        .select(col("doc_id"), docBucket.as("bucket"))
         .withColumn("split",
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val").otherwise("test"))
@@ -1154,68 +1162,169 @@ object TextOps {
   val t23 = QueryDef(
     "t23_bpe_train",
     (s, d) => {
-      val words = Shingles.sharedPersist(
-        Tables.documents(s, d)
-          .select(explode(tokens).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wc")))
-      var vocab = words.withColumn("syms",
-        filter(split(col("word"), ""), x => x =!= ""))
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
-      // iteration discipline (the q66/q75 class): each round's vocab is
-      // persisted so round k's pair-count job reads round k-1's cached
-      // rows instead of re-evaluating the whole fold chain from the
-      // word table (O(K) fold evaluations, not O(K^2)); the copy two
-      // rounds back is released as soon as its successor materializes,
-      // so peak cache = 2 x |V| rows at any K
-      var prevCached: Option[org.apache.spark.sql.DataFrame] = None
-      var curCached: Option[org.apache.spark.sql.DataFrame] = None
-      var k = 1
-      var exhausted = false
-      // a tiny corpus can run out of adjacent pairs before K rounds —
-      // the merge table then legitimately stops short (the oracle's
-      // empty b_k stages produce the same truncation)
-      while (k <= BPE_ROUNDS && !exhausted) {
-        val pairs = vocab
-          .filter(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("pr"))
-          .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
-          .agg(sum(col("wc")).as("pair_count"))
-        val best = pairs
-          .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
-          .collect().headOption
-        // that action materialized curCached (= this round's input), so
-        // the copy feeding IT is no longer reachable by future rounds
-        prevCached.foreach(_.unpersist(false))
-        prevCached = curCached
-        best match {
-          case None => exhausted = true
-          case Some(b) =>
-            val (bl, br) = (b.getString(0), b.getString(1))
-            merges += ((k, bl, br, bl + br, b.getLong(2)))
-            vocab = vocab.withColumn("syms",
-              aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-                when(size(acc) > 0 &&
-                    element_at(acc, -1) === lit(bl) && x === lit(br),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
-                  .otherwise(concat(acc, array(x)))))
-              .persist()
-            curCached = Some(vocab)
-            k += 1
-        }
-      }
-      prevCached.foreach(_.unpersist(false))
-      curCached.foreach(_.unpersist(false))
       // the merge table already lives on the driver (K bounded rows —
       // the per-round argmax collects ARE the result); returning it as
       // a local relation instead of a union of K limit(1) plans means
       // downstream materialization doesn't re-run the training chain
       import s.implicits._
-      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      bpeTrain(s, d)._1
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("merge_rank"))
     },
     Some(bpeOracle(BPE_ROUNDS)))
+
+  /** One BPE training per (session, corpus): [[t23]] ships the merge
+    * table, [[t24]] applies the segmented vocab — the Graph-family
+    * shared-build discipline (Graph.purchaseGraph), so running both
+    * costs one training. An external `catalog.clearCache()` (Bench
+    * between passes) drops the persisted vocab; the cache treats that
+    * as staleness and RE-TRAINS rather than serving driver-held merges
+    * a cold-cache pass never paid for (the count-vs-noop honesty
+    * standard applied to driver-side state). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+
+  /** One greedy left-to-right merge pass of (l, r) over a symbol array
+    * — the single fold both training re-segmentation and held-out
+    * apply ([[t25]]) run, factored so the two cannot drift. */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String)
+      : org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  private[queries] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      trainSplitOnly: Boolean = false)
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeCache.compute((s, d + (if (trainSplitOnly) "#train" else "")), { (_, prev) =>
+      if (prev != null &&
+          prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
+      else trainBpe(s, d, trainSplitOnly)
+    })
+  }
+
+  private def trainBpe(s: org.apache.spark.sql.SparkSession, d: String,
+      trainSplitOnly: Boolean)
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val corpus = Tables.documents(s, d)
+    val words = Shingles.sharedPersist(
+      (if (trainSplitOnly) corpus.filter(docBucket < 90) else corpus)
+        .select(explode(tokens).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc")))
+    var vocab = words.withColumn("syms",
+      filter(split(col("word"), ""), x => x =!= ""))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    // iteration discipline (the q66/q75 class): each round's vocab is
+    // persisted so round k's pair-count job reads round k-1's cached
+    // rows instead of re-evaluating the whole fold chain from the
+    // word table (O(K) fold evaluations, not O(K^2)); the copy two
+    // rounds back is released as soon as its successor materializes,
+    // so peak cache = 2 x |V| rows at any K
+    var prevCached: Option[org.apache.spark.sql.DataFrame] = None
+    var curCached: Option[org.apache.spark.sql.DataFrame] = None
+    var k = 1
+    var exhausted = false
+    // a tiny corpus can run out of adjacent pairs before K rounds —
+    // the merge table then legitimately stops short (the oracle's
+    // empty b_k stages produce the same truncation)
+    while (k <= BPE_ROUNDS && !exhausted) {
+      val pairs = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("pr"))
+        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .agg(sum(col("wc")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+        .collect().headOption
+      // that action materialized curCached (= this round's input), so
+      // the copy feeding IT is no longer reachable by future rounds
+      prevCached.foreach(_.unpersist(false))
+      prevCached = curCached
+      best match {
+        case None => exhausted = true
+        case Some(b) =>
+          val (bl, br) = (b.getString(0), b.getString(1))
+          merges += ((k, bl, br, bl + br, b.getLong(2)))
+          vocab = vocab.withColumn("syms", mergeFold(col("syms"), bl, br))
+            .persist()
+          curCached = Some(vocab)
+          k += 1
+      }
+    }
+    prevCached.foreach(_.unpersist(false))
+    // the FINAL segmented vocab survives for t24 (and release()'s
+    // end-of-run cleanup — sharedPersist registers it; persist() above
+    // already used the same MEMORY_AND_DISK level so re-registering is
+    // a no-op on storage)
+    (merges.toSeq, Shingles.sharedPersist(vocab))
+  }
+
+  /** BPE TOKENIZER APPLY — the companion corpus-scale stage to
+    * [[t23]]: segment every document with the learned merge table and
+    * account tokens per doc (the "tokenize the corpus, report the
+    * token budget" step every pretraining data plan ends with). The
+    * trained vocab already holds each word's final segmentation, so
+    * apply = ONE equi-join of the exploded corpus against the |V|-row
+    * vocab on `word` (broadcast when |V| fits, shuffle-hash at web
+    * scale — AQE's call) + a doc_id hash-agg; no per-document merge
+    * loop ever runs. Shares one training with t23 via [[bpeTrain]]. */
+  val t24 = QueryDef(
+    "t24_bpe_apply",
+    (s, d) => {
+      val vocab = bpeTrain(s, d)._2
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .join(vocab.select(col("word"), size(col("syms")).as("n_syms")),
+          Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeApplyOracle(BPE_ROUNDS)))
+
+  /** HELD-OUT (OOV-SAFE) BPE APPLY — the production tokenizer shape
+    * [[t24]] cannot cover: t24's join works because apply corpus =
+    * train corpus, so every word sits in the trained vocab. Real
+    * pipelines tokenize data the trainer NEVER saw (new crawl snapshot,
+    * the val/test splits). t25 trains on the t08 train split only
+    * (bucket < 90, its own [[bpeTrain]] cache entry) and segments the
+    * VAL split by replaying the K merges in rank order over the
+    * DISTINCT-val-word table — correct for any word, in-vocab or OOV,
+    * because a rank-k merge can only create pairs of rank > k (merged
+    * symbols postdate their parts), so sequential rank-order passes
+    * equal the reference tokenizer's lowest-rank-first loop. Scale
+    * shape: the K folds compose into ONE narrow projection over |W|
+    * distinct words (no shuffle, no per-round job — the corpus-scale
+    * side only ever sees the one word equi-join + doc_id agg of t24).
+    * On the driver corpora the 31-word vocab means zero genuinely
+    * unseen val words; the OOV path itself is pinned by BpeTrainSpec
+    * on a constructed split corpus where it must fire. */
+  val t25 = QueryDef(
+    "t25_bpe_apply_oov",
+    (s, d) => {
+      val merges = bpeTrain(s, d, trainSplitOnly = true)._1
+      val valDocs = Tables.documents(s, d)
+        .filter(docBucket >= 90 && docBucket < 95)
+      val seg = merges.foldLeft(
+        filter(split(col("word"), ""), x => x =!= "")) {
+        case (c, (_, l, r, _, _)) => mergeFold(c, l, r) }
+      val segmented = valDocs.select(explode(tokens).as("word")).distinct()
+        .select(col("word"), size(seg).as("n_syms"))
+      valDocs.select(col("doc_id"), explode(tokens).as("word"))
+        .join(segmented, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeOovOracle(BPE_ROUNDS)))
 
   /** Oracle twin of [[t23]]: K unrolled rounds, each = pair-count agg
     * + argmax + a recursive-CTE first-occurrence merge (equivalent to
@@ -1225,11 +1334,67 @@ object TextOps {
     * chain re-expands the corpus scan ~3^K times (measured: minutes
     * at sf1 vs 0.8 s materialized). */
   private def bpeOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map { k =>
+      s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    bpeStages(rounds) + s" SELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
+  /** Oracle twin of [[t24]]: the SAME training stages as [[bpeOracle]]
+    * (shared generator — the solo and apply forms cannot drift), then
+    * the corpus re-exploded and joined to the final vocab v_K. */
+  private def bpeApplyOracle(rounds: Int): String =
+    bpeStages(rounds) +
+      s""" SELECT doc_id, count(*) AS n_words,
+             CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents) t
+      JOIN v$rounds v USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Oracle twin of [[t25]]: the SAME stage generator trains on the
+    * train split only (w0 gains the bucket predicate), then K
+    * application stages replay each merge b_k over the distinct-VAL-
+    * word table u_{k-1} with the identical recursive-CTE first-
+    * occurrence merge the training stages use (one shared shape — the
+    * engine pair cannot drift on OOV words either). */
+  private def bpeOovOracle(rounds: Int): String = {
+    val u0 =
+      s"""u0 AS MATERIALIZED (
+         |  SELECT word, list_filter(string_split(word, ''), x -> x <> '') AS syms
+         |  FROM (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |        FROM documents WHERE $duckBucket >= 90 AND $duckBucket < 95))""".stripMargin
+    val apply = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""g$k AS (
+         |  SELECT word, syms, 0 AS it FROM u$p
+         |  UNION ALL
+         |  SELECT word, syms[:pp-1] || [lhs || rhs] || syms[pp+2:], it+1
+         |  FROM (SELECT g.word, g.syms, g.it, b.lhs, b.rhs,
+         |          list_filter(range(1, len(g.syms)),
+         |            i -> g.syms[i] = b.lhs AND g.syms[i+1] = b.rhs)[1] AS pp
+         |        FROM g$k g, b$k b)
+         |  WHERE pp IS NOT NULL),
+         |u$k AS MATERIALIZED (
+         |  SELECT word, syms FROM g$k
+         |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1)""".stripMargin
+    }
+    bpeStages(rounds, s"WHERE $duckBucket < 90") + ",\n" +
+      (u0 +: apply).mkString(",\n") +
+      s""" SELECT doc_id, count(*) AS n_words,
+             CAST(sum(len(u.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents WHERE $duckBucket >= 90 AND $duckBucket < 95) t
+      JOIN u$rounds u USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private def bpeStages(rounds: Int, where: String = ""): String = {
     val head =
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         |  SELECT word, count(*) AS wc FROM (
-        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        |    FROM documents) GROUP BY word),
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        |    FROM documents $where) GROUP BY word),
         |v0 AS MATERIALIZED (SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS syms FROM w0)""".stripMargin
     val stages = (1 to rounds).map { k =>
       val p = k - 1
@@ -1254,10 +1419,6 @@ object TextOps {
          |  SELECT word, wc, syms FROM f$k
          |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1)""".stripMargin
     }
-    val sel = (1 to rounds).map { k =>
-      s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_count FROM b$k"
-    }.mkString(" UNION ALL ")
-    "WITH RECURSIVE " + (head +: stages).mkString(",\n") +
-      s" SELECT * FROM ($sel) ORDER BY merge_rank"
+    "WITH RECURSIVE " + (head +: stages).mkString(",\n")
   }
 }

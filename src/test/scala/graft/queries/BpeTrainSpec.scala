@@ -47,6 +47,114 @@ class BpeTrainSpec extends SparkSpec {
     assert(expected.exists { case (_, l, r, _, _) => l.length > 1 || r.length > 1 })
   }
 
+  test("t24 per-doc token accounting matches the reference segmentation on sf0.001") {
+    val docWords = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wordFreq = docWords.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    // reference: replay the merges, keep the final segment count per word
+    var vocab = wordFreq.keys.map(w => w -> w.toCharArray.map(_.toString).toVector).toMap
+    for ((_, l, r, _, _) <- refBpe(wordFreq, TextOps.BPE_ROUNDS)) {
+      vocab = vocab.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+          else out += x
+        }
+        w -> out.toVector
+      }
+    }
+    val expected = docWords.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.map(t => vocab(t._2).length.toLong).sum))
+    }
+    val got = Registry.queries("t24_bpe_apply")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // merging must actually compress: fewer BPE tokens than characters
+    assert(got.values.map(_._2).sum <
+      docWords.map(_._2.length.toLong).sum)
+  }
+
+  test("t23 and t24 share ONE training; clearCache invalidates it (cold-cache honesty)") {
+    val first = TextOps.bpeTrain(spark, sfDir)
+    // second call — same session+dir, vocab still persisted — must be
+    // the SAME instance (no retraining, the Graph shared-build rule)
+    assert(TextOps.bpeTrain(spark, sfDir) eq first)
+    // Bench's between-pass clearCache drops the persisted vocab; the
+    // cache must then RE-TRAIN instead of serving driver-held merges a
+    // cold-cache pass never paid for
+    spark.catalog.clearCache()
+    val retrained = TextOps.bpeTrain(spark, sfDir)
+    assert(!(retrained eq first))
+    assert(retrained._1 === first._1)
+  }
+
+  /** md5(doc_id) mod 100 — the t08 split bucket, replayed locally. */
+  private def bucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 15), 16) % 100
+  }
+
+  /** Sequential rank-order merge replay over one word — the reference
+    * tokenizer apply (equals lowest-rank-first: a rank-k merge only
+    * creates pairs of later rank). */
+  private def applyMerges(word: String,
+      merges: Seq[(Int, String, String, String, Long)]): Vector[String] = {
+    var syms = word.toCharArray.map(_.toString).toVector
+    for ((_, l, r, _, _) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (x <- syms) {
+        if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+        else out += x
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
+  test("t25 held-out apply matches train-split training + rank-order replay on sf0.001") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val trainWords = docs.filter(t => bucket(t._1) < 90)
+      .groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    val merges = refBpe(trainWords, TextOps.BPE_ROUNDS)
+    val valDocs = docs.filter(t => { val b = bucket(t._1); b >= 90 && b < 95 })
+    val expected = valDocs.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.map(t => applyMerges(t._2, merges).length.toLong).sum))
+    }
+    val got = Registry.queries("t25_bpe_apply_oov")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("t25's OOV path fires on a constructed split corpus and segments unseen words") {
+    val dir = java.nio.file.Files.createTempDirectory("t25oov").toString
+    val ids = (1L to 2000L)
+    val trainIds = ids.filter(bucket(_) < 90).take(4)
+    val valIds = ids.filter(i => { val b = bucket(i); b >= 90 && b < 95 }).take(2)
+    assert(trainIds.size === 4 && valIds.size === 2)
+    // training teaches (a,b)->ab then (ab,c)->abc (dominant pair each
+    // round); the val docs carry 'abc' (in-vocab, compresses to ONE
+    // token) AND 'zqzq' (all-OOV chars — no trained merge applies, so
+    // it must stay 4 single-char tokens)
+    val trainDocs = trainIds.map(_ -> "abc abc abc abc ab")
+    val valDocs = Seq(valIds(0) -> "abc zqzq", valIds(1) -> "zqzq zqzq abc")
+    import spark.implicits._
+    (trainDocs ++ valDocs).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("t25_bpe_apply_oov")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc val0: abc=1 token + zqzq=4 tokens; doc val1: 4+4+1
+    assert(got === Map(valIds(0) -> ((2L, 5L)), valIds(1) -> ((3L, 9L))))
+    // and the word really is OOV for the trainer
+    assert(!trainDocs.exists(_._2.contains("zq")))
+  }
+
   test("overlapping runs merge greedily left-to-right, not pairwise-all") {
     // corpus of one repeated word "aaa" (odd run): greedy (a,a) merge
     // gives [aa, a] — the (aa, a) pair then exists for round 2, while

@@ -334,6 +334,28 @@ class PlanQualitySpec extends SparkSpec {
     assert("partial_count|partial".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("t24 applies BPE as ONE vocab equi-join + doc_id agg — no per-doc merge loop") {
+    // the trained vocab already carries each word's final segmentation
+    // (t23's K merge rounds ran over the |V|-row table only), so apply
+    // is corpus-explode ⋈ vocab + one hash(doc_id) aggregate. The
+    // vocab side must read t23's shared persisted training
+    // (InMemoryTableScan — no re-train inside the apply plan), the
+    // join must broadcast at this |V| (AQE's call, not a pinned hint —
+    // at web-scale |V| it may degrade to shuffle-hash), and NO window
+    // or fold over the corpus-scale side survives into the plan.
+    val p = plan("t24_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert("Window".r.findAllIn(p).isEmpty, p.take(3000))
+    // count exchanges in the LIVE plan only — the InMemoryRelation
+    // prints its cached build plan (the training chain) below the
+    // scan, and those exchanges already ran once at training time
+    val live = p.split("InMemoryRelation")(0)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(live).size === 1, p.take(3000))
+    assert("Exchange (hash|range)".r.findAllIn(live).size === 2, p.take(3000)) // agg + sort
+  }
+
   test("t16 tokenizes the corpus once: tf and df read one shared cache") {
     // without the persist, Spark's self-reference semantics duplicate
     // the tf subtree: the df branch re-scans and re-explodes the whole
