@@ -96,6 +96,79 @@ object MediaDecode {
       (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
   }
 
+  /** The registry's deterministic doc_id → (width, height, n_frames)
+    * VIDEO synthesis (m03's multi-frame container twin of
+    * [[synthMedia]]); frame f's solid color comes from
+    * [[frameColor]]. Oracles replay the same arithmetic. */
+  def synthVideo(id: Long): (Int, Int, Int) =
+    (8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt, 1 + (id % 6).toInt)
+
+  /** Deterministic (r, g, b) of frame `f` in doc `id`'s container. */
+  def frameColor(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 37 + f * 17) % 256).toInt, ((id * 59 + f * 29) % 256).toInt,
+      ((id * 83 + f * 41) % 256).toInt)
+
+  /** Encode solid-color frames as a REAL animated GIF (the JVM's
+    * native multi-frame container): one `writeToSequence` per frame
+    * through the registry's GIF `ImageWriter`. Solid-color frames
+    * survive the GIF palette quantizer bit-exactly (a single-color
+    * image's palette IS that color), which is what lets m03's oracle
+    * predict the decoded pixels arithmetically. */
+  def encodeGif(width: Int, height: Int, colors: Array[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, width, height, Array.fill(width * height)(rgb), 0, width)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** One decoded, sampled frame of a multi-frame container. */
+  final case class FrameSample(
+      doc_id: Long, n_frames: Int, frame_idx: Int,
+      width: Int, height: Int, r: Int, g: Int, b: Int)
+
+  /** REAL frame sampling: open the payload with whatever codec the
+    * `ImageIO` registry matches from the magic bytes, count the
+    * container's actual frames (`getNumImages(true)` — a full stream
+    * scan, the honest way), pick ≤ `maxSamples` evenly spaced indices
+    * (`i·n/max`, integer division — replayable in SQL), and DECODE
+    * exactly the sampled frames, reporting each frame's raster
+    * geometry and pixel (0,0). Container-agnostic: a single-frame PNG
+    * is just n = 1. */
+  def sampleFrames(id: Long, bytes: Array[Byte],
+      maxSamples: Int): Seq[FrameSample] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no installed codec recognizes doc $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val picks =
+          if (n <= maxSamples) 0 until n
+          else (0 until maxSamples).map(i => i * n / maxSamples)
+        picks.map { idx =>
+          val img = reader.read(idx)
+          val px = img.getRGB(0, 0)
+          FrameSample(id, n, idx, img.getWidth, img.getHeight,
+            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** Encode a width×height GRADIENT image as real PNG bytes: pixel
     * (x, y) carries luminance `(base + 3x + 5y) mod 256` in all three
     * channels — deterministic per-pixel content an oracle can predict

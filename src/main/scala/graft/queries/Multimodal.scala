@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * iterator per partition, constant memory, no per-row UDF overhead).
   *
   * DECODE TIERS: every query that claims to decode, DECODES — m01
-  * (metadata), m02 (resize plan), m05 (signature dedup), m06 (full
-  * pixel-resize loop) and m07 (pixel features) all run REAL PNG bytes
-  * through the JVM-native `javax.imageio` codec
+  * (metadata), m02 (resize plan), m03 (multi-frame container frame
+  * sampling, real animated GIF), m05 (signature dedup), m06 (full
+  * pixel-resize loop) and m07 (pixel features) all run REAL media
+  * bytes through the JVM-native `javax.imageio` codec
   * ([[graft.ops.MediaDecode.decodeImage]]): genuine encoder → genuine
   * decoder, dimensions/channels/pixels read from the decoded raster,
   * with the oracle recomputing the expected values arithmetically so
@@ -112,32 +113,53 @@ object Multimodal {
       FROM g
       ORDER BY doc_id"""))
 
-  /** Frame sampling: treat the payload as a media stream, emit one row
-    * per sampled frame (generator shape — explode over a computed
-    * frame sequence; per-row fan-out happens executor-side, the frame
-    * count derives from payload length, capped at 4 samples). */
+  /** REAL frame sampling over a REAL multi-frame container — the
+    * video-ish member of the codec family: each document gets a
+    * genuine animated GIF (1–6 solid-color frames, JVM-native
+    * multi-frame encoder), and the sampler opens it with whatever
+    * codec the `ImageIO` registry matches, counts the container's
+    * ACTUAL frames with a full stream scan, picks ≤ 4 evenly spaced
+    * indices (`i·n/4` integer arithmetic — the oracle's formula), and
+    * decodes exactly the sampled frames, emitting each frame's
+    * decoded geometry and pixel values (generator shape: per-doc
+    * fan-out happens executor-side inside one mapPartitions pass;
+    * payload bytes never shuffle — only the sampled-frame rows do).
+    * Solid-color frames survive the GIF palette quantizer
+    * bit-exactly, so a hash match proves the real encode→count→
+    * sample→decode loop frame-faithful. */
   val m03 = QueryDef(
     "m03_media_framesample",
     (s, d) => {
-      val m = Tables.documents(s, d)
-        .select(col("doc_id"),
-          octet_length(encode(col("text"), "utf-8")).as("n_bytes"))
-        .withColumn("n_frames", (expr("n_bytes div 64") + 1).cast("int"))
-        .withColumn("n_sampled", least(col("n_frames"), lit(4)))
-      m.select(col("doc_id"), col("n_frames"),
-          explode(sequence(lit(0), col("n_sampled") - 1)).as("frame_idx"))
-        .withColumn("byte_offset", col("frame_idx") * 64)
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.flatMap { id =>
+          val (w, h, n) = graft.ops.MediaDecode.synthVideo(id)
+          val gif = graft.ops.MediaDecode.encodeGif(w, h,
+            Array.tabulate(n) { f =>
+              val (r, g, b) = graft.ops.MediaDecode.frameColor(id, f)
+              (r << 16) | (g << 8) | b
+            })
+          graft.ops.MediaDecode.sampleFrames(id, gif, maxSamples = 4)
+        }
+      }.toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     },
     Some("""
       WITH m AS (
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-               CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames
+        SELECT doc_id,
+               CAST(1 + doc_id % 6 AS INT) AS n_frames,
+               CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id // 16) % 16 AS INT) AS height
         FROM documents),
-      s AS (SELECT doc_id, n_frames, least(n_frames, 4) AS n_sampled FROM m)
+      s AS (SELECT doc_id, n_frames, width, height,
+              unnest(range(0, least(n_frames, 4))) AS i FROM m)
       SELECT doc_id, n_frames,
-             unnest(range(0, n_sampled)) AS frame_idx,
-             unnest(range(0, n_sampled)) * 64 AS byte_offset
+             CAST(CASE WHEN n_frames <= 4 THEN i ELSE i * n_frames // 4 END AS INT) AS frame_idx,
+             width, height,
+             CAST((doc_id * 37 + (CASE WHEN n_frames <= 4 THEN i ELSE i * n_frames // 4 END) * 17) % 256 AS INT) AS r,
+             CAST((doc_id * 59 + (CASE WHEN n_frames <= 4 THEN i ELSE i * n_frames // 4 END) * 29) % 256 AS INT) AS g,
+             CAST((doc_id * 83 + (CASE WHEN n_frames <= 4 THEN i ELSE i * n_frames // 4 END) * 41) % 256 AS INT) AS b
       FROM s
       ORDER BY doc_id, frame_idx"""))
 

@@ -98,6 +98,34 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(f.features.toSeq == Seq.fill(8)(32.0 / 256.0))
   }
 
+  test("animated GIF roundtrip: real frame count, even sampling, exact frame pixels") {
+    // 6 solid-color frames through the REAL multi-frame GIF encoder;
+    // the sampler must count 6 via a genuine stream scan, pick the
+    // evenly spaced i*6/4 = {0, 1, 3, 4}, and decode each sampled
+    // frame's true color (solid frames survive palette quantization
+    // bit-exactly — the property m03's oracle relies on).
+    val colors = Array(0xab3f17, 0x00ff7f, 0x123456, 0xfedcba, 0x7f7f7f, 0x010203)
+    val gif = MediaDecode.encodeGif(12, 9, colors)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF", "real GIF magic")
+    val got = MediaDecode.sampleFrames(7L, gif, maxSamples = 4)
+    assert(got.map(_.frame_idx) == Seq(0, 1, 3, 4))
+    assert(got.forall(f => f.n_frames == 6 && f.width == 12 && f.height == 9))
+    assert(got.map(f => (f.r << 16) | (f.g << 8) | f.b) ==
+      Seq(0, 1, 3, 4).map(colors))
+  }
+
+  test("frame sampling is container-agnostic: a PNG is one frame, short GIFs take all") {
+    // n <= maxSamples keeps every frame (no formula branch skew)
+    val gif3 = MediaDecode.encodeGif(8, 8, Array(0x112233, 0x445566, 0x778899))
+    assert(MediaDecode.sampleFrames(1L, gif3, 4).map(_.frame_idx) == Seq(0, 1, 2))
+    // a single-frame PNG through the SAME sampler: the registry picks
+    // the PNG codec from the magic bytes, n = 1
+    val png = MediaDecode.encodePng(5, 4, 0x224466)
+    val one = MediaDecode.sampleFrames(2L, png, 4)
+    assert(one.map(f => (f.n_frames, f.frame_idx, f.width, f.height)) == Seq((1, 0, 5, 4)))
+    assert(((one.head.r << 16) | (one.head.g << 8) | one.head.b) == 0x224466)
+  }
+
   test("colored pixels histogram true BT.601 luminance, not the blue channel") {
     // solid pure blue: luma = 114*255/1000 = 29 ⇒ bin 0. The
     // pre-round-9 blue-channel shortcut would put it in bin 7 (255/32).
