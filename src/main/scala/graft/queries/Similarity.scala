@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, d03, d04, d05, d06, d07, d09, q34)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, d03, d04, d05, d06, d07, d09, q34, t26)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -1113,6 +1113,112 @@ object Similarity {
       SELECT label, vec_a, vec_b, cosine
       FROM p WHERE cosine >= 0.35
       ORDER BY label, vec_a, vec_b"""
+    })
+
+  /** [[t26]]'s hash tables: L=6 × B=2 seeded signed hyperplanes —
+    * twice d05's table count, because decontamination is a RECALL
+    * problem (a missed leak poisons an eval; a missed near-dup just
+    * wastes tokens): at the cos ≥ 0.9 true-leak regime the 6-table
+    * miss rate is ~4·10⁻⁴ vs d05's ~2·10⁻². Interpolated into both
+    * engines (the d05 plane discipline). */
+  private[queries] val T26_B = 2
+  private[queries] val T26_L = 6
+  private[queries] val t26Planes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new java.util.Random(26)
+    Seq.fill(T26_L, T26_B)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
+  }
+  private[queries] val T26_TAU = 0.35
+
+  /** SEMANTIC TRAIN/TEST DECONTAMINATION — the embedding-space analog
+    * of [[TextOps.t17]]'s shingle-overlap audit: an eval answer that
+    * was PARAPHRASED into the training set shares no 5-gram, but its
+    * embedding sits next to the test doc's. Split is the t08
+    * arithmetic on vec_id (train < 90, test ≥ 95 — pure projection,
+    * re-derivable for audits); candidates = train×test pairs sharing
+    * a (label, table, hyperplane-sig) bucket for one of L=6 tables
+    * (never a global cross join — the d05 blocking pattern with the
+    * recall dial turned up); flags = candidates whose exact cosine
+    * clears d05's verified ≥ 0.35 threshold on this corpus. Output is
+    * the per-label decontamination ACCOUNTING (n_train / n_test /
+    * n_flagged / n_kept) — the bounded report a corpus release ships;
+    * the flagged-id set itself is pinned doc-exact by
+    * SemanticDeconSpec (plain-Scala replay + a planted paraphrase
+    * pair that the bucketing provably cannot miss). Scale: sig
+    * explode is a narrow projection; the candidate join keys on
+    * (label, tbl, sig) with the 5%-sized test side broadcastable at
+    * any realistic split ratio; exact verification touches only
+    * candidate pairs. */
+  val t26 = QueryDef(
+    "t26_semantic_decon",
+    (s, d) => {
+      val e = docVectors(s, d)
+        .withColumn("b", pmod(conv(substring(
+          md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(100)))
+      def sigged(df: DataFrame, idAs: String) = df.select(col("label"),
+        col("vec_id").as(idAs),
+        explode(array((0 until T26_L).map { t =>
+          struct(lit(t).as("tbl"),
+            (0 until T26_B).map(j =>
+              when(dot(col("v"), typedlit(t26Planes(t)(j))) > 0, lit(1 << j))
+                .otherwise(lit(0))).reduce(_ + _).as("sig"))
+        }: _*)).as("ts"))
+        .select(col("label"), col(idAs),
+          col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      val train = e.filter(col("b") < 90)
+      val test = e.filter(col("b") >= 95)
+      val cand = sigged(train, "train_id")
+        .join(sigged(test, "test_id"), Seq("label", "tbl", "sig"))
+        .select(col("label"), col("train_id"), col("test_id")).distinct()
+      val ea = e.select(col("vec_id").as("train_id"), col("v").as("va"), col("n").as("na"))
+      val eb = e.select(col("vec_id").as("test_id"), col("v").as("vb"), col("n").as("nb"))
+      val flagged = cand.join(ea, Seq("train_id")).join(eb, Seq("test_id"))
+        .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= T26_TAU)
+        .select(col("label"), col("train_id")).distinct()
+      train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))
+        .join(test.groupBy(col("label")).agg(count(lit(1)).as("n_test")),
+          Seq("label"), "left")
+        .join(flagged.groupBy(col("label")).agg(count(lit(1)).as("n_flagged")),
+          Seq("label"), "left")
+        .select(col("label"), col("n_train"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          (col("n_train") - coalesce(col("n_flagged"), lit(0L))).as("n_kept"))
+        .orderBy(col("label"))
+    },
+    Some {
+      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
+      val bkt = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+      val sigSelects = (0 until T26_L).map { t =>
+        val bits = (0 until T26_B).map(j =>
+          s"(CASE WHEN list_dot_product(v, ${lst(t26Planes(t)(j))}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT label, vec_id, b, $t AS tbl, ($bits) AS sig FROM e"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v, $bkt AS b FROM embeddings),
+      sigged AS ($sigSelects),
+      cand AS (
+        SELECT DISTINCT a.label, a.vec_id AS train_id, t.vec_id AS test_id
+        FROM sigged a JOIN sigged t
+          ON a.label = t.label AND a.tbl = t.tbl AND a.sig = t.sig
+        WHERE a.b < 90 AND t.b >= 95),
+      flagged AS (
+        SELECT DISTINCT c.label, c.train_id
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.train_id
+        JOIN e eb ON eb.vec_id = c.test_id
+        WHERE round(list_dot_product(ea.v, eb.v) /
+                    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $T26_TAU),
+      tr AS (SELECT label, count(*) AS n_train FROM e WHERE b < 90 GROUP BY label),
+      te AS (SELECT label, count(*) AS n_test FROM e WHERE b >= 95 GROUP BY label),
+      fl AS (SELECT label, count(*) AS n_flagged FROM flagged GROUP BY label)
+      SELECT tr.label, CAST(tr.n_train AS BIGINT) AS n_train,
+             CAST(coalesce(te.n_test, 0) AS BIGINT) AS n_test,
+             CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+             CAST(tr.n_train - coalesce(fl.n_flagged, 0) AS BIGINT) AS n_kept
+      FROM tr LEFT JOIN te USING (label) LEFT JOIN fl USING (label)
+      ORDER BY label"""
     })
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
