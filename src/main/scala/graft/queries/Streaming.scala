@@ -17,7 +17,30 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15, st16, st17, st18)
+      st12, st13, st14, st15, st16, st17, st18, st19)
+
+  /** Streaming token-budget monitor
+    * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
+    * the t24/t25 tokenizer-apply family: arriving documents are
+    * tokenized against the FROZEN merge table (the K driver-held rows
+    * t23 trains, shared via [[TextOps.bpeTrain]] — exactly the
+    * artifact a tokenizer worker ships) by replaying the merges in
+    * rank order per word (t25's OOV-correct fold), amortized through
+    * a persisted distinct-word segmentation cache auto-broadcast into
+    * the stream (st11's stream-static shape, zero join state) with an
+    * inline-fold OOV fallback, and the stream reports per-hour
+    * doc/word/BPE-token throughput; the only streaming state is the
+    * windowed aggregate. The oracle re-derives the
+    * segmentation through the t24 vocab join (provably equal on the
+    * training corpus) and buckets the same fabricated epoch. */
+  val st19 = QueryDef(
+    "st19_stream_token_budget",
+    (s, d) => {
+      val merges = TextOps.bpeTrain(s, d)._1
+      graft.streaming.Streams.tokenBudget(s, s"$d/documents.parquet", merges)
+        .orderBy(col("window_start_epoch"))
+    },
+    Some(TextOps.bpeBudgetOracle(TextOps.BPE_ROUNDS)))
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by

@@ -1188,7 +1188,7 @@ object TextOps {
   /** One greedy left-to-right merge pass of (l, r) over a symbol array
     * — the single fold both training re-segmentation and held-out
     * apply ([[t25]]) run, factored so the two cannot drift. */
-  private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String)
+  private[graft] def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String)
       : org.apache.spark.sql.Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&
@@ -1351,6 +1351,25 @@ object TextOps {
             FROM documents) t
       JOIN v$rounds v USING (word)
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Oracle twin of st19's streaming token-budget monitor: the SAME
+    * training stages as [[bpeOracle]], the t24 vocab-join segmentation
+    * (provably equal to the stream's per-word merge replay on the
+    * training corpus — the t24/t25 equivalence), then hourly buckets
+    * over the fabricated epoch (integer arithmetic, timezone-free). */
+  private[queries] def bpeBudgetOracle(rounds: Int): String =
+    bpeStages(rounds) +
+      s""",
+      seg AS (
+        SELECT doc_id, count(*) AS nw, CAST(sum(len(v.syms)) AS BIGINT) AS nb
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents) t
+        JOIN v$rounds v USING (word) GROUP BY doc_id)
+      SELECT (1600000000 + (doc_id * 977) % 86400) // 3600 * 3600 AS window_start_epoch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      FROM seg GROUP BY 1 ORDER BY 1"""
 
   /** Oracle twin of [[t25]]: the SAME stage generator trains on the
     * train split only (w0 gains the bucket predicate), then K

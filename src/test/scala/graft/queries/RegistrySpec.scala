@@ -124,7 +124,7 @@ class RegistrySpec extends SparkSpec {
       "incrementalLoad", "attributionPairs", "attributionOuter", "hourlyTypeCountsClosed",
       "attributionFull", "attributionSemi", "typeCountsTws", "corpusIngest",
       "hourlyDistinctUsers", "segmentHourlyRevenue", "nearDupFilter",
-      "hourlyValueQuantiles", "hourlyTrending")
+      "hourlyValueQuantiles", "hourlyTrending", "tokenBudget")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
