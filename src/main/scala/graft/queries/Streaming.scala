@@ -22,22 +22,23 @@ object Streaming {
   /** Streaming token-budget monitor
     * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
     * the t24/t25 tokenizer-apply family: arriving documents are
-    * tokenized against the FROZEN merge table (the K driver-held rows
-    * t23 trains, shared via [[TextOps.bpeTrain]] — exactly the
-    * artifact a tokenizer worker ships) by replaying the merges in
-    * rank order per word (t25's OOV-correct fold), amortized through
-    * a persisted distinct-word segmentation cache auto-broadcast into
-    * the stream (st11's stream-static shape, zero join state) with an
-    * inline-fold OOV fallback, and the stream reports per-hour
-    * doc/word/BPE-token throughput; the only streaming state is the
-    * windowed aggregate. The oracle re-derives the
+    * tokenized against the FROZEN tokenizer artifact t23 trains and
+    * [[TextOps.bpeTrain]] shares (the K-row merge table plus the
+    * segmented vocab — exactly what a tokenizer worker ships). The
+    * vocab is the word→length dim auto-broadcast into the stream
+    * (st11's stream-static shape, zero join state, zero merge replay
+    * on the steady path); live-OOV words fall back to the inline
+    * rank-order fold (t25's OOV-correct replay). The stream reports
+    * per-hour doc/word/BPE-token throughput; the only streaming state
+    * is the windowed aggregate. The oracle re-derives the
     * segmentation through the t24 vocab join (provably equal on the
     * training corpus) and buckets the same fabricated epoch. */
   val st19 = QueryDef(
     "st19_stream_token_budget",
     (s, d) => {
-      val merges = TextOps.bpeTrain(s, d)._1
-      graft.streaming.Streams.tokenBudget(s, s"$d/documents.parquet", merges)
+      val (merges, vocab) = TextOps.bpeTrain(s, d)
+      graft.streaming.Streams.tokenBudget(
+          s, s"$d/documents.parquet", merges, vocab)
         .orderBy(col("window_start_epoch"))
     },
     Some(TextOps.bpeBudgetOracle(TextOps.BPE_ROUNDS)))

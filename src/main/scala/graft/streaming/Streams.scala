@@ -193,23 +193,25 @@ object Streams {
     * tokenizer-apply family (t24/t25): a pretraining ingest service
     * tokenizes arriving documents against a FROZEN tokenizer and
     * reports per-hour token throughput (the number every data plan's
-    * capacity budget runs on). The frozen artifact is the K-row merge
-    * table (trained once, parent session, shared with t23/t24 —
-    * exactly the file a tokenizer worker ships); workers apply it
-    * through a SEGMENTATION CACHE: the rank-order merge replay
-    * ([[graft.queries.TextOps.mergeFold]], t25's OOV-correct fold)
-    * runs once per DISTINCT word into a static word→length dim that
-    * is persisted across micro-batches and auto-broadcast into the
-    * stream (the st11 stream-static join shape — ZERO join state),
-    * with the inline fold as the lazy fallback for live-OOV words the
-    * cache has never seen. The only streaming state is the hourly
+    * capacity budget runs on). The frozen artifact is what t23's
+    * training ships: the K-row merge table PLUS the segmented vocab
+    * (each training word's final symbol array — trained once, parent
+    * session, shared with t23/t24). Workers tokenize through the
+    * vocab as a word→length dim (persisted on the shared context,
+    * auto-broadcast into the stream — the st11 stream-static join
+    * shape, ZERO join state and zero merge replay on the steady
+    * path), with the rank-order merge fold
+    * ([[graft.queries.TextOps.mergeFold]], t25's OOV-correct replay)
+    * as the inline lazily-priced fallback for live-OOV words the
+    * vocab has never seen. The only streaming state is the hourly
     * window aggregate. Event time is
     * fabricated deterministically from doc_id (st09's discipline);
     * Complete mode keeps the finite-replay oracle exact (st01's
     * rule). Window starts ship as epoch SECONDS (timezone-free in
     * both engines). */
   def tokenBudget(spark: SparkSession, docsDir: String,
-      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
+      merges: Seq[(Int, String, String, String, Long)],
+      vocab: DataFrame): DataFrame =
     runRawStream(spark, docsDir, OutputMode.Complete(), "tokenBudget") { raw =>
       val words = split(lower(trim(col("text"))), "\\s+")
       def segLen(w: org.apache.spark.sql.Column) = size(
@@ -218,19 +220,21 @@ object Streams {
             graft.queries.TextOps.mergeFold(c, l, r)
         })
       // The segmentation CACHE — how production tokenizer workers
-      // amortize merge replay: the K folds run ONCE per DISTINCT word
-      // (a static child-session table, persisted across micro-batches,
-      // auto-broadcast into the stream — the st11 stream-static shape)
-      // instead of once per word OCCURRENCE. Measured 8x: the
-      // per-occurrence fold chain costs ~0.2 ms interpreted, 17 s at
-      // sf0.1; the dim join is 2 s. A word the cache has never seen
-      // (live OOV) falls back to the rank-order fold inline —
-      // coalesce's lazy else-branch prices it only on cache misses.
-      val cs = raw.sparkSession
-      val dim = cs.read.parquet(docsDir)
-        .select(explode(words).as("word")).distinct()
-        .withColumn("n_syms", segLen(col("word")).cast("long"))
-        .persist()
+      // amortize merge replay: the frozen artifact already CONTAINS
+      // each training word's final segmentation (t23's vocab table,
+      // persisted on the shared context, auto-broadcast into the
+      // stream — the st11 stream-static shape), so the steady path
+      // does ZERO merge replay: one narrow projection over the vocab.
+      // The fold-per-OCCURRENCE draft measured 17 s at sf0.1 / 105 s
+      // at sf1 (~0.2 ms interpreted fold × |words|); a fold-per-
+      // DISTINCT-word dim cut that 8x; reusing the trained vocab cuts
+      // the remaining fold work to nothing. A word the tokenizer has
+      // never seen (live OOV) falls back to the rank-order merge
+      // replay inline — coalesce's lazy else-branch prices it only on
+      // cache misses (t25's OOV-correct fold, provably what training
+      // segmentation would produce).
+      val dim = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
       raw.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
         .join(dim, Seq("word"), "left")
         .withColumn("n_syms",
