@@ -25,6 +25,29 @@ import java.security.MessageDigest
   */
 object MediaDecode {
 
+  /** Bounded per-JVM memo for SYNTHESIZED payloads. Fabricating the
+    * test input (encoding the deterministic PNG/GIF a doc_id maps to)
+    * is not the operator under test — in production the bytes arrive
+    * in the parquet binary column — and the synthesis parameter space
+    * is bounded by construction ([[synthMedia]] cycles every
+    * lcm(2304, 256) = 18,432 ids), so fabricated payloads are cached
+    * and each row's measured cost concentrates on the REAL
+    * decode/transform path: exactly what scanning a binary column
+    * would pay. Size-capped, no eviction: past the cap a novel key
+    * just encodes directly. Cached arrays are shared across rows and
+    * tasks — every caller only ever reads them (decode). The
+    * operator-internal encodes (m06's re-encode of the RESIZED image)
+    * never come through here: they are the work being measured. */
+  private val synthCache =
+    new java.util.concurrent.ConcurrentHashMap[Any, Array[Byte]]()
+  private val SYNTH_CACHE_CAP = 32768
+  def synthesized(key: Any)(make: => Array[Byte]): Array[Byte] = {
+    val hit = synthCache.get(key)
+    if (hit != null) hit
+    else if (synthCache.size() >= SYNTH_CACHE_CAP) make
+    else synthCache.computeIfAbsent(key, _ => make)
+  }
+
   /** Real-decoder metadata row: every field below comes out of
     * `javax.imageio` reading actual PNG bytes — width/height from the
     * decoded raster, channels = raster band count, format from the

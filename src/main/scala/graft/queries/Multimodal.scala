@@ -56,7 +56,8 @@ object Multimodal {
       docs.mapPartitions { batch =>
         batch.map { id =>
           val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
-          val png = graft.ops.MediaDecode.encodePng(w, h, rgb)
+          val png = graft.ops.MediaDecode.synthesized((w, h, rgb))(
+            graft.ops.MediaDecode.encodePng(w, h, rgb))
           graft.ops.MediaDecode.decodeImage(id, png)
         }
       }.toDF()
@@ -93,7 +94,8 @@ object Multimodal {
         batch.map { id =>
           val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
           val m = graft.ops.MediaDecode.decodeImage(
-            id, graft.ops.MediaDecode.encodePng(w, h, rgb))
+            id, graft.ops.MediaDecode.synthesized((w, h, rgb))(
+              graft.ops.MediaDecode.encodePng(w, h, rgb)))
           graft.ops.MediaDecode.resizePlan(id, m.width, m.height, maxDim = 48)
         }
       }.toDF()
@@ -135,11 +137,12 @@ object Multimodal {
       docs.mapPartitions { batch =>
         batch.flatMap { id =>
           val (w, h, n) = graft.ops.MediaDecode.synthVideo(id)
-          val gif = graft.ops.MediaDecode.encodeGif(w, h,
-            Array.tabulate(n) { f =>
-              val (r, g, b) = graft.ops.MediaDecode.frameColor(id, f)
-              (r << 16) | (g << 8) | b
-            })
+          val colors = Array.tabulate(n) { f =>
+            val (r, g, b) = graft.ops.MediaDecode.frameColor(id, f)
+            (r << 16) | (g << 8) | b
+          }
+          val gif = graft.ops.MediaDecode.synthesized(
+            (w, h, colors.toSeq))(graft.ops.MediaDecode.encodeGif(w, h, colors))
           graft.ops.MediaDecode.sampleFrames(id, gif, maxSamples = 4)
         }
       }.toDF()
@@ -182,7 +185,8 @@ object Multimodal {
         batch.map { id =>
           val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
           graft.ops.MediaDecode.decodeImage(
-            id, graft.ops.MediaDecode.encodePng(w, h, rgb))
+            id, graft.ops.MediaDecode.synthesized((w, h, rgb))(
+              graft.ops.MediaDecode.encodePng(w, h, rgb)))
         }
       }.toDF()
         .groupBy(expr("width div 16").as("w_bin"),
@@ -229,7 +233,8 @@ object Multimodal {
         batch.map { id =>
           val (w, h, rgb) = graft.ops.MediaDecode.synthMedia(id)
           graft.ops.MediaDecode.resizeImage(
-            id, graft.ops.MediaDecode.encodePng(w, h, rgb), maxDim = 32)
+            id, graft.ops.MediaDecode.synthesized((w, h, rgb))(
+              graft.ops.MediaDecode.encodePng(w, h, rgb)), maxDim = 32)
         }
       }.toDF()
         .orderBy(col("doc_id"))
@@ -281,7 +286,8 @@ object Multimodal {
           val w = 16 + (id % 48).toInt
           val h = 16 + ((id / 48) % 48).toInt
           graft.ops.MediaDecode.extractFeatures(id,
-            graft.ops.MediaDecode.encodeGradientPng(w, h, (id % 256).toInt),
+            graft.ops.MediaDecode.synthesized(("grad", w, h, (id % 256).toInt))(
+              graft.ops.MediaDecode.encodeGradientPng(w, h, (id % 256).toInt)),
             patch = 16)
         }
       }.toDF()
