@@ -59,21 +59,25 @@ import org.apache.spark.sql.internal.SQLConf
   *  - `auto` ([[graft.GraftSession]] sets this): fire only when the
   *    measured key-group reduction factor clears
   *    `spark.graft.eagerAgg.minReduction` (default 3.0). The factor
-  *    is rows/NDV(partial keys) over a DETERMINISTIC sample of the
-  *    fact side: the rule runs `count + approx_count_distinct` over a
-  *    per-partition `LocalLimit(probeRows)` prefix when the probed
-  *    sub-plan is a narrow chain over leaf scans (reproducible — the
-  *    prefix is a pure function of the deterministic file→split
-  *    mapping; `spark.graft.eagerAgg.probeRows`, default 100k,
-  *    bounds each task), and over the FULL pruned key columns when
-  *    the sub-plan contains a wide operator (shuffle output arrives
-  *    in racy within-partition order, so any bounded prefix — plain
-  *    `.limit(n)` included — flaps run-to-run; the round-8 t17
-  *    envelope). Both probe aggregates (count, HLL register max) are
+  *    is rows/NDV(partial keys), measured by ONE full pass over the
+  *    column-pruned key projection of the fact side (`count +
+  *    approx_count_distinct`). Full-pass, not sampled, for two
+  *    reasons established the hard way: (a) any bounded prefix of a
+  *    shuffle output arrives in racy within-partition order and flaps
+  *    run-to-run (the round-8 t17 envelope); (b) even a DETERMINISTIC
+  *    per-partition `LocalLimit` prefix of a file scan is BIASED —
+  *    when rows are not clustered by key, a prefix catches ~1 of each
+  *    key's siblings and underestimates the true reduction by up to
+  *    the group factor itself (caught live in round 9: lineitem at
+  *    one SF happened to be key-clustered on disk and fired at ~4.0,
+  *    at another SF the same data arrived unclustered and the prefix
+  *    measured ~1.3 — same true reduction, opposite decision). Both
+  *    probe aggregates (count, HLL register max) are
   *    order-insensitive, so the measured reduction — and hence the
-  *    fire decision — is reproducible for a given table + conf.
-  *    NOTE the probe executes a (small, map-only: every task stops at
-  *    `probeRows` rows) Spark job INSIDE logical optimization — an
+  *    fire decision — is reproducible AND layout-independent for a
+  *    given table + conf.
+  *    NOTE the probe executes a (column-pruned, map-only) Spark job
+  *    INSIDE logical optimization — an
   *    impurity Catalyst does not expect; it is why auto bails on
   *    streaming threads and memoizes per (session, data fingerprint,
   *    plan): optimizer fixpoint iterations and repeated queries probe
@@ -93,7 +97,6 @@ object PushPartialAggThroughUniqueJoin
 
   val FLAG = "spark.graft.eagerAgg"
   val MIN_REDUCTION = "spark.graft.eagerAgg.minReduction"
-  val PROBE_ROWS = "spark.graft.eagerAgg.probeRows"
 
   /** Guards against the rule firing on its own probe queries (the
     * probe executes a full query through the session optimizer on the
@@ -305,53 +308,27 @@ object PushPartialAggThroughUniqueJoin
     reduction >= threshold
   }
 
-  /** Is every row of this plan's output produced in a deterministic
-    * per-partition order? True only for chains of narrow,
-    * order-preserving operators over leaf relations — file scans
-    * enumerate splits deterministically (leaf files sorted by path,
-    * fixed packing), and Project/Filter/Generate/Union preserve that
-    * order, so a per-partition prefix of such a plan is reproducible.
-    * Anything involving an exchange (Join, Aggregate, Repartition,
-    * Window, Sort, Distinct…) interleaves shuffle blocks in arrival
-    * order — conservatively NOT prefix-sampleable. */
-  private def narrowChain(p: LogicalPlan): Boolean = p match {
-    case _: LeafNode => true
-    case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
-        _: Union | _: LocalLimit =>
-      p.children.forall(narrowChain)
-    case _ => false
-  }
-
   private def measureReduction(left: LogicalPlan,
       keys: Seq[Attribute]): Option[Double] = {
     val spark = SparkSession.getActiveSession.getOrElse(return None)
     inProbe.set(true)
     try {
-      val probeRows =
-        SQLConf.get.getConfString(PROBE_ROWS, "100000").toInt
-      // DETERMINISTIC sample, two regimes:
-      //  - narrow sub-plan (Project/Filter/Generate chains over
-      //    leaves — the common fact-scan case): LocalLimit takes the
-      //    first probeRows rows of every partition. No
-      //    single-partition exchange (whose racy row arrival order
-      //    made `.limit(n)` samples partition-order dependent), each
-      //    task early-exits after probeRows rows, and the sampled
-      //    multiset is a pure function of the deterministic
-      //    file→split mapping.
-      //  - wide sub-plan (a join/aggregate/repartition below the
-      //    probe): rows arrive in nondeterministic order WITHIN each
-      //    shuffle partition, so ANY bounded prefix flaps run-to-run
-      //    (the round-8 t17 envelope). The probe instead pays one
-      //    full pass over the column-pruned keys — count + HLL are
-      //    order-insensitive, so the measured reduction is exact-ish
-      //    and reproducible. The price of a reproducible plan choice,
-      //    paid once per (session, data, plan) via the cache.
+      // ONE full pass over the column-pruned keys — never a bounded
+      // prefix. A prefix is either nondeterministic (below a shuffle,
+      // rows arrive in racy within-partition order — the round-8 t17
+      // envelope) or deterministic-but-BIASED (a per-partition
+      // LocalLimit over a file scan is a pure function of the
+      // file→split mapping, but when rows are not clustered by key it
+      // catches ~1 of each key's siblings and underestimates the
+      // reduction by up to the group factor — the round-9 q84 catch:
+      // same data, clustered layout measured 4.0, unclustered 1.3).
+      // count + HLL are order-insensitive, so the full-pass estimate
+      // is reproducible and layout-independent; its cost is one
+      // map-only scan of the key columns, paid once per (session,
+      // data fingerprint, plan) via the cache.
       val pruned = Project(keys, left)
-      val probePlan =
-        if (narrowChain(pruned)) LocalLimit(Literal(probeRows), pruned)
-        else pruned
       val keyDf = org.apache.spark.sql.classic.GraftPlanBridge
-        .ofRows(spark, probePlan)
+        .ofRows(spark, pruned)
         .toDF(keys.indices.map(i => s"k$i"): _*)
       val row = keyDf.agg(
         count(lit(1)).as("n"),

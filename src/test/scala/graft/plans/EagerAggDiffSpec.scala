@@ -14,11 +14,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * EXACTLY, at BOTH sf0.001 and sf0.01 — a new fire (or a lost one)
   * fails here before it can drift into the driver gate.
   *
-  * Round 9 removed the round-8 "envelope": the probe now samples via
-  * a per-partition `LocalLimit` prefix (deterministic — a pure
-  * function of the file→split mapping, no racy single-partition
-  * exchange), so near-threshold decisions like t17's no longer flap
-  * and the fire set is an exact per-SF pin. Streaming queries are
+  * Round 9 removed the round-8 "envelope": the probe now measures
+  * one full pass over the column-pruned keys (count + HLL, both
+  * order-insensitive — reproducible AND layout-independent; the
+  * interim `LocalLimit`-prefix design was deterministic but biased
+  * low on key-unclustered layouts, the q84-at-sf0.1 catch), so
+  * near-threshold decisions like t17's no longer flap and the fire
+  * set is an exact per-SF pin. Streaming queries are
   * excluded for the same reason as RegistrySpec's batch plan gate:
   * their builders run the stream to completion and return a
   * materialized sink, so the inspected plan never contains the
