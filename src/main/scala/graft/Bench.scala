@@ -33,14 +33,27 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (noop) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
-    selected.values.foreach { fn =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
+    // A failing query must be VISIBLE in the artifact, not recorded as
+    // a fast success: the old silent `catch Throwable` published a
+    // query's time-to-exception as its time-to-answer (q84's sf0.1
+    // require-failure hid behind a plausible 0.1 s for a full round).
+    // Failures land in an `errors` map in the JSON and on stderr; only
+    // NonFatal is caught (an OOM/interrupt must propagate, and
+    // swallowing InterruptedException would clear the interrupt flag).
+    val errors = scala.collection.mutable.Map[String, String]()
+    def guarded(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit =
+      try run(fn(spark, sfDir)) catch {
+        case scala.util.control.NonFatal(e) =>
+          errors.put(name, e.getClass.getSimpleName)
+          System.err.println(s"[bench] $name FAILED: $e")
+      }
+    selected.foreach { case (name, fn) => guarded(name, fn) }
     def timedPass(): Map[String, Double] = {
       spark.catalog.clearCache()
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        guarded(name, fn)
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -65,7 +78,12 @@ object Bench {
     // so a committed bench_full_*.json is self-describing
     val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
       .map(n => s""""note":"${n.replace("\"", "'")}",""").getOrElse("")
-    val line = s"""{$note"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("\"errors\":{", ",", "},")
+    val line = s"""{$note$errs"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
     println(line)
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
