@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Optimizer rule: EAGER AGGREGATION through a unique-keyed inner join
@@ -57,11 +56,19 @@ import org.apache.spark.sql.internal.SQLConf
   *  - `true`: fire on every sound match (the pre-round-8 behavior;
   *    profitability is the caller's problem).
   *  - `auto` ([[graft.GraftSession]] sets this): fire only when the
-  *    measured key-group reduction factor clears
+  *    key-group reduction factor rows/NDV(partial keys) clears
   *    `spark.graft.eagerAgg.minReduction` (default 3.0). The factor
-  *    is rows/NDV(partial keys), measured by ONE full pass over the
-  *    column-pruned key projection of the fact side (`count +
-  *    approx_count_distinct`). Full-pass, not sampled, for two
+  *    is read from PERSISTED TABLE STATISTICS first ([[StatsStore]] —
+  *    when the fact side is a pure scan of an analyzed table the gate
+  *    costs ZERO jobs at optimize time, the production CBO shape);
+  *    only on a stats miss does the gate fall back to measuring: ONE
+  *    full pass over the column-pruned key projection of the fact
+  *    side (`count + approx_count_distinct`), which writes through to
+  *    the StatsStore so each (data version, key set) is scanned at
+  *    most once across all sessions, and which is refused outright
+  *    above `spark.graft.eagerAgg.probeMaxBytes` (un-analyzed huge
+  *    fact ⇒ no probe, no rewrite — bounded optimizer latency; run
+  *    ANALYZE). Full-pass, not sampled, for two
   *    reasons established the hard way: (a) any bounded prefix of a
   *    shuffle output arrives in racy within-partition order and flaps
   *    run-to-run (the round-8 t17 envelope); (b) even a DETERMINISTIC
@@ -97,6 +104,18 @@ object PushPartialAggThroughUniqueJoin
 
   val FLAG = "spark.graft.eagerAgg"
   val MIN_REDUCTION = "spark.graft.eagerAgg.minReduction"
+
+  /** Ceiling on the fact side's input bytes above which auto will NOT
+    * run the live probe (and therefore not fire) when persisted
+    * statistics are absent: optimizer latency stays bounded on huge
+    * un-analyzed tables — the operator's answer there is `ANALYZE`
+    * ([[StatsStore.analyze]] / `graft.Analyze <dir>`), exactly as with
+    * any cost-based optimizer. 16 GiB default: at local/bench scale
+    * the probe is always allowed; at 100 TB a never-analyzed fact
+    * skips the rewrite instead of blocking planning for a full
+    * key-column scan. */
+  val PROBE_MAX_BYTES = "spark.graft.eagerAgg.probeMaxBytes"
+  private val defaultProbeMaxBytes: Long = 16L * 1024 * 1024 * 1024
 
   /** Guards against the rule firing on its own probe queries (the
     * probe executes a full query through the session optimizer on the
@@ -256,10 +275,30 @@ object PushPartialAggThroughUniqueJoin
     Some(Aggregate(agg.groupingExpressions, newResults, newJoin))
   }
 
-  /** Auto-mode profitability: sampled rows/NDV over the partial keys,
-    * against the configured threshold. Any probe failure (no active
-    * session, exotic sub-plan that can't re-analyze, empty sample)
-    * counts as NOT profitable — the unrewritten plan is always safe. */
+  /** Auto-mode profitability: rows/NDV over the partial keys against
+    * the configured threshold — PERSISTED STATISTICS FIRST, live probe
+    * as the fallback. Resolution order:
+    *
+    *  1. [[StatsStore]]: when the fact side traces to a pure scan of
+    *     one file table (no filters/joins between — row count and key
+    *     NDV are then table properties), read the stored (rows, ndv)
+    *     for that table's data fingerprint. Zero jobs at optimize
+    *     time — the production CBO shape; `ANALYZE` once per data
+    *     version and every session/process reads the sidecar.
+    *  2. in-memory probe cache (covers non-traceable sub-plans probed
+    *     earlier this session).
+    *  3. the live full-pass probe — which WRITES THROUGH to the
+    *     StatsStore when the plan traced (so the scan is paid once per
+    *     data version across all sessions, not once per session), and
+    *     is refused entirely above `probeMaxBytes` (un-analyzed huge
+    *     table ⇒ skip the rewrite, never block the optimizer).
+    *
+    * Both paths share one canonical measurement form
+    * ([[StatsStore.measure]]: count + HLL over the sorted key struct),
+    * so the fire decision is independent of which path served it
+    * (StatsGateSpec pins this). Any probe failure (no active session,
+    * exotic sub-plan that can't re-analyze) counts as NOT profitable —
+    * the unrewritten plan is always safe. */
   private def profitable(left: LogicalPlan, keys: Seq[Attribute]): Boolean = {
     if (left.isStreaming) return false
     // micro-batch plans re-optimize per batch with isStreaming=false and
@@ -286,30 +325,83 @@ object PushPartialAggThroughUniqueJoin
     val sessionId = SparkSession.getActiveSession
       .map(s => java.lang.System.identityHashCode(s).toString)
       .getOrElse(return false)
-    val cacheKey = (sessionId, dataFingerprint(left),
-      Project(keys, left).canonicalized)
-    val cached = probeCache.get(cacheKey)
-    val reduction: Double = if (cached != null) cached.doubleValue else {
-      measureReduction(left, keys) match {
-        case Some(measured) =>
-          // bounded cache (distinct plan shapes per session are few;
-          // a runaway producer of novel shapes just loses memoization)
-          if (probeCache.size() >= 256) probeCache.clear()
-          probeCache.put(cacheKey, measured)
-          measured
-        case None =>
-          // transient probe failure: skip the rewrite THIS time but do
-          // NOT cache the verdict — a one-off job hiccup must not
-          // disable the optimization (or fail q84's fired-require) for
-          // the session lifetime
-          return false
+    def ratio(n: Long, ndv: Long): Double =
+      if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble
+
+    // 1. persisted statistics — zero jobs at optimize time
+    val traced = StatsStore.traceToScan(left, keys)
+    traced.foreach { case (fs, paired) =>
+      StatsStore.lookup(
+          StatsStore.relationFingerprint(fs), paired.map(_._1)) match {
+        case Some((n, ndv)) => return ratio(n, ndv) >= threshold
+        case None => ()
       }
     }
-    reduction >= threshold
+
+    // canonical probe order: the traced base-name sort, or the key
+    // attributes' own name sort when the sub-plan has no table
+    // identity — either way deterministic, and identical to the order
+    // StatsStore.analyze would measure, so both paths hash the same
+    // struct
+    val orderedKeys = traced.map(_._2.map(_._2))
+      .getOrElse(keys.sortBy(_.name))
+
+    // 2. in-memory probe cache (session-scoped; covers filtered/joined
+    //    sub-plans that table statistics can't)
+    val cacheKey = (sessionId, dataFingerprint(left),
+      Project(orderedKeys, left).canonicalized)
+    val cached = probeCache.get(cacheKey)
+    if (cached != null) return cached.doubleValue >= threshold
+
+    // 3. live probe, refused on huge un-analyzed inputs: a bounded
+    //    optimizer never runs an unbounded job — past the ceiling the
+    //    answer is ANALYZE (StatsStore.analyze / `graft.Analyze`),
+    //    not a scan inside planning (round-9 ADVICE item)
+    val maxBytes = scala.util.Try(SQLConf.get
+      .getConfString(PROBE_MAX_BYTES, defaultProbeMaxBytes.toString).toLong)
+      .getOrElse(defaultProbeMaxBytes)
+    val inputBytes = left.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.sizeInBytes
+          case _ => 0L
+        }
+      case _ => 0L
+    }.sum
+    if (inputBytes > maxBytes) {
+      logWarning(s"eager-agg auto: skipping probe ($inputBytes input " +
+        s"bytes > $PROBE_MAX_BYTES=$maxBytes) — run StatsStore.analyze " +
+        "on the fact table to enable the rewrite")
+      return false
+    }
+
+    measureReduction(left, orderedKeys) match {
+      case Some((n, ndv)) =>
+        // write-through: a traced pure-scan measurement IS a table
+        // statistic — persist it so no session ever scans these key
+        // columns for this data version again
+        traced.foreach { case (fs, paired) =>
+          StatsStore.record(StatsStore.relationFingerprint(fs),
+            paired.map(_._1), n, ndv,
+            note = "recorded by eager-agg auto probe") }
+        val measured = ratio(n, ndv)
+        // bounded cache (distinct plan shapes per session are few;
+        // a runaway producer of novel shapes just loses memoization)
+        if (probeCache.size() >= 256) probeCache.clear()
+        probeCache.put(cacheKey, measured)
+        measured >= threshold
+      case None =>
+        // transient probe failure: skip the rewrite THIS time but do
+        // NOT cache the verdict — a one-off job hiccup must not
+        // disable the optimization (or fail q84's fired-require) for
+        // the session lifetime
+        false
+    }
   }
 
   private def measureReduction(left: LogicalPlan,
-      keys: Seq[Attribute]): Option[Double] = {
+      orderedKeys: Seq[Attribute]): Option[(Long, Long)] = {
     val spark = SparkSession.getActiveSession.getOrElse(return None)
     inProbe.set(true)
     try {
@@ -322,22 +414,17 @@ object PushPartialAggThroughUniqueJoin
       // catches ~1 of each key's siblings and underestimates the
       // reduction by up to the group factor — the round-9 q84 catch:
       // same data, clustered layout measured 4.0, unclustered 1.3).
-      // count + HLL are order-insensitive, so the full-pass estimate
-      // is reproducible and layout-independent; its cost is one
-      // map-only scan of the key columns, paid once per (session,
-      // data fingerprint, plan) via the cache.
-      val pruned = Project(keys, left)
+      // The measurement form lives in StatsStore.measure (count + HLL,
+      // both order-insensitive — reproducible and layout-independent)
+      // so probe and ANALYZE can never disagree; its cost is one
+      // map-only scan of the key columns, paid once per DATA VERSION
+      // via the write-through above (or per session for sub-plans
+      // statistics can't describe).
+      val pruned = Project(orderedKeys, left)
       val keyDf = org.apache.spark.sql.classic.GraftPlanBridge
         .ofRows(spark, pruned)
-        .toDF(keys.indices.map(i => s"k$i"): _*)
-      val row = keyDf.agg(
-        count(lit(1)).as("n"),
-        approx_count_distinct(
-          struct(keys.indices.map(i => keyDf(s"k$i")): _*)).as("ndv"))
-        .head()
-      val n = row.getLong(0)
-      val ndv = row.getLong(1)
-      Some(if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble)
+        .toDF(orderedKeys.indices.map(i => s"k$i"): _*)
+      Some(StatsStore.measure(keyDf, keyDf.columns.toSeq))
     } catch {
       case scala.util.control.NonFatal(_) => None
     } finally inProbe.set(false)
