@@ -42,24 +42,30 @@ object Bench {
     // swallowing InterruptedException would clear the interrupt flag).
     val errors = scala.collection.mutable.Map[String, String]()
     def guarded(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Unit =
-      try run(fn(spark, sfDir)) catch {
+        org.apache.spark.sql.DataFrame): Boolean =
+      try { run(fn(spark, sfDir)); true } catch {
         case scala.util.control.NonFatal(e) =>
           errors.put(name, e.getClass.getSimpleName)
           System.err.println(s"[bench] $name FAILED: $e")
+          false
       }
     selected.foreach { case (name, fn) => guarded(name, fn) }
+    // An errored query contributes NO timing (round-9 advice): its
+    // time-to-exception would deflate the headline total, making
+    // totals across runs with differing error sets incomparable. The
+    // failure itself stays visible in the errors map.
     def timedPass(): Map[String, Double] = {
       spark.catalog.clearCache()
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        guarded(name, fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        if (guarded(name, fn)) Some(name -> (System.nanoTime() - t0) / 1e9)
+        else None
       }.toMap
     }
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.flatMap { case (k, v) =>
+      p2.get(k).map(v2 => k -> math.min(v, v2)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

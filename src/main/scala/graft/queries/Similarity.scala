@@ -1133,13 +1133,16 @@ object Similarity {
     * of [[TextOps.t17]]'s shingle-overlap audit: an eval answer that
     * was PARAPHRASED into the training set shares no 5-gram, but its
     * embedding sits next to the test doc's. Split is the t08
-    * arithmetic on vec_id (train < 90, test ≥ 95 — pure projection,
-    * re-derivable for audits); candidates = train×test pairs sharing
+    * arithmetic on vec_id (train < 90, held-out ≥ 90 = val 90–94 +
+    * test 95–99 — pure projection, re-derivable for audits; val is
+    * audited too, because a paraphrase leak into val poisons model
+    * selection the same way a test leak poisons evaluation);
+    * candidates = train×held-out pairs sharing
     * a (label, table, hyperplane-sig) bucket for one of L=6 tables
     * (never a global cross join — the d05 blocking pattern with the
     * recall dial turned up); flags = candidates whose exact cosine
     * clears d05's verified ≥ 0.35 threshold on this corpus. Output is
-    * the per-label decontamination ACCOUNTING (n_train / n_test /
+    * the per-label decontamination ACCOUNTING (n_train / n_heldout /
     * n_flagged / n_kept) — the bounded report a corpus release ships;
     * the flagged-id set itself is pinned doc-exact by
     * SemanticDeconSpec (plain-Scala replay + a planted paraphrase
@@ -1165,9 +1168,12 @@ object Similarity {
         .select(col("label"), col(idAs),
           col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
       val train = e.filter(col("b") < 90)
-      val test = e.filter(col("b") >= 95)
+      // held-out = val (90-94) + test (95-99): paraphrase leakage into
+      // the val split poisons model selection exactly as test leakage
+      // poisons evaluation (round-9 advice) — audit against ALL of it
+      val heldout = e.filter(col("b") >= 90)
       val cand = sigged(train, "train_id")
-        .join(sigged(test, "test_id"), Seq("label", "tbl", "sig"))
+        .join(sigged(heldout, "test_id"), Seq("label", "tbl", "sig"))
         .select(col("label"), col("train_id"), col("test_id")).distinct()
       val ea = e.select(col("vec_id").as("train_id"), col("v").as("va"), col("n").as("na"))
       val eb = e.select(col("vec_id").as("test_id"), col("v").as("vb"), col("n").as("nb"))
@@ -1176,12 +1182,12 @@ object Similarity {
         .filter(col("cosine") >= T26_TAU)
         .select(col("label"), col("train_id")).distinct()
       train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))
-        .join(test.groupBy(col("label")).agg(count(lit(1)).as("n_test")),
+        .join(heldout.groupBy(col("label")).agg(count(lit(1)).as("n_heldout")),
           Seq("label"), "left")
         .join(flagged.groupBy(col("label")).agg(count(lit(1)).as("n_flagged")),
           Seq("label"), "left")
         .select(col("label"), col("n_train"),
-          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          coalesce(col("n_heldout"), lit(0L)).as("n_heldout"),
           coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
           (col("n_train") - coalesce(col("n_flagged"), lit(0L))).as("n_kept"))
         .orderBy(col("label"))
@@ -1202,7 +1208,7 @@ object Similarity {
         SELECT DISTINCT a.label, a.vec_id AS train_id, t.vec_id AS test_id
         FROM sigged a JOIN sigged t
           ON a.label = t.label AND a.tbl = t.tbl AND a.sig = t.sig
-        WHERE a.b < 90 AND t.b >= 95),
+        WHERE a.b < 90 AND t.b >= 90),
       flagged AS (
         SELECT DISTINCT c.label, c.train_id
         FROM cand c
@@ -1211,10 +1217,10 @@ object Similarity {
         WHERE round(list_dot_product(ea.v, eb.v) /
                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $T26_TAU),
       tr AS (SELECT label, count(*) AS n_train FROM e WHERE b < 90 GROUP BY label),
-      te AS (SELECT label, count(*) AS n_test FROM e WHERE b >= 95 GROUP BY label),
+      te AS (SELECT label, count(*) AS n_heldout FROM e WHERE b >= 90 GROUP BY label),
       fl AS (SELECT label, count(*) AS n_flagged FROM flagged GROUP BY label)
       SELECT tr.label, CAST(tr.n_train AS BIGINT) AS n_train,
-             CAST(coalesce(te.n_test, 0) AS BIGINT) AS n_test,
+             CAST(coalesce(te.n_heldout, 0) AS BIGINT) AS n_heldout,
              CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
              CAST(tr.n_train - coalesce(fl.n_flagged, 0) AS BIGINT) AS n_kept
       FROM tr LEFT JOIN te USING (label) LEFT JOIN fl USING (label)

@@ -1242,13 +1242,21 @@ object TextOps {
       val best = pairs
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
         .collect().headOption
-      // that action materialized curCached (= this round's input), so
-      // the copy feeding IT is no longer reachable by future rounds
-      prevCached.foreach(_.unpersist(false))
-      prevCached = curCached
       best match {
-        case None => exhausted = true
+        case None =>
+          // early exhaustion: curCached IS the final vocab — leave the
+          // two-copy bookkeeping untouched so the post-loop unpersist
+          // drops only the k-2 copy, never the final segmentation
+          // (round-9 advice: assigning prevCached = curCached here made
+          // the cleanup below drop the final vocab's cache and forced
+          // the whole fold chain to recompute on the next action)
+          exhausted = true
         case Some(b) =>
+          // the collect above materialized curCached (= this round's
+          // input), so the copy feeding IT is no longer reachable by
+          // future rounds
+          prevCached.foreach(_.unpersist(false))
+          prevCached = curCached
           val (bl, br) = (b.getString(0), b.getString(1))
           merges += ((k, bl, br, bl + br, b.getLong(2)))
           vocab = vocab.withColumn("syms", mergeFold(col("syms"), bl, br))

@@ -35,10 +35,10 @@ class SemanticDeconSpec extends SparkSpec {
       (0 until Similarity.T26_B).map(j =>
         if (dot(v, Similarity.t26Planes(t)(j)) > 0) 1 << j else 0).sum
     val train = vecs.filter(t => bucket(t._1) < 90)
-    val test = vecs.filter(t => bucket(t._1) >= 95)
+    val heldout = vecs.filter(t => bucket(t._1) >= 90)
     val flagged = (for {
       (ta, va, la) <- train
-      (tb, vb, lb) <- test
+      (tb, vb, lb) <- heldout
       if la == lb
       if (0 until Similarity.T26_L).exists(t => sig(va, t) == sig(vb, t))
       cos = BigDecimal(dot(va, vb) /
@@ -48,7 +48,7 @@ class SemanticDeconSpec extends SparkSpec {
     } yield (la, ta)).toSet
     val expected = train.groupBy(_._3).map { case (l, tr) =>
       l -> ((tr.length.toLong,
-        test.count(_._3 == l).toLong,
+        heldout.count(_._3 == l).toLong,
         flagged.count(_._1 == l).toLong))
     }
     val got = Registry.queries("t26_semantic_decon")(spark, sfDir)
