@@ -1,27 +1,23 @@
 package graft.ops
 
-import java.security.MessageDigest
-
 /** Media decoding for binary columns.
   *
-  * TWO TIERS:
-  *
-  *  - REAL codec ([[encodePng]]/[[decodeImage]]/[[resizeImage]]/
-  *    [[extractFeatures]]): JVM-native `javax.imageio` — genuine
-  *    PNG/JPEG bytes in, decoded pixels out, zero new dependencies.
-  *    m01 (decode metadata), m02 (decode → resize plan), m05 (decode
-  *    → signature dedup), m06 (decode → pixel resize → re-encode →
-  *    decode) and m07 (decode → pixel histogram features) all run
-  *    this tier end-to-end; MediaDecodeSpec decodes a COMMITTED PNG
-  *    fixture (src/test/resources/graft/fixture_8x5.png, handcrafted
-  *    bytes — not written by ImageIO) so the read path is proven
-  *    against foreign-encoder output too, plus non-square and
-  *    grayscale PNGs.
-  *  - ==== STUB ==== ([[featureStub]], the only one left): the
-  *    learned-encoder embed step — a vision/audio MODEL does not ship
-  *    in a bare JVM, so m04 keeps a deterministic sha-256-derived
-  *    placeholder (replayable in the SQL oracle; swap the body for a
-  *    model-serving call to go live, nothing upstream changes).
+  * ONE TIER — the REAL codec ([[encodePng]]/[[decodeImage]]/
+  * [[resizeImage]]/[[extractFeatures]]): JVM-native `javax.imageio` —
+  * genuine PNG/JPEG bytes in, decoded pixels out, zero new
+  * dependencies. m01 (decode metadata), m02 (decode → resize plan),
+  * m03 (multi-frame container sampling), m04 (query-by-example
+  * feature search), m05 (decode → signature dedup), m06 (decode →
+  * pixel resize → re-encode → decode) and m07 (decode → pixel
+  * histogram features) all run this tier end-to-end; MediaDecodeSpec
+  * decodes a COMMITTED PNG fixture
+  * (src/test/resources/graft/fixture_8x5.png, handcrafted bytes — not
+  * written by ImageIO) so the read path is proven against
+  * foreign-encoder output too, plus non-square and grayscale PNGs.
+  * ZERO stubs remain (round 10): the former sha-derived
+  * learned-encoder placeholder is gone — m04 featurizes real decoded
+  * pixels, and a vision-model embed would slot into the same
+  * per-partition signature.
   */
 object MediaDecode {
 
@@ -90,8 +86,8 @@ object MediaDecode {
   /** REAL aspect-preserving resize: decode the payload, scale onto a
     * maxDim box with Graphics2D (headless-safe), re-encode as PNG,
     * decode AGAIN, and report the second decoder's geometry and
-    * center pixel. Integer geometry matches [[resizeStub]]'s formula,
-    * so the oracle can predict it; a solid-color input must come back
+    * center pixel. Integer geometry follows the
+    * aspect-fit formula the oracle replays; a solid-color input must come back
     * the same color through the whole loop (any interpolation of a
     * constant field is that constant). */
   def resizeImage(id: Long, bytes: Array[Byte], maxDim: Int): ResizedReal = {
@@ -277,33 +273,6 @@ object MediaDecode {
           img.getWidth.toLong * img.getHeight)
       } finally reader.dispose()
     } finally iis.close()
-  }
-
-  private def sha256Hex(bytes: Array[Byte]): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.digest(bytes).map("%02x".format(_)).mkString
-  }
-
-  /** Extracted feature row: 8 pseudo-embedding dims in [0,1). */
-  final case class MediaFeatures(doc_id: Long, features: Array[Double])
-
-  /** ==== STUB (the only one left) ==== Learned-encoder feature
-    * extraction (the embed step of a multimodal retrieval pipeline).
-    * A real implementation runs a vision/audio ENCODER MODEL over the
-    * decoded payload — no such model ships in a bare JVM, so this is
-    * the one tier that stays stubbed BY DESIGN: 8 deterministic dims
-    * from sha-256 32-bit slices scaled to [0,1), replayable in SQL,
-    * so the decode→embed→search composition is oracle-checked. m04 is
-    * its only caller; the classical-CV counterpart (m07) extracts
-    * features from REAL decoded pixels. The former decode/resize stubs
-    * are gone — m01/m02/m05/m06/m07 all run `javax.imageio` for real.
-    */
-  def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val sha = sha256Hex(bytes)
-    val feats = Array.tabulate(8) { i =>
-      java.lang.Long.parseLong(sha.substring(i * 8, i * 8 + 8), 16).toDouble / 4294967296.0
-    }
-    MediaFeatures(id, feats)
   }
 
   /** Resize-plan row: input geometry as READ BY THE REAL DECODER plus

@@ -10,19 +10,18 @@ import org.apache.spark.sql.functions._
   *
   * DECODE TIERS: every query that claims to decode, DECODES — m01
   * (metadata), m02 (resize plan), m03 (multi-frame container frame
-  * sampling, real animated GIF), m05 (signature dedup), m06 (full
-  * pixel-resize loop) and m07 (pixel features) all run REAL media
-  * bytes through the JVM-native `javax.imageio` codec
+  * sampling, real animated GIF), m04 (query-by-example feature
+  * search), m05 (signature dedup), m06 (full pixel-resize loop) and
+  * m07 (pixel features) all run REAL media bytes through the
+  * JVM-native `javax.imageio` codec
   * ([[graft.ops.MediaDecode.decodeImage]]): genuine encoder → genuine
   * decoder, dimensions/channels/pixels read from the decoded raster,
   * with the oracle recomputing the expected values arithmetically so
-  * the gate proves each codec roundtrip faithful. The ONE remaining
-  * stub is m04's learned-encoder embed step
-  * ([[graft.ops.MediaDecode.featureStub]], sha-256-derived, by
-  * design — no vision model ships in a bare JVM); its Spark-side
-  * plumbing — binary schema, partition batching, typed row shape —
-  * is real and oracle-checked, and swapping the stub for a
-  * model-serving call changes nothing else.
+  * the gate proves each codec roundtrip faithful. ZERO stubs remain
+  * (round 10): m04's sha-derived learned-encoder placeholder was
+  * replaced by the real decoded-pixel featurizer on both sides of its
+  * cosine — a model-serving embed would slot into the same
+  * mapPartitions signature with nothing downstream changing.
   *
   * Scale: mapPartitions over binary columns streams batches; payloads
   * never hit the driver. Partition sizing for 100 TB media comes from
@@ -223,7 +222,7 @@ object Multimodal {
     * arithmetically (integer geometry; a constant color field
     * survives any interpolation), so the hash gate proves BOTH codec
     * passes and the scaler faithful — versus m02, which pins the
-    * geometry planning alone via the documented stub. */
+    * geometry planning alone (real decode, no pixel loop). */
   val m06 = QueryDef(
     "m06_media_real_resize",
     (s, d) => {
@@ -258,8 +257,8 @@ object Multimodal {
       FROM l
       ORDER BY doc_id"""))
 
-  /** REAL feature extraction from decoded pixels (closing the last
-    * stub tier the codec can reach): every document gets a genuine
+  /** REAL feature extraction from decoded pixels — the classical-CV
+    * featurization primitive: every document gets a genuine
     * GRADIENT PNG (per-pixel luminance `(doc_id + 3x + 5y) mod 256`,
     * real encoder), `javax.imageio` decodes it, and the feature
     * vector is an 8-bin luminance histogram of the decoded top-left
@@ -270,10 +269,10 @@ object Multimodal {
     * a hash match proves encoder → decoder → pixel-walk fidelity
     * end-to-end (features are exact multiples of 1/256 — dyadic, so
     * the normalization introduces no cross-engine float drift; the
-    * 8-element dots evaluate left-to-right in both engines, the m04
-    * precedent). m04 keeps the sha-derived stub as the
-    * learned-encoder placeholder; this is the classical-CV tier run
-    * for real. */
+    * 8-element dots evaluate left-to-right in both engines). m04
+    * composes this same real featurizer into query-by-example
+    * retrieval; this query pins the extraction primitive itself
+    * against a literal probe. */
   val m07 = QueryDef(
     "m07_media_real_features",
     (s, d) => {
@@ -324,22 +323,52 @@ object Multimodal {
       ORDER BY cosine DESC, doc_id
       LIMIT 20"""))
 
-  /** The full multimodal retrieval composition: decode → feature-
-    * extract (batched mapPartitions, stub encoder) → cosine scoring
-    * against a probe vector through the native [[graft.functions
-    * .DotProduct]] expression → top-20. Swapping the stub for a real
-    * encoder changes nothing downstream. */
+  /** QUERY-BY-EXAMPLE media retrieval — the full multimodal search
+    * composition with NO stub anywhere (round-10: the sha-derived
+    * learned-encoder placeholder retired; the featurizer is m07's
+    * real decoded-pixel path on BOTH sides of the cosine):
+    *
+    *  - the QUERY is itself a media payload: a genuine gradient PNG
+    *    for a fixed query id, encoded + decoded + histogrammed ONCE
+    *    driver-side by the same [[graft.ops.MediaDecode
+    *    .extractFeatures]] the corpus runs — constant work, then
+    *    shipped into the plan as a broadcast literal (the production
+    *    "embed the query once, search everywhere" shape);
+    *  - the CORPUS side decodes each document's genuine PNG and
+    *    histograms the real raster in one iterator-batched
+    *    mapPartitions pass (payload bytes never shuffle);
+    *  - scoring = cosine through the native codegen
+    *    [[graft.functions.DotProduct]] expression, top-20 via
+    *    TakeOrderedAndProject (never a global sort).
+    *
+    * The oracle replays both histograms ARITHMETICALLY from the
+    * gradient formula (features are dyadic multiples of 1/256 — no
+    * cross-engine float drift), so the hash gate proves the real
+    * encode → decode → featurize → search loop end-to-end. Swapping
+    * the classical featurizer for a model-serving embed changes
+    * nothing downstream — exactly what the stub used to demonstrate,
+    * now with zero fake tiers. */
   val m04 = QueryDef(
     "m04_media_feature_search",
     (s, d) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val probe = Seq(0.5, 0.25, 0.75, 0.1, 0.9, 0.33, 0.66, 0.4)
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      val feats = media.mapPartitions { batch =>
-        batch.map { case (id, bytes) => graft.ops.MediaDecode.featureStub(id, bytes) }
+      // the query payload: one real encode→decode→featurize, driver-side
+      val qid = 4242L
+      val (qw, qh) = (16 + (qid % 48).toInt, 16 + ((qid / 48) % 48).toInt)
+      val probe = graft.ops.MediaDecode.extractFeatures(qid,
+        graft.ops.MediaDecode.encodeGradientPng(qw, qh, (qid % 256).toInt),
+        patch = 16).features.toSeq
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val feats = docs.mapPartitions { batch =>
+        batch.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + ((id / 48) % 48).toInt
+          graft.ops.MediaDecode.extractFeatures(id,
+            graft.ops.MediaDecode.synthesized(("grad", w, h, (id % 256).toInt))(
+              graft.ops.MediaDecode.encodeGradientPng(w, h, (id % 256).toInt)),
+            patch = 16)
+        }
       }.toDF()
       val dot = graft.functions.GraftFunctions.dot(col("features"), typedlit(probe))
       val pn = math.sqrt(probe.map(x => x * x).sum)
@@ -351,17 +380,29 @@ object Multimodal {
         .select(col("doc_id"), col("cosine"))
     },
     Some("""
-      WITH f AS (
-        SELECT doc_id,
-               list_transform(range(0, 8),
-                 i -> CAST(CAST(concat('0x', substr(sha256(text), i*8 + 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0) AS features
-        FROM documents),
-      p AS (SELECT [0.5, 0.25, 0.75, 0.1, 0.9, 0.33, 0.66, 0.4] AS probe),
+      WITH px AS (
+        SELECT d.doc_id, ((d.doc_id % 256) + 3*xs.x + 5*ys.y) % 256 AS g
+        FROM documents d, range(16) xs(x), range(16) ys(y)),
+      hb AS (SELECT doc_id, g // 32 AS bin, count(*) AS c
+             FROM px GROUP BY 1, 2),
+      bins AS (
+        SELECT d.doc_id, bs.bin, coalesce(hb.c, 0) AS c
+        FROM documents d CROSS JOIN range(8) bs(bin)
+        LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = bs.bin),
+      f AS (SELECT doc_id, list(c / 256.0 ORDER BY bin) AS features
+            FROM bins GROUP BY doc_id),
+      qpx AS (SELECT ((4242 % 256) + 3*xs.x + 5*ys.y) % 256 AS g
+              FROM range(16) xs(x), range(16) ys(y)),
+      qh AS (SELECT g // 32 AS bin, count(*) AS c FROM qpx GROUP BY 1),
+      qb AS (SELECT bs.bin, coalesce(qh.c, 0) AS c
+             FROM range(8) bs(bin) LEFT JOIN qh USING (bin)),
+      qf AS (SELECT list(c / 256.0 ORDER BY bin) AS probe FROM qb),
       scored AS (
         SELECT doc_id,
                round(list_dot_product(features, probe) /
-                     (sqrt(list_dot_product(features, features)) * sqrt(list_dot_product(probe, probe))), 6) AS cosine
-        FROM f, p)
+                     (sqrt(list_dot_product(features, features)) *
+                      sqrt(list_dot_product(probe, probe))), 6) AS cosine
+        FROM f, qf)
       SELECT doc_id, cosine
       FROM scored
       ORDER BY cosine DESC, doc_id
