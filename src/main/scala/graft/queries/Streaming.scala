@@ -17,7 +17,7 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15, st16, st17, st18, st19)
+      st12, st13, st14, st15, st16, st17, st18, st19, st20)
 
   /** Streaming token-budget monitor
     * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
@@ -42,6 +42,29 @@ object Streaming {
         .orderBy(col("window_start_epoch"))
     },
     Some(TextOps.bpeBudgetOracle(TextOps.BPE_ROUNDS)))
+
+  /** APPEND-MODE token-budget monitor
+    * ([[graft.streaming.Streams.tokenBudgetClosed]]) — st19's
+    * production graduation, the same Complete→Append step st17 took
+    * for st01 (round-9 verdict task): each hourly budget row is
+    * emitted exactly ONCE when the watermark passes its window end and
+    * the window's state is dropped — emission IS eviction, so the
+    * monitor's state stays bounded by the watermark horizon on an
+    * unbounded ingest. Event times are fabricated +500 ms off the
+    * second boundary so the watermark can never tie an hour-aligned
+    * window end; the oracle replays the identical closed-set rule
+    * (window end ≤ max event time − 1 h) over the same t24-style
+    * vocab-join segmentation. Shares the one frozen tokenizer training
+    * with t23/t24/st19. */
+  val st20 = QueryDef(
+    "st20_stream_token_budget_closed",
+    (s, d) => {
+      val (merges, vocab) = TextOps.bpeTrain(s, d)
+      graft.streaming.Streams.tokenBudgetClosed(
+          s, s"$d/documents.parquet", merges, vocab)
+        .orderBy(col("window_start_epoch"))
+    },
+    Some(TextOps.bpeBudgetClosedOracle(TextOps.BPE_ROUNDS)))
 
   /** Streaming near-dup filter with survivor attribution
     * ([[graft.streaming.Streams.nearDupFilter]]): documents keyed by

@@ -1379,6 +1379,31 @@ object TextOps {
              CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
       FROM seg GROUP BY 1 ORDER BY 1"""
 
+  /** Oracle twin of st20 ([[graft.streaming.Streams.tokenBudgetClosed]]):
+    * [[bpeBudgetOracle]]'s accounting restricted to the watermark-CLOSED
+    * window set. Event times carry the +500 ms fabrication, so the
+    * watermark (max − 1 h) can never tie an hour-aligned window end —
+    * the `<=` below is tie-free by construction. */
+  private[queries] def bpeBudgetClosedOracle(rounds: Int): String =
+    bpeStages(rounds) +
+      s""",
+      seg AS (
+        SELECT doc_id, count(*) AS nw, CAST(sum(len(v.syms)) AS BIGINT) AS nb
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents) t
+        JOIN v$rounds v USING (word) GROUP BY doc_id),
+      wm AS (
+        SELECT max(1600000000000 + ((doc_id * 977) % 86400) * 1000 + 500)
+                 - 3600000 AS wm_ms
+        FROM documents)
+      SELECT (1600000000 + (doc_id * 977) % 86400) // 3600 * 3600 AS window_start_epoch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      FROM seg CROSS JOIN wm
+      WHERE ((1600000000 + (doc_id * 977) % 86400) // 3600 * 3600 + 3600) * 1000 <= wm_ms
+      GROUP BY 1 ORDER BY 1"""
+
   /** Oracle twin of [[t25]]: the SAME stage generator trains on the
     * train split only (w0 gains the bucket predicate), then K
     * application stages replay each merge b_k over the distinct-VAL-

@@ -253,6 +253,55 @@ object Streams {
         col("n_docs"), col("n_words"), col("n_bpe_tokens"))
     }
 
+  /** APPEND-MODE token-budget monitor — [[tokenBudget]]'s production
+    * graduation, completing the Complete→Append pattern
+    * [[hourlyTypeCountsClosed]] (st17) established for st01: on an
+    * unbounded ingest the budget report must EMIT EACH WINDOW ONCE,
+    * when the watermark passes its end and drops its state — emission
+    * and eviction one mechanism, so state is bounded by the watermark
+    * horizon (one aggregate row per open window) no matter how long
+    * the stream runs. Pipeline identical to st19 (frozen vocab as the
+    * stream-static broadcast dim, inline rank-order fold only for
+    * live-OOV); differences are exactly the production knobs:
+    * Append mode, a 1-hour watermark so windows actually close inside
+    * the replay, and event times fabricated at +500 ms off the second
+    * boundary — the watermark (max − 1 h) then can NEVER tie an
+    * hour-aligned window end, making the closed-set rule strict-vs-
+    * nonstrict-proof by construction (st17 relied on the corpus max
+    * being off-boundary; here it is forced). The gate compares exactly
+    * the watermark-decided set: windows with end ≤ max event time −
+    * 1 h, the same data-derived rule in both engines; the undecided
+    * tail is never emitted in a finite replay and both engines exclude
+    * it identically. */
+  def tokenBudgetClosed(spark: SparkSession, docsDir: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      vocab: DataFrame): DataFrame =
+    runRawStream(spark, docsDir, OutputMode.Append(), "tokenBudgetClosed") { raw =>
+      val words = split(lower(trim(col("text"))), "\\s+")
+      def segLen(w: org.apache.spark.sql.Column) = size(
+        merges.foldLeft(filter(split(w, ""), x => x =!= "")) {
+          case (c, (_, l, r, _, _)) =>
+            graft.queries.TextOps.mergeFold(c, l, r)
+        })
+      val dim = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      raw.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+        .join(dim, Seq("word"), "left")
+        .withColumn("n_syms",
+          coalesce(col("n_syms"), segLen(col("word")).cast("long")))
+        .withColumn("ets", timestamp_millis(
+          lit(1600000000000L) + pmod(col("doc_id") * 977, lit(86400L)) * 1000L
+            + lit(500L)))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+    } { sink =>
+      sink.select(col("w.start").cast("long").as("window_start_epoch"),
+        col("n_docs"), col("n_words"), col("n_bpe_tokens"))
+    }
+
   /** Streaming NEAR-DUP FILTER with survivor attribution — the online
     * twin of the batch near-dedup family (d03/d08) keyed on t07's
     * winnowing fingerprint: each document's key is its 4 smallest
