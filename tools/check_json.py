@@ -7,6 +7,12 @@ err per query) so scale sweeps (sf1, natural-growth, skew) are
 committable, diffable artifacts instead of prose records.
 
 Usage: python3 tools/check_json.py <sfDir> <outDir> <jsonOut> [note]
+       [--present-only]
+
+--present-only: cover only queries whose spark output directory exists
+(for family-subset sweeps where Verify ran with a query filter); the
+full-registry sweeps must NOT pass it, so a silently-missing output
+still fails the artifact.
 """
 import json, sys, glob, os
 import duckdb
@@ -26,19 +32,23 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir, out_dir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
-    note = sys.argv[4] if len(sys.argv) > 4 else None
+    args = [a for a in sys.argv[1:] if a != "--present-only"]
+    present_only = "--present-only" in sys.argv
+    sf_dir, out_dir, json_out = args[0], args[1], args[2]
+    note = args[3] if len(args) > 3 else None
     con = duckdb.connect()
     load(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     result = {}
     n_ok = 0
     for name, sql in sorted(oracles.items()):
+        res_dir = f"{out_dir}/{name}"
+        if present_only and not os.path.isdir(res_dir):
+            continue
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None}
         result[name] = entry
-        res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
             entry["err"] = "no spark output"
             continue
