@@ -382,9 +382,19 @@ object Similarity {
     * linear in corpus size; a production deployment would train the
     * codebook on a fixed sample, which only shrinks the training agg. */
   /** PQ geometry shared by [[s05]] (encode) and [[s07]] (ADC search):
-    * M = 4 subspaces of L = 16 lanes over the 64-lane embeddings. */
+    * M = 4 subspaces of L = 16 lanes over the 64-lane embeddings.
+    * PQ_K caps the CODEBOOK size — the fixed hyperparameter every
+    * production PQ sets (FAISS: 256 codewords per sub-quantizer,
+    * independent of N). Seeds come from `label % PQ_K`: on the
+    * 10-label default corpus the fold is the identity (numbers
+    * unchanged since the operator landed), while on corpora whose
+    * cluster count GROWS with N (the natural-growth generator plants
+    * 1 label per 200 vectors) it keeps encode cost O(N·K) linear in N
+    * — round 10's ng bench caught the unbounded form at ×23 wall for
+    * 10× data, the K∝N quadratic creeping in through the corpus. */
   private[queries] val PQ_M = 4
   private[queries] val PQ_L = EMB_DIM / PQ_M
+  private[queries] val PQ_K = 64
 
   /** (vec_id, label, m, vs): the M subvectors of every embedding. */
   private def pqSub(s: SparkSession, d: String): DataFrame =
@@ -411,15 +421,31 @@ object Similarity {
     zip_with(a, b, (x, y) => (x - y) * (x - y)),
     lit(0.0d), (acc, x) => acc + x)
 
-  /** Nearest-codebook-entry assignment per (vector, subspace). */
+  /** Nearest-codebook-entry assignment per (vector, subspace) — a
+    * PER-ROW fold over the broadcast codebook, not a row explosion:
+    * the codebook collapses to ONE row per subspace carrying all K
+    * (c, cv) entries, each (vector, subspace) row scores the K
+    * candidates with a `transform` and picks the (d2, c)-minimum with
+    * an `aggregate` fold. The previous spelling exploded N·K rows
+    * through a (vec_id, m) window shuffle to express the same argmin —
+    * at K = 64 that is 64× the shuffle volume of the input for a
+    * per-row reduction no exchange was needed for. Min over a total
+    * order (d2, then c) is fold-order-independent, so the result is
+    * identical to the window form row for row. */
   private def pqAssignTo(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("c"))
-    sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", pqD2(col("vs"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("vs"), col("c"), col("d2"))
+    val cbArr = cb.groupBy("m")
+      .agg(collect_list(struct(col("c"), col("cv"))).as("cands"))
+    sub.join(broadcast(cbArr), Seq("m"))
+      .withColumn("scored", transform(col("cands"),
+        cand => struct(pqD2(col("vs"), cand("cv")).as("d2"),
+          cand("c").as("c"))))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(Double.MaxValue).as("d2"),
+          lit(Int.MaxValue).as("c")),
+        (acc, x) => when(x("d2") < acc("d2") ||
+          (x("d2") === acc("d2") && x("c") < acc("c")), x).otherwise(acc)))
+      .select(col("vec_id"), col("m"), col("vs"),
+        col("best.c").as("c"), col("best.d2").as("d2"))
   }
 
   /** One-Lloyd-iteration PQ train + encode, shared by s05/s07:
@@ -428,7 +454,8 @@ object Similarity {
     * one build per run. */
   private[queries] def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sub = pqSub(s, d)
-    val cb0 = pqCentroids(sub.withColumn("c", col("label")))
+    val cb0 = pqCentroids(sub.withColumn("c",
+      pmod(col("label"), lit(PQ_K)).cast("int")))
     val cb1 = Shingles.sharedPersist(pqCentroids(pqAssignTo(sub, cb0)))
     val codes = Shingles.sharedPersist(
       pqAssignTo(sub, cb1)
@@ -458,7 +485,7 @@ object Similarity {
               FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
       cb0 AS (
         SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
-        FROM (SELECT label AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
+        FROM (SELECT label % 64 AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
         GROUP BY c, m, sl),
       cbl0 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb0 GROUP BY c, m),
       a1 AS (
@@ -585,7 +612,7 @@ object Similarity {
               FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
       cb0 AS (
         SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
-        FROM (SELECT label AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
+        FROM (SELECT label % 64 AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
         GROUP BY c, m, sl),
       cbl0 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb0 GROUP BY c, m),
       a1 AS (
