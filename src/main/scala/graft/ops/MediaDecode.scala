@@ -275,6 +275,81 @@ object MediaDecode {
     } finally iis.close()
   }
 
+  /** Decoded-audio row: every field read back through the JDK's REAL
+    * audio stack from genuine PCM WAV bytes — format from the parsed
+    * RIFF/fmt chunk, sample statistics from the decoded 16-bit
+    * frames. All integers, so the oracle replays the synthesis
+    * arithmetic with zero drift. */
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, duration_us: Long, peak_abs: Int, sum_abs: Long)
+
+  /** The registry's deterministic doc_id → (sampleRate, nSamples,
+    * step, phase) AUDIO synthesis (m08's twin of [[synthMedia]]):
+    * sample i of doc id is the integer sawtooth
+    * `((step·i + phase) mod 16384) − 8192` — pure int arithmetic both
+    * engines replay exactly (a float sine would drift). */
+  def synthAudio(id: Long): (Int, Int, Int, Int) =
+    (8000 * (1 + (id % 3).toInt), 256 + (id % 512).toInt,
+      (id % 97).toInt + 1, (id % 251).toInt)
+
+  /** Encode 16-bit mono PCM samples as REAL WAV bytes: the canonical
+    * 44-byte RIFF/fmt/data layout, little-endian — the file any audio
+    * tool reads. Hand-rolled writer (the JDK writes via streams too,
+    * but the fixed header is the spec itself and keeps the bytes
+    * deterministic). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode: hand the payload to `javax.sound.sampled`
+    * (the JDK's audio codec registry — WAV/AIFF/AU ship in every
+    * JVM, fully headless for parsing), read the format the DECODER
+    * parsed from the RIFF chunks, stream the PCM frames, and compute
+    * integer sample statistics. duration_us is integer-derived
+    * (n·10⁶/rate) so both engines agree exactly. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+        s"doc $id: unexpected decoded format $f")
+      val data = ais.readAllBytes()
+      val le = f.isBigEndian == false
+      val n = data.length / 2
+      var i = 0
+      var peak = 0
+      var sumAbs = 0L
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1) & 0xff
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a
+        i += 1
+      }
+      val sr = f.getSampleRate.toInt
+      DecodedAudio(id, sr, f.getChannels, f.getSampleSizeInBits,
+        n.toLong, n.toLong * 1000000L / sr, peak, sumAbs)
+    } finally ais.close()
+  }
+
   /** Resize-plan row: input geometry as READ BY THE REAL DECODER plus
     * the planned output box and integer scale percentage. */
   final case class ResizedMeta(

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 
   /** REAL codec roundtrip over a binary media column: synthesize one
     * genuine PNG per document (deterministic geometry/color from
@@ -407,4 +407,60 @@ object Multimodal {
       FROM scored
       ORDER BY cosine DESC, doc_id
       LIMIT 20"""))
+
+  /** REAL AUDIO decode — the third modality, closing the image (PNG) /
+    * video-ish (animated GIF) / audio triple with the JDK's genuine
+    * audio stack: each document gets a real 16-bit mono PCM WAV
+    * (hand-rolled RIFF writer — the 44-byte layout IS the spec; the
+    * waveform is an integer sawtooth so both engines replay it
+    * exactly), and `javax.sound.sampled` parses the container, reads
+    * the format from the fmt chunk, and streams the PCM frames; the
+    * reported sample statistics (peak, sum of |sample|) come from the
+    * DECODED frames, all-integer. One iterator-batched mapPartitions
+    * pass; payload bytes never leave the executor; the oracle
+    * recomputes every field from the synthesis arithmetic, so a hash
+    * match proves the RIFF encode → JDK parse → PCM walk faithful
+    * end-to-end. duration_us = n·10⁶/rate in integer division on both
+    * sides. */
+  val m08 = QueryDef(
+    "m08_audio_decode_meta",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val (sr, n, step, phase) = graft.ops.MediaDecode.synthAudio(id)
+          val wav = graft.ops.MediaDecode.synthesized(("wav", sr, n, step, phase)) {
+            val samples = Array.tabulate(n)(i =>
+              (((step * i + phase) % 16384) - 8192).toShort)
+            graft.ops.MediaDecode.encodeWav(sr, samples)
+          }
+          graft.ops.MediaDecode.decodeAudio(id, wav)
+        }
+      }.toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+               CAST(256 + doc_id % 512 AS INT) AS n,
+               CAST(doc_id % 97 + 1 AS INT) AS stp,
+               CAST(doc_id % 251 AS INT) AS ph
+        FROM documents),
+      sam AS (
+        SELECT doc_id, ((stp * t.i + ph) % 16384) - 8192 AS v
+        FROM m CROSS JOIN range(768) t(i)
+        WHERE t.i < n),
+      agg AS (
+        SELECT doc_id, CAST(max(abs(v)) AS INT) AS peak_abs,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        FROM sam GROUP BY doc_id)
+      SELECT m.doc_id, m.sample_rate,
+             CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+             CAST(m.n AS BIGINT) AS n_samples,
+             CAST(m.n * 1000000 // m.sample_rate AS BIGINT) AS duration_us,
+             a.peak_abs, a.sum_abs
+      FROM m JOIN agg a USING (doc_id)
+      ORDER BY m.doc_id"""))
 }

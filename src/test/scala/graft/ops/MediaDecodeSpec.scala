@@ -138,4 +138,25 @@ class MediaDecodeSpec extends AnyFunSuite {
     val fg = MediaDecode.extractFeatures(4L, green, patch = 8)
     assert(fg.features(4) == 1.0 && fg.features(0) == 0.0)
   }
+
+  test("WAV roundtrip: the JDK audio stack reads back the hand-rolled RIFF exactly") {
+    // the encoder is a hand-rolled spec-layout writer, the decoder is
+    // javax.sound.sampled — a genuine foreign-encoder pair by
+    // construction (neither side shares code with the other)
+    val samples = Array[Short](0, 100, -200, 8191, -8192, 7, -7)
+    val wav = MediaDecode.encodeWav(16000, samples)
+    assert(wav.length == 44 + samples.length * 2)
+    val a = MediaDecode.decodeAudio(9L, wav)
+    assert(a.sample_rate == 16000 && a.channels == 1 && a.bits == 16)
+    assert(a.n_samples == samples.length.toLong)
+    assert(a.peak_abs == 8192) // |−8192| — sign handled, not truncated
+    assert(a.sum_abs == samples.map(s => math.abs(s.toInt).toLong).sum)
+    assert(a.duration_us == samples.length.toLong * 1000000L / 16000L)
+  }
+
+  test("audio decode rejects payloads the registry cannot parse, loudly") {
+    intercept[Exception] {
+      MediaDecode.decodeAudio(1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    }
+  }
 }
