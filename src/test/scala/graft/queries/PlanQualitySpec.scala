@@ -190,7 +190,11 @@ class PlanQualitySpec extends SparkSpec {
       ("Similarity.scala", "q"),           // s01 quarantined baseline
       ("Similarity.scala", "cent"),        // C centroids
       ("Similarity.scala", "nrow"),        // one-row corpus count (d09 nbits)
-      ("Similarity.scala", "cb"),          // s05 codebook (K·M = 40 rows, constant)
+      ("Similarity.scala", "cb"),          // s05 codebook (K·M rows, K ≤ 64)
+      ("Similarity.scala", "cbArr"),       // s05 codebook collapsed to one
+                                           // row per subspace (M = 4 rows,
+                                           // ≤ K = 64 entries each — the
+                                           // per-row argmin fold's input)
       ("TextOps.scala", "n"),              // one-row corpus count
       ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)
       ("Curation.scala", "tot"),           // one-row corpus/token total
