@@ -43,6 +43,16 @@ object GraftSession {
       // pins the exact set of registry queries whose plans change
       // under this flag, so enabling it here is not order-dependent.
       .config("spark.graft.eagerAgg", "auto")
+      // Cost-based optimization fed by the SAME ANALYZE sidecar the
+      // eager-agg gate reads: AttachSidecarStats (a preCBO extension
+      // rule) folds persisted (rows, NDV, nulls, avgLen) into
+      // CatalogStatistics on analyzed file scans, so join reordering
+      // and broadcast selection run on measured numbers instead of
+      // compressed file bytes — ANALYZE once, every decision benefits
+      // (the Postgres contract the reference delegates to, SURVEY
+      // §4.1). Un-analyzed tables keep stock size-only estimation.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
     if (master.nonEmpty) b.master(master) else b
   }
 

@@ -163,6 +163,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
     ext.injectOptimizerRule(_ => graft.plans.EliminateUniqueLeftJoin)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialAggThroughUniqueJoin)
+    // sidecar ANALYZE statistics → Catalyst's own CBO (join reorder,
+    // broadcast selection, filter estimation); preCBO so the numbers
+    // are in place before the CostBasedJoinReorder batch runs
+    ext.injectPreCBORule(_ => graft.plans.AttachSidecarStats)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

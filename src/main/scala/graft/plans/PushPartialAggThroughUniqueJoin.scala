@@ -328,11 +328,21 @@ object PushPartialAggThroughUniqueJoin
     def ratio(n: Long, ndv: Long): Double =
       if (n <= 0 || ndv <= 0) 0.0 else n.toDouble / ndv.toDouble
 
-    // 1. persisted statistics — zero jobs at optimize time
+    // 1. persisted statistics — zero jobs at optimize time. A trace
+    //    that passed an IsNotNull-only filter prefers its own EXACT
+    //    filtered entry (written by an earlier probe) and falls back
+    //    to the unfiltered ANALYZE value as the estimate the scaladoc
+    //    licenses; an unfiltered trace reads table statistics only.
     val traced = StatsStore.traceToScan(left, keys)
-    traced.foreach { case (fs, paired) =>
-      StatsStore.lookup(
-          StatsStore.relationFingerprint(fs), paired.map(_._1)) match {
+    traced.foreach { case (fs, paired, sawFilter) =>
+      val fp = StatsStore.relationFingerprint(fs)
+      val names = paired.map(_._1)
+      val hit =
+        if (sawFilter)
+          StatsStore.lookupNotNull(fp, names)
+            .orElse(StatsStore.lookup(fp, names))
+        else StatsStore.lookup(fp, names)
+      hit match {
         case Some((n, ndv)) => return ratio(n, ndv) >= threshold
         case None => ()
       }
@@ -380,11 +390,20 @@ object PushPartialAggThroughUniqueJoin
       case Some((n, ndv)) =>
         // write-through: a traced pure-scan measurement IS a table
         // statistic — persist it so no session ever scans these key
-        // columns for this data version again
-        traced.foreach { case (fs, paired) =>
-          StatsStore.record(StatsStore.relationFingerprint(fs),
-            paired.map(_._1), n, ndv,
-            note = "recorded by eager-agg auto probe") }
+        // columns for this data version again. A trace that passed
+        // an IsNotNull-only filter measured a DEFLATED row count
+        // (the null-key group is gone), so it writes under its own
+        // marker key instead of overwriting a true ANALYZE value
+        // (round-10 advisory) — the memoization survives, the table
+        // statistic stays honest.
+        traced.foreach { case (fs, paired, sawFilter) =>
+          val fp = StatsStore.relationFingerprint(fs)
+          if (sawFilter)
+            StatsStore.recordNotNull(fp, paired.map(_._1), n, ndv,
+              note = "recorded by eager-agg auto probe (not-null-filtered)")
+          else
+            StatsStore.record(fp, paired.map(_._1), n, ndv,
+              note = "recorded by eager-agg auto probe") }
         val measured = ratio(n, ndv)
         // bounded cache (distinct plan shapes per session are few;
         // a runaway producer of novel shapes just loses memoization)

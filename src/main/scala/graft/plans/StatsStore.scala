@@ -9,8 +9,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
+import org.apache.spark.sql.functions.{approx_count_distinct, avg, count, length, lit, max, struct}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StringType
 
 /** PERSISTED TABLE STATISTICS — the catalog-side half of the
   * cost-based optimizer surface ([[graft.queries.Scalars.q69]] is the
@@ -32,6 +33,19 @@ import org.apache.spark.sql.internal.SQLConf
   * so a given (data version, column set) is scanned at most once
   * across all sessions and processes, not once per session.
   *
+  * Round 11 widened the consumer surface from one rule to ALL of
+  * Catalyst's cost-based decisions: [[AttachSidecarStats]] (a preCBO
+  * rule) folds the sidecar's (rows, NDV, nulls, avgLen, maxLen) into
+  * `CatalogStatistics` on every pure file scan, so join reordering,
+  * broadcast-vs-SMJ selection and filter-cardinality estimation read
+  * the same ANALYZE the eager-agg gate does — the Postgres contract
+  * the reference delegates its planning to (SURVEY §4.1): analyze
+  * once, every decision benefits. To make the size estimates honest
+  * on text-heavy tables (Spark's default string width is 20 bytes —
+  * the `documents.text` column averages ~1 KB), single-column
+  * ANALYZE entries also carry nullCount and, for strings, measured
+  * avg/max byte lengths.
+  *
   * Store layout: one plain-text file per table data version under
   * `spark.graft.stats.dir` (default `<user.dir>/graft-stats`), named
   * by the table's data fingerprint — the same input-file fingerprint
@@ -39,14 +53,16 @@ import org.apache.spark.sql.internal.SQLConf
   * keys by, so overwriting a table produces a NEW file and stale
   * statistics are unreachable by construction (the lock-free
   * invalidation [[graft.sources.Versioned]] uses for snapshots).
-  * Format per line: `colA,colB<TAB>rows<TAB>ndv` — sorted column
-  * names, values from ONE canonical measurement form
-  * (`count(1)` + `approx_count_distinct(struct(sortedCols))`, default
-  * rsd) shared verbatim with the rule's live probe, so the stored
-  * number and a fresh measurement are the SAME number and the fire
-  * decision cannot depend on which path served it. Thresholds are NOT
-  * stored — raw (rows, ndv) only — so `minReduction` stays live
-  * config.
+  * Format per line: `colA,colB<TAB>rows<TAB>ndv` for composite sets;
+  * single columns may carry three more fields
+  * `<TAB>nulls<TAB>avgLen<TAB>maxLen` (each `-` when unmeasured).
+  * Sorted column names; (rows, ndv) come from ONE canonical
+  * measurement form (`count(1)` +
+  * `approx_count_distinct(struct(sortedCols))`, default rsd) shared
+  * verbatim with the rule's live probe, so the stored number and a
+  * fresh measurement are the SAME number and the fire decision cannot
+  * depend on which path served it. Thresholds are NOT stored — raw
+  * statistics only — so `minReduction` stays live config.
   *
   * Concurrency: a JVM-level lock serializes read-modify-write per
   * process; cross-process races are benign (atomic temp-file rename,
@@ -58,6 +74,14 @@ import org.apache.spark.sql.internal.SQLConf
 object StatsStore {
 
   val DIR = "spark.graft.stats.dir"
+
+  /** One column set's persisted statistics. `n`/`ndv` are the
+    * canonical pair every consumer agrees on; the optional fields are
+    * per-single-column extras ANALYZE measures for the CBO surface
+    * (never consulted by the eager-agg gate). */
+  final case class ColStat(n: Long, ndv: Long,
+      nulls: Option[Long] = None, avgLen: Option[Long] = None,
+      maxLen: Option[Long] = None)
 
   /** resolved store directory; the literal value `off` disables
     * persistence entirely (lookup misses, record no-ops). */
@@ -85,22 +109,28 @@ object StatsStore {
     * can change the row count (Filter, Join, Aggregate, Sample, …) or
     * compute the key (Alias over an expression) makes table-level
     * statistics inapplicable — return None and let the caller measure
-    * the sub-plan live. Returns the leaf plus (base-column name →
-    * original key attribute) pairs SORTED by base name: NDV of a
-    * column SET is order-free, the sorted order is the store's
-    * canonical key, and callers measuring live must project the paired
-    * attributes in exactly this order so the HLL struct hashes
-    * identically on both paths. */
+    * the sub-plan live. IsNotNull-only filters pass through (see
+    * [[baseNames]]) but are REPORTED via the third tuple element: a
+    * filtered trace may still READ stored statistics as an estimate,
+    * but must never WRITE a measurement through as a table statistic —
+    * the measured rows would be deflated by the dropped null-key group
+    * and could overwrite a true ANALYZE value (round-10 advisory).
+    * Returns the leaf, (base-column name → original key attribute)
+    * pairs SORTED by base name (NDV of a column SET is order-free, the
+    * sorted order is the store's canonical key, and callers measuring
+    * live must project the paired attributes in exactly this order so
+    * the HLL struct hashes identically on both paths), and the
+    * saw-a-filter flag. */
   def traceToScan(plan: LogicalPlan, keys: Seq[Attribute])
-      : Option[(HadoopFsRelation, Seq[(String, Attribute)])] =
-    baseNames(plan, keys).map { case (fs, names) =>
-      (fs, names.zip(keys).sortBy(_._1))
+      : Option[(HadoopFsRelation, Seq[(String, Attribute)], Boolean)] =
+    baseNames(plan, keys).map { case (fs, names, filtered) =>
+      (fs, names.zip(keys).sortBy(_._1), filtered)
     }
 
   /** keys' base-column names in KEY order, or None if any node between
     * `plan` and its single file leaf is not stats-transparent. */
   private def baseNames(plan: LogicalPlan, keys: Seq[Attribute])
-      : Option[(HadoopFsRelation, Seq[String])] = plan match {
+      : Option[(HadoopFsRelation, Seq[String], Boolean)] = plan match {
     // IsNotNull-only filters are the shape the optimizer itself puts
     // above every inner-join input (null keys can't match): they drop
     // only the null-key group, which the reduction estimate can absorb
@@ -108,7 +138,7 @@ object StatsStore {
     // threshold (and exact on null-free keys). Any other predicate
     // changes the row population and bails to the live probe.
     case Filter(cond, child) if isNotNullOnly(cond) =>
-      baseNames(child, keys)
+      baseNames(child, keys).map { case (fs, ns, _) => (fs, ns, true) }
     case Project(list, child) =>
       val mapped = keys.map { k =>
         list.find(_.exprId == k.exprId).flatMap {
@@ -125,7 +155,7 @@ object StatsStore {
         case fs: HadoopFsRelation =>
           val names = keys.map(k => l.output.find(_.exprId == k.exprId))
           if (names.exists(_.isEmpty)) None
-          else Some((fs, names.flatten.map(_.name)))
+          else Some((fs, names.flatten.map(_.name), false))
         case _ => None
       }
     case _ => None
@@ -141,17 +171,34 @@ object StatsStore {
       case _ => false
     }
 
-  // per-process cache of loaded store files; fingerprints change with
-  // the data, so entries never go stale — only grow (bounded by the
-  // number of distinct data versions touched by one JVM)
+  // per-process cache of loaded store files, stamped with the sidecar
+  // file's (size, mtime) at load so a MISS is re-validated against the
+  // disk state on every lookup: an ANALYZE run by a separate process
+  // (the graft.Analyze CLI) becomes visible the moment its atomic
+  // rename lands, instead of being pinned invisible behind a
+  // process-lifetime empty entry (round-10 advisory). Fingerprints
+  // change with the data, so HIT entries never go stale; the cache
+  // only grows (bounded by the distinct data versions one JVM touches).
   private val loaded = new java.util.concurrent.ConcurrentHashMap[
-    Long, Map[String, (Long, Long)]]()
+    Long, (Long, Map[String, ColStat])]()
   private val ioLock = new Object
 
   private def file(d: Path, fp: Long): Path =
     d.resolve(java.lang.Long.toHexString(fp) + ".stats")
 
-  private def readFile(p: Path): Map[String, (Long, Long)] =
+  /** cheap freshness stamp: (size, mtime-millis) folded to one long;
+    * 0 for an absent file. Reading metadata is a ns–µs stat call —
+    * paid only on cache misses, never a Spark job. */
+  private def stamp(p: Path): Long =
+    scala.util.Try {
+      if (!Files.isRegularFile(p)) 0L
+      else Files.size(p) * 1000003L ^ Files.getLastModifiedTime(p).toMillis
+    }.getOrElse(0L)
+
+  private def parseLong(s: String): Option[Long] =
+    if (s == "-") None else scala.util.Try(s.toLong).toOption
+
+  private def readFile(p: Path): Map[String, ColStat] =
     if (!Files.isRegularFile(p)) Map.empty
     else scala.util.Try {
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
@@ -159,49 +206,112 @@ object StatsStore {
         .flatMap { l =>
           l.split('\t') match {
             case Array(cols, n, ndv) =>
-              scala.util.Try((cols, (n.toLong, ndv.toLong))).toOption
+              scala.util.Try(cols -> ColStat(n.toLong, ndv.toLong)).toOption
+            case Array(cols, n, ndv, nulls, avgLen, maxLen) =>
+              scala.util.Try(cols -> ColStat(n.toLong, ndv.toLong,
+                parseLong(nulls), parseLong(avgLen), parseLong(maxLen)))
+                .toOption
             case _ => None
           }
         }.toMap
     }.getOrElse(Map.empty)
+
+  /** the fingerprint's full entry map, served from the stamped cache;
+    * a cached MISS for `key` re-checks the sidecar file's stamp and
+    * reloads if another process wrote it since. */
+  private def entries(fp: Long, missKey: Option[String]): Map[String, ColStat] = {
+    val d = dir().getOrElse(return Map.empty)
+    val p = file(d, fp)
+    val cached = loaded.get(fp)
+    val cachedHit = cached != null && (missKey match {
+      case Some(k) => cached._2.contains(k)
+      case None => cached._2.nonEmpty
+    })
+    if (cachedHit) return cached._2
+    val s = stamp(p)
+    if (cached != null && cached._1 == s) return cached._2
+    val fromDisk = readFile(p)
+    loaded.put(fp, (s, fromDisk))
+    fromDisk
+  }
 
   /** stored (rows, ndv) for a column set of the fingerprinted table,
     * or None if never analyzed. `cols` must be the sorted base-column
     * names from [[traceToScan]]. */
   def lookup(fp: Long, cols: Seq[String]): Option[(Long, Long)] = {
     val key = cols.mkString(",")
-    val cached = loaded.get(fp)
-    val m =
-      if (cached != null) cached
-      else {
-        val fromDisk = dir().map(d => readFile(file(d, fp)))
-          .getOrElse(Map.empty[String, (Long, Long)])
-        loaded.putIfAbsent(fp, fromDisk)
-        fromDisk
-      }
-    m.get(key)
+    entries(fp, Some(key)).get(key).map(c => (c.n, c.ndv))
+  }
+
+  /** Store-key marker for measurements taken UNDER AN IsNotNull-ONLY
+    * FILTER (the shape the optimizer puts above every inner-join
+    * input): rows there are deflated by the dropped null-key group, so
+    * they live under their own key — never overwriting a true ANALYZE
+    * table statistic, while still memoizing the probe's scan across
+    * sessions (round-10 advisory, marker-in-key option). Excluded from
+    * [[tableStats]] by the `#`. */
+  private val NOTNULL = "#notnull"
+
+  /** [[lookup]] for a not-null-filtered trace: the exact filtered
+    * measurement if one was recorded. */
+  def lookupNotNull(fp: Long, cols: Seq[String]): Option[(Long, Long)] = {
+    val key = cols.mkString(",") + NOTNULL
+    entries(fp, Some(key)).get(key).map(c => (c.n, c.ndv))
+  }
+
+  /** persist a measurement taken under an IsNotNull-only filter. */
+  def recordNotNull(fp: Long, cols: Seq[String], n: Long, ndv: Long,
+      note: String = ""): Unit =
+    recordFull(fp, cols.mkString(",") + NOTNULL, _ => ColStat(n, ndv), note)
+
+  /** The CBO surface ([[AttachSidecarStats]]): the table's row count
+    * plus every SINGLE-column entry, or None when the fingerprint has
+    * never been analyzed. Row count = max `n` across entries (every
+    * entry of one data version measured the same table, so they agree;
+    * max is the safe fold if a partial file ever mixes sources). */
+  def tableStats(fp: Long): Option[(Long, Map[String, ColStat])] = {
+    val m = entries(fp, None)
+      .filterNot(_._1.contains('#')) // not-null-filtered probe entries
+    if (m.isEmpty) None
+    else Some((m.valuesIterator.map(_.n).max,
+      m.collect { case (k, v) if !k.contains(',') => k -> v }))
   }
 
   /** persist one measurement (read-modify-write + atomic rename);
-    * `note` lands as a comment line for humans diffing the sidecar. */
+    * `note` lands as a comment line for humans diffing the sidecar.
+    * An existing entry's extra per-column fields survive a (rows, ndv)
+    * re-record: same fingerprint ⇒ same data ⇒ the extras are still
+    * true. */
   def record(fp: Long, cols: Seq[String], n: Long, ndv: Long,
-      note: String = ""): Unit = dir().foreach { d =>
+      note: String = ""): Unit =
+    recordFull(fp, cols.mkString(","), c => ColStat(n, ndv,
+      c.flatMap(_.nulls), c.flatMap(_.avgLen), c.flatMap(_.maxLen)), note)
+
+  private def recordFull(fp: Long, key: String,
+      mk: Option[ColStat] => ColStat, note: String): Unit =
+    dir().foreach { d =>
     ioLock.synchronized {
       val p = file(d, fp)
-      val merged = readFile(p) + (cols.mkString(",") -> (n, ndv))
-      loaded.put(fp, merged)
+      val old = readFile(p)
+      val merged = old + (key -> mk(old.get(key)))
       scala.util.Try {
         Files.createDirectories(d)
         val header =
           s"# graft table statistics v1 fingerprint=${java.lang.Long.toHexString(fp)}" +
             (if (note.nonEmpty) s"\n# $note" else "")
+        def f(o: Option[Long]): String = o.fold("-")(_.toString)
         val body = merged.toSeq.sortBy(_._1)
-          .map { case (k, (nn, dd)) => s"$k\t$nn\t$dd" }
+          .map { case (k, c) =>
+            if (c.nulls.isEmpty && c.avgLen.isEmpty && c.maxLen.isEmpty)
+              s"$k\t${c.n}\t${c.ndv}"
+            else s"$k\t${c.n}\t${c.ndv}\t${f(c.nulls)}\t${f(c.avgLen)}\t${f(c.maxLen)}"
+          }
           .mkString("\n")
         val tmp = Files.createTempFile(d, ".stats", ".tmp")
         Files.write(tmp, (header + "\n" + body + "\n").getBytes("UTF-8"))
         Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
+        loaded.put(fp, (stamp(p), merged))
       }
       ()
     }
@@ -231,9 +341,13 @@ object StatsStore {
     * table in ONE map-only pass (exact row count + one HLL per set in
     * a single aggregate — HLL register-max is order-insensitive, so
     * the batched values are bit-identical to per-set [[measure]]
-    * runs). `df` must be a pure scan (optionally projected/aliased);
-    * anything else has no table identity to key statistics by and
-    * throws. */
+    * runs). Single-column sets additionally record nullCount and, for
+    * string columns, avg/max byte lengths — the fields
+    * [[AttachSidecarStats]] needs for honest size estimates on
+    * text-heavy tables. `df` must be a pure unfiltered scan
+    * (optionally projected/aliased — the measurement is built from the
+    * traced base attributes, so renames are transparent); anything
+    * else has no table identity to key statistics by and throws. */
   def analyze(df: DataFrame,
       colSets: Seq[Seq[String]], note: String = ""): Unit = {
     if (colSets.isEmpty) return
@@ -242,23 +356,66 @@ object StatsStore {
       val attrs = cols.map(c => plan.output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"analyze column $c not found in ${plan.output.map(_.name)}")))
-      traceToScan(plan, attrs).getOrElse(
-        throw new IllegalArgumentException(
-          "analyze requires a pure file-scan plan; got:\n" + plan))
+      traceToScan(plan, attrs) match {
+        case Some((_, _, true)) => throw new IllegalArgumentException(
+          "analyze requires an UNFILTERED scan (a filtered row count is " +
+            "not a table statistic); got:\n" + plan)
+        case Some((fs, paired, false)) => (fs, paired)
+        case None => throw new IllegalArgumentException(
+          "analyze requires a pure file-scan plan; got:\n" + plan)
+      }
     }
     require(resolved.map(_._1).distinct.size == 1,
       "analyze column sets must all resolve to one table")
-    val aggs = count(lit(1)).as("__n") +:
+    // measure over the traced BASE columns (alias-proof, advisory fix):
+    // project each original plan attribute back out under its base
+    // name, so `select($"a".as("x"))` analyzes column `a`
+    val baseAttrs = resolved.flatMap(_._2).distinctBy(_._1)
+    val spark = df.sparkSession
+    val mdf = org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
+      Project(baseAttrs.map { case (base, attr) => Alias(attr, base)() },
+        plan))
+    val strings = baseAttrs.collect {
+      case (base, attr) if attr.dataType == StringType => base }.toSet
+    val singles = baseAttrs.map(_._1).filter(b =>
+      resolved.exists { case (_, paired) =>
+        paired.size == 1 && paired.head._1 == b })
+    val aggs = (count(lit(1)).as("__n") +:
       resolved.zipWithIndex.map { case ((_, paired), i) =>
         approx_count_distinct(
-          struct(paired.map { case (name, _) => df(name) }: _*))
+          struct(paired.map { case (name, _) => mdf(name) }: _*))
           .as(s"__ndv_$i")
+      }) ++
+      singles.flatMap { b =>
+        count(mdf(b)).as(s"__nn_$b") +:
+          (if (strings(b))
+            Seq(avg(length(mdf(b))).as(s"__avg_$b"),
+              max(length(mdf(b))).as(s"__max_$b"))
+          else Nil)
       }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = mdf.agg(aggs.head, aggs.tail: _*).head()
+    def l(name: String): Option[Long] =
+      if (row.isNullAt(row.fieldIndex(name))) None
+      else row.schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          Some(math.ceil(row.getDouble(row.fieldIndex(name))).toLong)
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(row.getInt(row.fieldIndex(name)).toLong)
+        case _ => Some(row.getLong(row.fieldIndex(name)))
+      }
     val n = row.getLong(0)
     resolved.zipWithIndex.foreach { case ((fs, paired), i) =>
-      record(relationFingerprint(fs), paired.map(_._1), n,
-        row.getLong(i + 1), note)
+      val key = paired.map(_._1).mkString(",")
+      val ndv = row.getLong(i + 1)
+      val fp = relationFingerprint(fs)
+      if (paired.size == 1) {
+        val b = paired.head._1
+        val stat = ColStat(n, ndv,
+          nulls = l(s"__nn_$b").map(nn => n - nn),
+          avgLen = if (strings(b)) l(s"__avg_$b") else None,
+          maxLen = if (strings(b)) l(s"__max_$b") else None)
+        recordFull(fp, key, _ => stat, note)
+      } else recordFull(fp, key, _ => ColStat(n, ndv), note)
     }
   }
 }
