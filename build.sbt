@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench harness parses the LAST stdout line as the result
+// artifact (every BENCH_r*.json through round 10 has parsed:null
+// because sbt noise buried graft.Bench's JSON summary). Two changes
+// make that line clean: no "[success] Total time: …" epilogue, and
+// forked run output passed through RAW (no "[info] " logger prefix —
+// the child's stdout IS sbt's stdout). Failures still exit nonzero.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

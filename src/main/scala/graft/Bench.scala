@@ -90,7 +90,6 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("\"errors\":{", ",", "},")
     val line = s"""{$note$errs"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
-    println(line)
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
     // cross-round diffs depend on regexing tails). Default lands in
@@ -108,5 +107,11 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench artifact write failed ($outPath): $e") }
     spark.stop()
+    // the JSON summary is the FINAL stdout line (round-10 verdict #5:
+    // the driver parses the tail of stdout, and with sbt's [success]
+    // epilogue suppressed in build.sbt this line is what it reads;
+    // Spark's own shutdown chatter goes to stderr). Printed after
+    // spark.stop() so nothing can interleave.
+    println(line)
   }
 }

@@ -350,6 +350,51 @@ object MediaDecode {
     } finally ais.close()
   }
 
+  /** Windowed audio-feature row (m09): per-document loudness profile
+    * from the DECODED frames — the audio twin of the image family's
+    * decode→featurize step. All integers. */
+  final case class AudioWindowed(
+      doc_id: Long, n_samples: Long, n_windows: Int,
+      peak_window: Int, peak_energy: Long)
+
+  /** Windowed energy over REAL decoded PCM frames: decode through
+    * `javax.sound.sampled` (same path as [[decodeAudio]]), bucket the
+    * samples into fixed `win`-sample frames, sum |sample| per frame,
+    * and report the loudest frame (first index on ties) — the
+    * windowed-RMS/peak primitive an audio-curation pipeline runs
+    * before clipping/segmenting. Integer energies so the oracle
+    * replays the synthesis arithmetic exactly. */
+  def decodeAudioWindows(id: Long, bytes: Array[Byte], win: Int): AudioWindowed = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+        s"doc $id: unexpected decoded format $f")
+      val data = ais.readAllBytes()
+      val le = f.isBigEndian == false
+      val n = data.length / 2
+      val nWin = (n + win - 1) / win
+      var i = 0
+      var cur = 0L
+      var peak = -1L
+      var peakIdx = 0
+      while (i < n) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1) & 0xff
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+        cur += math.abs(s)
+        i += 1
+        if (i % win == 0 || i == n) {
+          val idx = (i - 1) / win
+          if (cur > peak) { peak = cur; peakIdx = idx }
+          cur = 0L
+        }
+      }
+      AudioWindowed(id, n.toLong, nWin, peakIdx, peak)
+    } finally ais.close()
+  }
+
   /** Resize-plan row: input geometry as READ BY THE REAL DECODER plus
     * the planned output box and integer scale percentage. */
   final case class ResizedMeta(

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  def defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 
   /** REAL codec roundtrip over a binary media column: synthesize one
     * genuine PNG per document (deterministic geometry/color from
@@ -463,4 +463,61 @@ object Multimodal {
              a.peak_abs, a.sum_abs
       FROM m JOIN agg a USING (doc_id)
       ORDER BY m.doc_id"""))
+
+  /** WINDOWED AUDIO FEATURES + top-k — completes the audio family's
+    * symmetry with the image family (decode → transform → featurize →
+    * search, round-10 verdict #8): each document's WAV is decoded
+    * through the real JDK audio stack ([[graft.ops.MediaDecode
+    * .decodeAudioWindows]]), the PCM frames bucketed into 64-sample
+    * windows, per-window |sample| energy summed, and the corpus
+    * ranked by loudest window — the windowed-RMS/peak primitive an
+    * audio-curation pipeline runs before clipping/segmenting, feeding
+    * the registry's standard top-k shape (total order: energy desc,
+    * doc_id). One iterator-batched mapPartitions pass; payload bytes
+    * never leave the executor; all-integer energies so the oracle
+    * replays the sawtooth synthesis arithmetic exactly. */
+  val m09 = QueryDef(
+    "m09_audio_windowed_energy",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      docs.mapPartitions { batch =>
+        batch.map { id =>
+          val (sr, n, step, phase) = graft.ops.MediaDecode.synthAudio(id)
+          val wav = graft.ops.MediaDecode.synthesized(("wav", sr, n, step, phase)) {
+            val samples = Array.tabulate(n)(i =>
+              (((step * i + phase) % 16384) - 8192).toShort)
+            graft.ops.MediaDecode.encodeWav(sr, samples)
+          }
+          graft.ops.MediaDecode.decodeAudioWindows(id, wav, 64)
+        }
+      }.toDF()
+        .orderBy(col("peak_energy").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(256 + doc_id % 512 AS INT) AS n,
+               CAST(doc_id % 97 + 1 AS INT) AS stp,
+               CAST(doc_id % 251 AS INT) AS ph
+        FROM documents),
+      sam AS (
+        SELECT doc_id, t.i // 64 AS w,
+               abs(((stp * t.i + ph) % 16384) - 8192) AS a
+        FROM m CROSS JOIN range(768) t(i)
+        WHERE t.i < n),
+      wins AS (SELECT doc_id, w, sum(a) AS e FROM sam GROUP BY 1, 2),
+      pk AS (
+        SELECT doc_id, w, e,
+               row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, w) AS rn
+        FROM wins)
+      SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_samples,
+             CAST((m.n + 63) // 64 AS INT) AS n_windows,
+             CAST(pk.w AS INT) AS peak_window,
+             CAST(pk.e AS BIGINT) AS peak_energy
+      FROM m JOIN pk USING (doc_id)
+      WHERE pk.rn = 1
+      ORDER BY peak_energy DESC, doc_id
+      LIMIT 20"""))
 }

@@ -479,13 +479,13 @@ object Similarity {
             .as("recon_err"))
         .orderBy(col("vec_id"))
     },
-    Some("""
+    Some(s"""
       WITH en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       sub AS (SELECT vec_id, label, m, v[m*16+1 : m*16+16] AS vs
               FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
       cb0 AS (
         SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
-        FROM (SELECT label % 64 AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
+        FROM (SELECT label % $PQ_K AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
         GROUP BY c, m, sl),
       cbl0 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb0 GROUP BY c, m),
       a1 AS (
@@ -586,7 +586,10 @@ object Similarity {
     * layer + PQ train + encode + per-query lookup tables + candidate
     * lookup-sum. Exposes `en` (vec_id, v, n) and `scored`
     * (query_id, neighbor_id, adc_cos). */
-  private val adcOracleCte: String = """en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+  // s"" so PQ_K interpolates — a bare `label % 64` literal would
+  // silently desynchronize engine and oracle if the constant moved
+  // (round-10 advisory; the $T26_TAU pattern)
+  private val adcOracleCte: String = s"""en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                           CAST(embedding AS DOUBLE[]))) AS n
              FROM embeddings),
@@ -612,7 +615,7 @@ object Similarity {
               FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
       cb0 AS (
         SELECT c, m, sl, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS cval
-        FROM (SELECT label % 64 AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
+        FROM (SELECT label % $PQ_K AS c, m, generate_subscripts(vs,1) AS sl, unnest(vs) AS x FROM sub)
         GROUP BY c, m, sl),
       cbl0 AS (SELECT c, m, list(cval ORDER BY sl) AS cv FROM cb0 GROUP BY c, m),
       a1 AS (

@@ -17,7 +17,8 @@ object Streaming {
 
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12, st13, st14, st15, st16, st17, st18, st19, st20)
+      st12, st13, st14, st15, st16, st17, st18, st19, st20, st21, st22,
+      st23, st24)
 
   /** Streaming token-budget monitor
     * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
@@ -492,6 +493,186 @@ object Streaming {
       WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
       GROUP BY 1, 2
       ORDER BY window_start, event_type"""))
+
+  /** APPEND-MODE cardinality monitor
+    * ([[graft.streaming.Streams.hourlyDistinctUsersClosed]]) — st10's
+    * production graduation, the round-10 "finish the family" task:
+    * each hourly HLL row is emitted exactly ONCE when the watermark
+    * passes its window end and drops its state — emission IS eviction
+    * (st17/st20's mechanism), so state is one sketch per OPEN window
+    * on an unbounded ingest where st10's Complete mode re-emits the
+    * whole table per batch. Gate = st10's discipline over exactly the
+    * watermark-decided set (window end ≤ max event time − 1 h, the
+    * same data-derived rule in both engines): exact distincts
+    * recomputed batch-side hash-compare, the streamed estimate folds
+    * into within_bound (lgK=12 ⇒ rsd ≈ 1.6%; bound 5%). */
+  val st21 = QueryDef(
+    "st21_stream_sketch_cardinality_closed",
+    (s, d) => {
+      val streamed = graft.streaming.Streams
+        .hourlyDistinctUsersClosed(s, s"$d/events.parquet")
+      val exact = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      streamed.join(exact, Seq("window_start"))
+        .select(col("window_start"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).cast("int").as("within_bound"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS exact_users,
+             CAST(1 AS INT) AS within_bound
+      FROM events CROSS JOIN mx
+      WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
+      GROUP BY 1
+      ORDER BY window_start"""))
+
+  /** APPEND-MODE quantile monitor
+    * ([[graft.streaming.Streams.hourlyValueQuantilesClosed]]) — st13's
+    * production graduation: the per-hour KLL buffer is emitted once on
+    * window close and its state dropped (one k-bounded sketch per open
+    * window). Gate = st13's rank-bound discipline restricted to the
+    * closed-window set; the probe joins each closed window's events
+    * back to the streamed sketch values. */
+  val st22 = QueryDef(
+    "st22_stream_quantile_monitor_closed",
+    (s, d) => {
+      val streamed = graft.streaming.Streams
+        .hourlyValueQuantilesClosed(s, s"$d/events.parquet")
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("window_start"), col("value"))
+      val n = col("n").cast("double")
+      ev.join(broadcast(streamed), Seq("window_start"))
+        .groupBy(col("window_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("n_events")).as("n_events"),
+          sort_array(collect_list(col("value"))).as("__sorted"),
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("value") <= col("approx_p95"), 1L).otherwise(0L)).as("__le95"))
+        .select(col("window_start"), col("n_events"),
+          element_at(col("__sorted"), ceil(n * 0.5).cast("int")).as("p50"),
+          element_at(col("__sorted"), ceil(n * 0.95).cast("int")).as("p95"),
+          ((col("__le50") / n).between(lit(0.45), lit(0.55) + lit(1.0) / n) &&
+            (col("__le95") / n).between(lit(0.90), lit(1.0)))
+            .cast("int").as("within_bound"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             count(*) AS n_events,
+             list_sort(list(value))[CAST(ceil(count(*) * 0.5) AS BIGINT)] AS p50,
+             list_sort(list(value))[CAST(ceil(count(*) * 0.95) AS BIGINT)] AS p95,
+             CAST(1 AS INT) AS within_bound
+      FROM events CROSS JOIN mx
+      WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
+      GROUP BY 1
+      ORDER BY window_start"""))
+
+  /** APPEND-MODE trending monitor
+    * ([[graft.streaming.Streams.hourlyTrendingClosed]]) — st14's
+    * production graduation, completing the closed-monitor trio (HLL
+    * st21, KLL st22, Misra-Gries here): the per-hour heavy-hitter
+    * sketch emits once on window close, state = 64 counters per open
+    * window. Gate = st14's lb ≤ exact ≤ ub invariant (merge-order-free)
+    * over exactly the closed-window set. */
+  val st23 = QueryDef(
+    "st23_stream_trending_closed",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val streamed = graft.streaming.Streams
+        .hourlyTrendingClosed(s, s"$d/events.parquet")
+      val byHour = Window.partitionBy(col("window_start"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+      val top3 = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rnk", row_number().over(byHour))
+        .filter(col("rnk") <= 3)
+      top3.join(broadcast(streamed), Seq("window_start"))
+        .withColumn("__b",
+          graft.functions.FreqSketchAgg.freqBounds(col("sk"), col("user_id")))
+        .select(col("window_start"), col("rnk"), col("user_id"),
+          col("exact_cnt"), col("n_events"),
+          (col("__b.lb") <= col("exact_cnt") &&
+            col("exact_cnt") <= col("__b.ub")).cast("int").as("within_bound"))
+        .orderBy(col("window_start"), col("rnk"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events),
+      c AS (
+        SELECT date_trunc('hour', ts) AS ws, user_id, count(*) AS exact_cnt
+        FROM events GROUP BY 1, 2),
+      n AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_events
+            FROM events GROUP BY 1),
+      r AS (SELECT c.*, row_number() OVER (PARTITION BY ws
+              ORDER BY exact_cnt DESC, user_id) AS rnk FROM c)
+      SELECT CAST(r.ws AS TIMESTAMP) AS window_start, rnk, user_id,
+             exact_cnt, n_events, CAST(1 AS INT) AS within_bound
+      FROM r JOIN n ON r.ws = n.ws CROSS JOIN mx
+      WHERE rnk <= 3 AND epoch_us(r.ws) + 3600000000 <= mx.wm
+      ORDER BY window_start, rnk"""))
+
+  /** HORIZON-BOUNDED near-dup filter
+    * ([[graft.streaming.Streams.nearDupWindowed]]) — st12's production
+    * graduation (round-10 verdict #3: st12's fingerprint→min-id state
+    * grows with corpus cardinality forever): survivors are only
+    * contendable within a 6-hour event-time window, expressed as the
+    * shape where emission IS eviction — group by (winnowing
+    * fingerprint, tumbling window), min doc_id + member count, Append
+    * mode. State is one (min, count) pair per fingerprint per OPEN
+    * window — bounded by the horizon, not the corpus. Twins land in
+    * their original's window (event time derives from the original id)
+    * and provably collapse; the oracle replays the fingerprint math,
+    * window bucketing and closed-set rule (window end ≤ max event
+    * time − 1 h). */
+  val st24 = QueryDef(
+    "st24_stream_neardup_windowed",
+    (s, d) =>
+      graft.streaming.Streams.nearDupWindowed(s, s"$d/documents.parquet")
+        .orderBy(col("window_start_epoch"), col("fp")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text || ' near dup twin suffix'
+        FROM documents),
+      n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM base),
+      wins AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(t) - 6),
+               i -> substr(t, CAST(i AS INT), 8))) AS w
+        FROM n WHERE length(t) >= 8),
+      hs AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM wins),
+      mins AS (
+        SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM hs),
+      fp AS (
+        SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fp
+        FROM mins WHERE rn <= 4 GROUP BY doc_id),
+      et AS (
+        SELECT doc_id, fp,
+               1600000000000 + ((doc_id % 1000000000) * 977 % 86400) * 1000
+                 + 500 AS ems
+        FROM fp),
+      mx AS (SELECT max(ems) - 3600000 AS wm FROM et),
+      wd AS (SELECT doc_id, fp, ems - ems % 21600000 AS ws FROM et),
+      cl AS (SELECT ws, fp, min(doc_id) AS canonical_id, count(*) AS n_docs
+             FROM wd GROUP BY 1, 2)
+      SELECT CAST(ws // 1000 AS BIGINT) AS window_start_epoch, fp,
+             canonical_id, n_docs
+      FROM cl CROSS JOIN mx
+      WHERE ws + 21600000 <= mx.wm
+      ORDER BY window_start_epoch, fp"""))
 
   /** Gap-based sessionization (30-min inactivity), batch form: the
     * lag + cumulative-sum pattern. Works at 100 TB: both windows

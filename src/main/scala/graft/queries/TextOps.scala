@@ -536,7 +536,23 @@ object TextOps {
   /** Near-dup detection: word-3-gram shingles → inverted index →
     * df-capped candidate self-join → Jaccard. The df cap (2 ≤ df ≤ 20)
     * bounds the pair blowup; Jaccard is over the df-filtered shingle
-    * space on both engines. */
+    * space on both engines.
+    *
+    * DOCUMENTED REGIME (round-10 verdict #7, kept by design): the
+    * fixed cap assumes a natural corpus where shingle document
+    * frequency follows Zipf — on such corpora (the `--vocab-growth`
+    * generator, any real crawl) candidate pairs are plentiful and d02
+    * is non-vacuous at every SF (proven green on sf0.1ng/sf1ng). On a
+    * SATURATING corpus — a tiny fixed vocabulary recycled as N grows,
+    * like the default 31-word testdata above sf0.01 — every shingle's
+    * df eventually exceeds the cap and d02 returns 0 candidate pairs
+    * BY DESIGN: a shingle shared by >20 documents identifies nothing
+    * (the stop-word argument), and both engines agree on the empty
+    * answer. The production knob is the cap itself (df ≤ 20 is the
+    * PPJoin-family convention); a quantile-adaptive cap would trade
+    * determinism for coverage and is intentionally NOT taken — d11's
+    * lossless prefix-filter join is the right tool where recall on
+    * saturating data matters. */
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, d) => {

@@ -359,6 +359,52 @@ object Streams {
         .withColumn("kept", (col("canonical_id") === col("doc_id")).cast("int"))
     }
 
+  /** HORIZON-BOUNDED near-dup filter — [[nearDupFilter]]'s production
+    * graduation (round-10 verdict #3: its fingerprint→min-doc-id state
+    * grows with every distinct fingerprint FOREVER — corpus-cardinality
+    * state no unbounded ingest can afford). The production semantics:
+    * survivors are only contendable within an event-time horizon — a
+    * document dedups against near-dups from its own 6-hour window, and
+    * once the watermark passes the window it is decided and its state
+    * dropped. Expressed as the shape that makes eviction and emission
+    * ONE mechanism (st17/st20): group by (fingerprint, 6 h tumbling
+    * window), aggregate min doc_id (the canonical survivor) + member
+    * count, Append mode — each (window, fingerprint) cluster emits
+    * exactly once when the watermark closes its window, and state is
+    * one (min, count) pair per fingerprint per OPEN window: bounded by
+    * the horizon × arrival rate, never by corpus cardinality.
+    *
+    * Event time is fabricated deterministically from the ORIGINAL
+    * doc_id (`pmod(id, 10⁹)` strips the twin offset, so each
+    * suffix-perturbed twin lands in its original's window and provably
+    * collapses — the d08 discipline), at +500 ms off the second
+    * boundary so the watermark can never tie a window end (st20's
+    * forced-strictness trick). The oracle replays the identical
+    * fingerprint math (t07's CTE chain), window bucketing, and
+    * closed-set rule (window end ≤ max event time − 1 h). */
+  def nearDupWindowed(spark: SparkSession, docsDir: String): DataFrame =
+    runRawStream(spark, docsDir, OutputMode.Append(), "nearDupWindowed") { raw =>
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup twin suffix")).as("text"))
+      raw.select(col("doc_id"), col("text")).unionAll(twins)
+        .select(col("doc_id"), norm.as("t"))
+        .filter(length(col("t")) >= 8)
+        .select(col("doc_id"), concat_ws(",",
+          graft.functions.RollingMinHash.rollingMinHash(col("t"), 8, 4)).as("fp"))
+        .withColumn("ets", timestamp_millis(
+          lit(1600000000000L) +
+            pmod(pmod(col("doc_id"), lit(1000000000L)) * 977, lit(86400L)) * 1000L
+            + lit(500L)))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "6 hours").as("w"), col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"))
+    } { sink =>
+      sink.select(col("w.start").cast("long").as("window_start_epoch"),
+        col("fp"), col("canonical_id"), col("n_docs"))
+    }
+
   /** Streaming CARDINALITY MONITORING — a DataSketches HLL as
     * streaming aggregation state: per-hour approximate distinct users
     * next to the exact row count, the dashboard primitive a 100 TB
@@ -416,6 +462,73 @@ object Streams {
     * heavy hitter (NO_FALSE_NEGATIVES). The probe runs sink-side. */
   def hourlyTrending(spark: SparkSession, eventsDir: String): DataFrame =
     runStream(spark, eventsDir, OutputMode.Complete(), "hourlyTrending") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.FreqSketchAgg.freqSketch(col("user_id"), 64).as("sk"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"), col("sk"))
+    }
+
+  /** APPEND-MODE cardinality monitor — [[hourlyDistinctUsers]]'s
+    * production graduation (round-10 verdict: "finish the family"):
+    * the per-hour HLL sketch is emitted exactly ONCE, when the
+    * watermark passes the window end and drops its state — emission
+    * IS eviction (st17/st20's mechanism), so the monitor's state is
+    * bounded by the watermark horizon (one sketch per open window) on
+    * an unbounded ingest, where Complete mode re-emits the whole
+    * result table every batch and can only run on finite replays.
+    * Mergeable sketch state is exactly what makes per-window
+    * emit-once correct: micro-batches fold into the window's one HLL
+    * regardless of arrival order, and the closed window's estimate is
+    * the same number the Complete form converges to. The gate
+    * compares exactly the watermark-decided set (window end ≤ max
+    * event time − 1 h — hour-aligned ends vs the corpus's
+    * arbitrary-µs max keep boundary strictness moot). */
+  def hourlyDistinctUsersClosed(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append(), "hourlyDistinctUsersClosed") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("approx_users"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"), col("approx_users"))
+    }
+
+  /** APPEND-MODE quantile monitor — [[hourlyValueQuantiles]]'s
+    * production graduation: per-hour KLL sketch emitted once on
+    * window close (see [[hourlyDistinctUsersClosed]] for the
+    * mechanism); state = one k-bounded KLL buffer per OPEN window,
+    * evicted at emission. */
+  def hourlyValueQuantilesClosed(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append(), "hourlyValueQuantilesClosed") { src =>
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.KllSketchAgg
+            .kllSketch(col("value").cast("double"), 200).as("sk"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_events"),
+        graft.functions.KllSketchAgg.kllQuantile(col("sk"), lit(0.5)).as("approx_p50"),
+        graft.functions.KllSketchAgg.kllQuantile(col("sk"), lit(0.95)).as("approx_p95"))
+    }
+
+  /** APPEND-MODE trending monitor — [[hourlyTrending]]'s production
+    * graduation, completing the closed-monitor trio (HLL st21, KLL
+    * st22, Misra-Gries here): the per-hour heavy-hitter sketch is
+    * emitted once on window close; state = maxMapSize counters per
+    * OPEN window. The Misra-Gries lb ≤ exact ≤ ub invariant is
+    * merge-order-free, so the emitted sketch's bounds are
+    * deterministic however micro-batches arrived. */
+  def hourlyTrendingClosed(spark: SparkSession, eventsDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append(), "hourlyTrendingClosed") { src =>
       src.withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 hour").as("w"))
         .agg(

@@ -124,7 +124,9 @@ class RegistrySpec extends SparkSpec {
       "incrementalLoad", "attributionPairs", "attributionOuter", "hourlyTypeCountsClosed",
       "attributionFull", "attributionSemi", "typeCountsTws", "corpusIngest",
       "hourlyDistinctUsers", "segmentHourlyRevenue", "nearDupFilter",
-      "hourlyValueQuantiles", "hourlyTrending", "tokenBudget")
+      "hourlyValueQuantiles", "hourlyTrending", "tokenBudget",
+      "hourlyDistinctUsersClosed", "hourlyValueQuantilesClosed",
+      "hourlyTrendingClosed", "nearDupWindowed")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =

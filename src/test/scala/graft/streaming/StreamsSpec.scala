@@ -30,6 +30,90 @@ class StreamsSpec extends SparkSpec {
     spark.table(name).as[Session].collect().toSeq
   }
 
+  test("closed-window monitors: emit exactly once on watermark close, state evicted") {
+    // the st21–st24 mechanism in isolation (the registry runs them as
+    // one AvailableNow replay; here micro-batches drive the watermark
+    // so emission timing and STATE SIZE are observable): an hourly
+    // sketch aggregate in Append mode emits a window the batch after
+    // the watermark passes its end, exactly once, and the state-store
+    // row count drops back to the OPEN windows only — emission is
+    // eviction, state is bounded by the horizon however long the
+    // stream runs.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDS().toDF("user_id", "ets")
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("approx_users"))
+    val name = s"cwm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    try {
+      // hour-0 events: window [0,60) open, nothing decidable yet
+      input.addData(Seq((1L, ts(0)), (2L, ts(10)), (1L, ts(20))))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0, "no window closed yet")
+      // hour-3 event: watermark → minute 120, window [0,60) closes and
+      // EMITS; its state is dropped — only [180,240) stays open
+      input.addData(Seq((3L, ts(185))))
+      q.processAllAvailable()
+      val emitted = spark.table(name)
+        .select(col("w.start"), col("n_events"), col("approx_users")).collect()
+      assert(emitted.length === 1, s"exactly one closed window: ${emitted.toSeq}")
+      assert(emitted.head.getLong(1) === 3L)
+      assert(emitted.head.getLong(2) === 2L, "HLL estimate of 2 distinct users")
+      assert(stateRows === 1L,
+        s"state must hold only the open window after eviction, got $stateRows")
+      // replaying MORE hour-3 data must not re-emit the closed window
+      input.addData(Seq((4L, ts(190))))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1, "closed windows never re-emit")
+    } finally q.stop()
+  }
+
+  test("windowed near-dup: same-window twins collapse to min id, horizon-bounded state") {
+    // st24's shape in isolation: (fingerprint, window) min-id dedup in
+    // Append mode — a near-dup pair inside one window emits ONE row
+    // with the original as canonical; the same fingerprint in a later
+    // window contends ONLY within its own window (fresh canonical),
+    // and closed-window state is gone.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val agg = input.toDS().toDF("doc_id", "fp", "ets")
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+    val name = s"ndw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    try {
+      input.addData(Seq((7L, "fpA", ts(5)), (1000000007L, "fpA", ts(5)),
+        (9L, "fpB", ts(6))))
+      q.processAllAvailable()
+      // hour-3 re-occurrence of fpA: a NEW window — prior survivors are
+      // not contendable beyond the horizon
+      input.addData(Seq((42L, "fpA", ts(185))))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("fp"), col("canonical_id"), col("n_docs")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq(("fpA", 7L, 2L), ("fpB", 9L, 1L)),
+        s"window-0 verdicts: twin collapsed onto 7, got ${rows.toSeq}")
+      assert(stateRows === 1L,
+        s"only the open hour-3 (fpA) state survives, got $stateRows")
+    } finally q.stop()
+  }
+
   test("a gap inside one batch closes the earlier session immediately") {
     val out = runBatches(Seq(Seq(
       Ev(1, ts(0)), Ev(1, ts(10)), Ev(1, ts(100)) // 90-min gap → close [0,10]

@@ -84,7 +84,10 @@ def main():
     with open(json_out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)
     print(f"== {n_ok}/{len(result)} pass -> {json_out} ==")
-    sys.exit(0 if n_ok == len(result) else 1)
+    # 0/0 is never a pass: with --present-only a misconfigured outDir or
+    # query filter would otherwise mint a vacuous green artifact
+    # (round-10 advisory)
+    sys.exit(0 if result and n_ok == len(result) else 1)
 
 
 if __name__ == "__main__":
