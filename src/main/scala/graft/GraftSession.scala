@@ -46,13 +46,20 @@ object GraftSession {
       // Cost-based optimization fed by the SAME ANALYZE sidecar the
       // eager-agg gate reads: AttachSidecarStats (a preCBO extension
       // rule) folds persisted (rows, NDV, nulls, avgLen) into
-      // CatalogStatistics on analyzed file scans, so join reordering
-      // and broadcast selection run on measured numbers instead of
-      // compressed file bytes — ANALYZE once, every decision benefits
-      // (the Postgres contract the reference delegates to, SURVEY
-      // §4.1). Un-analyzed tables keep stock size-only estimation.
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // CatalogStatistics on analyzed file scans, so broadcast
+      // selection and filter-cardinality estimation run on measured
+      // numbers instead of compressed file bytes — ANALYZE once,
+      // every decision benefits (the Postgres contract the reference
+      // delegates to, SURVEY §4.1). Un-analyzed tables keep stock
+      // size-only estimation. Join REORDER stays at Spark's own
+      // default (off) even under CBO: the registry's plans are
+      // hand-ordered and measured (A/B at sf0.1: reorder rewrote
+      // q18's join tree 0.93 → 1.42 s by widening the broadcast
+      // build side) — reorder is for naive plans, opt in with
+      // spark.sql.cbo.joinReorder.enabled=true (StatsCboSpec proves
+      // the sidecar steers it when enabled). SPARK_GRAFT_CBO=false
+      // restores stock size-only planning for A/B measurement.
+      .config("spark.sql.cbo.enabled", sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
     if (master.nonEmpty) b.master(master) else b
   }
 

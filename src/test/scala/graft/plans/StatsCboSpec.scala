@@ -164,6 +164,10 @@ class StatsCboSpec extends SparkSpec {
         StatsStore.DIR -> store,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.graft.eagerAgg" -> "false",
+        // reorder is opt-in (GraftSession keeps Spark's own default,
+        // off — the registry's joins are hand-ordered); this test IS
+        // the opt-in path
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       StatsStore.clearLoaded()
       val before = query()
