@@ -18,7 +18,7 @@ object Streaming {
   def defs: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
       st12, st13, st14, st15, st16, st17, st18, st19, st20, st21, st22,
-      st23, st24)
+      st23, st24, st25)
 
   /** Streaming token-budget monitor
     * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
@@ -673,6 +673,32 @@ object Streaming {
       FROM cl CROSS JOIN mx
       WHERE ws + 21600000 <= mx.wm
       ORDER BY window_start_epoch, fp"""))
+
+  /** APPEND-MODE stream-static enrichment rollup
+    * ([[graft.streaming.Streams.segmentHourlyRevenueClosed]]) — st11's
+    * production graduation, retiring the LAST Complete-mode-only
+    * pipeline: the static-dim join stays stateless per micro-batch;
+    * the hourly (window, segment) aggregate emits once on window
+    * close, state bounded by horizon × |segments|. Oracle = st11's
+    * batch join + rollup restricted to the watermark-decided set. */
+  val st25 = QueryDef(
+    "st25_stream_static_join_closed",
+    (s, d) =>
+      graft.streaming.Streams
+        .segmentHourlyRevenueClosed(s, s"$d/events.parquet", d)
+        .orderBy(col("window_start"), col("segment")),
+    Some("""
+      WITH mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             c_mktsegment AS segment,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN customer ON c_custkey = user_id
+      CROSS JOIN mx
+      WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= mx.wm
+      GROUP BY 1, 2
+      ORDER BY window_start, segment"""))
 
   /** Gap-based sessionization (30-min inactivity), batch form: the
     * lag + cumulative-sum pattern. Works at 100 TB: both windows

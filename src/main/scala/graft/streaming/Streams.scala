@@ -611,6 +611,33 @@ object Streams {
         col("segment"), col("n_events"), col("sum_value"))
     }
 
+  /** APPEND-MODE stream-static enrichment rollup —
+    * [[segmentHourlyRevenue]]'s production graduation, retiring the
+    * LAST Complete-mode-only pipeline (round-10 verdict: "finish the
+    * family"): the join side is unchanged (static dim, zero streaming
+    * state — re-planned into each micro-batch), and the hourly
+    * (window, segment) aggregate now emits each row exactly once when
+    * the watermark closes its window and drops its state. State = one
+    * aggregate row per open (window, segment) — bounded by horizon ×
+    * |segments| on an unbounded ingest. Gate compares the
+    * watermark-decided set (window end ≤ max event time − 1 h). */
+  def segmentHourlyRevenueClosed(spark: SparkSession, eventsDir: String,
+                                 sfDir: String): DataFrame =
+    runStream(spark, eventsDir, OutputMode.Append(), "segmentHourlyRevenueClosed") { src =>
+      val users = graft.Tables.customer(src.sparkSession, sfDir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      src.withWatermark("ets", "1 hour")
+        .join(users, Seq("user_id")) // static side: stateless per batch
+        .groupBy(window(col("ets"), "1 hour").as("w"), col("segment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.QueryDef.dsum(col("value")).as("sum_value"))
+    } { sink =>
+      sink.select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("segment"), col("n_events"), col("sum_value"))
+    }
+
   /** Streaming deduplication with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per
     * (user, event_type, day) and PURGES key state once the

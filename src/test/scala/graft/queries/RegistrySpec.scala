@@ -126,7 +126,7 @@ class RegistrySpec extends SparkSpec {
       "hourlyDistinctUsers", "segmentHourlyRevenue", "nearDupFilter",
       "hourlyValueQuantiles", "hourlyTrending", "tokenBudget",
       "hourlyDistinctUsersClosed", "hourlyValueQuantilesClosed",
-      "hourlyTrendingClosed", "nearDupWindowed")
+      "hourlyTrendingClosed", "nearDupWindowed", "segmentHourlyRevenueClosed")
     assert(expected.subsetOf(plans.keySet),
       s"missing streaming plan recordings: ${expected -- plans.keySet}")
     val boundedChild =
