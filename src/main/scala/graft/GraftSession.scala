@@ -45,7 +45,7 @@ object GraftSession {
       .config("spark.graft.eagerAgg", "auto")
       // Cost-based optimization fed by the SAME ANALYZE sidecar the
       // eager-agg gate reads: AttachSidecarStats (a preCBO extension
-      // rule) folds persisted (rows, NDV, nulls, avgLen) into
+      // rule) folds persisted (rows, NDV, nulls, avgLen, numeric min/max) into
       // CatalogStatistics on analyzed file scans, so broadcast
       // selection and filter-cardinality estimation run on measured
       // numbers instead of compressed file bytes — ANALYZE once,

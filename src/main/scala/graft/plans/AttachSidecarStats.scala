@@ -89,6 +89,11 @@ object AttachSidecarStats extends Rule[LogicalPlan] {
         cols.get(a.name).filter(_ => estimable).map { c =>
           a.name -> CatalogColumnStat(
             distinctCount = Some(BigInt(c.ndv)),
+            // external string forms; toPlanStat parses by dataType.
+            // Recorded only for numeric columns, where they give
+            // FilterEstimation its range-selectivity interpolation.
+            min = c.min,
+            max = c.max,
             nullCount = c.nulls.map(BigInt(_)),
             avgLen = c.avgLen,
             maxLen = c.maxLen)

@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.StringType
   *
   * Round 11 widened the consumer surface from one rule to ALL of
   * Catalyst's cost-based decisions: [[AttachSidecarStats]] (a preCBO
-  * rule) folds the sidecar's (rows, NDV, nulls, avgLen, maxLen) into
+  * rule) folds the sidecar's (rows, NDV, nulls, avgLen/maxLen, numeric min/max) into
   * `CatalogStatistics` on every pure file scan, so join reordering,
   * broadcast-vs-SMJ selection and filter-cardinality estimation read
   * the same ANALYZE the eager-agg gate does — the Postgres contract
@@ -55,7 +55,9 @@ import org.apache.spark.sql.types.StringType
   * invalidation [[graft.sources.Versioned]] uses for snapshots).
   * Format per line: `colA,colB<TAB>rows<TAB>ndv` for composite sets;
   * single columns may carry three more fields
-  * `<TAB>nulls<TAB>avgLen<TAB>maxLen` (each `-` when unmeasured).
+  * `<TAB>nulls<TAB>avgLen<TAB>maxLen` and, for numeric columns, two
+  * further bound fields `<TAB>min<TAB>max` (each `-` when
+  * unmeasured).
   * Sorted column names; (rows, ndv) come from ONE canonical
   * measurement form (`count(1)` +
   * `approx_count_distinct(struct(sortedCols))`, default rsd) shared
@@ -78,10 +80,15 @@ object StatsStore {
   /** One column set's persisted statistics. `n`/`ndv` are the
     * canonical pair every consumer agrees on; the optional fields are
     * per-single-column extras ANALYZE measures for the CBO surface
-    * (never consulted by the eager-agg gate). */
+    * (never consulted by the eager-agg gate). `min`/`max` are the
+    * external string forms of numeric column bounds — what
+    * FilterEstimation needs to price RANGE predicates (without them a
+    * `BETWEEN` falls to default selectivity however selective it
+    * really is). */
   final case class ColStat(n: Long, ndv: Long,
       nulls: Option[Long] = None, avgLen: Option[Long] = None,
-      maxLen: Option[Long] = None)
+      maxLen: Option[Long] = None,
+      min: Option[String] = None, max: Option[String] = None)
 
   /** resolved store directory; the literal value `off` disables
     * persistence entirely (lookup misses, record no-ops). */
@@ -204,6 +211,7 @@ object StatsStore {
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filterNot(l => l.startsWith("#") || l.isEmpty)
         .flatMap { l =>
+          def str(s: String): Option[String] = if (s == "-") None else Some(s)
           l.split('\t') match {
             case Array(cols, n, ndv) =>
               scala.util.Try(cols -> ColStat(n.toLong, ndv.toLong)).toOption
@@ -211,6 +219,10 @@ object StatsStore {
               scala.util.Try(cols -> ColStat(n.toLong, ndv.toLong,
                 parseLong(nulls), parseLong(avgLen), parseLong(maxLen)))
                 .toOption
+            case Array(cols, n, ndv, nulls, avgLen, maxLen, mn, mx) =>
+              scala.util.Try(cols -> ColStat(n.toLong, ndv.toLong,
+                parseLong(nulls), parseLong(avgLen), parseLong(maxLen),
+                str(mn), str(mx))).toOption
             case _ => None
           }
         }.toMap
@@ -285,7 +297,8 @@ object StatsStore {
   def record(fp: Long, cols: Seq[String], n: Long, ndv: Long,
       note: String = ""): Unit =
     recordFull(fp, cols.mkString(","), c => ColStat(n, ndv,
-      c.flatMap(_.nulls), c.flatMap(_.avgLen), c.flatMap(_.maxLen)), note)
+      c.flatMap(_.nulls), c.flatMap(_.avgLen), c.flatMap(_.maxLen),
+      c.flatMap(_.min), c.flatMap(_.max)), note)
 
   private def recordFull(fp: Long, key: String,
       mk: Option[ColStat] => ColStat, note: String): Unit =
@@ -300,11 +313,15 @@ object StatsStore {
           s"# graft table statistics v1 fingerprint=${java.lang.Long.toHexString(fp)}" +
             (if (note.nonEmpty) s"\n# $note" else "")
         def f(o: Option[Long]): String = o.fold("-")(_.toString)
+        def g(o: Option[String]): String = o.getOrElse("-")
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, c) =>
-            if (c.nulls.isEmpty && c.avgLen.isEmpty && c.maxLen.isEmpty)
+            if (c.nulls.isEmpty && c.avgLen.isEmpty && c.maxLen.isEmpty &&
+                c.min.isEmpty && c.max.isEmpty)
               s"$k\t${c.n}\t${c.ndv}"
-            else s"$k\t${c.n}\t${c.ndv}\t${f(c.nulls)}\t${f(c.avgLen)}\t${f(c.maxLen)}"
+            else if (c.min.isEmpty && c.max.isEmpty)
+              s"$k\t${c.n}\t${c.ndv}\t${f(c.nulls)}\t${f(c.avgLen)}\t${f(c.maxLen)}"
+            else s"$k\t${c.n}\t${c.ndv}\t${f(c.nulls)}\t${f(c.avgLen)}\t${f(c.maxLen)}\t${g(c.min)}\t${g(c.max)}"
           }
           .mkString("\n")
         val tmp = Files.createTempFile(d, ".stats", ".tmp")
@@ -377,6 +394,13 @@ object StatsStore {
         plan))
     val strings = baseAttrs.collect {
       case (base, attr) if attr.dataType == StringType => base }.toSet
+    // numeric singles also record min/max — FilterEstimation's range-
+    // selectivity inputs (a BETWEEN/inequality without bounds falls to
+    // default selectivity however selective it really is)
+    val numerics = baseAttrs.collect {
+      case (base, attr)
+        if attr.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        base }.toSet
     val singles = baseAttrs.map(_._1).filter(b =>
       resolved.exists { case (_, paired) =>
         paired.size == 1 && paired.head._1 == b })
@@ -388,10 +412,14 @@ object StatsStore {
       }) ++
       singles.flatMap { b =>
         count(mdf(b)).as(s"__nn_$b") +:
-          (if (strings(b))
+          ((if (strings(b))
             Seq(avg(length(mdf(b))).as(s"__avg_$b"),
               max(length(mdf(b))).as(s"__max_$b"))
-          else Nil)
+          else Nil) ++
+          (if (numerics(b))
+            Seq(org.apache.spark.sql.functions.min(mdf(b)).as(s"__lo_$b"),
+              max(mdf(b)).as(s"__hi_$b"))
+          else Nil))
       }
     val row = mdf.agg(aggs.head, aggs.tail: _*).head()
     def l(name: String): Option[Long] =
@@ -410,10 +438,16 @@ object StatsStore {
       val fp = relationFingerprint(fs)
       if (paired.size == 1) {
         val b = paired.head._1
+        def ext(name: String): Option[String] = {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) None else Some(row.get(i).toString)
+        }
         val stat = ColStat(n, ndv,
           nulls = l(s"__nn_$b").map(nn => n - nn),
           avgLen = if (strings(b)) l(s"__avg_$b") else None,
-          maxLen = if (strings(b)) l(s"__max_$b") else None)
+          maxLen = if (strings(b)) l(s"__max_$b") else None,
+          min = if (numerics(b)) ext(s"__lo_$b") else None,
+          max = if (numerics(b)) ext(s"__hi_$b") else None)
         recordFull(fp, key, _ => stat, note)
       } else recordFull(fp, key, _ => ColStat(n, ndv), note)
     }

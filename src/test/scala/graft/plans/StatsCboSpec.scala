@@ -136,6 +136,42 @@ class StatsCboSpec extends SparkSpec {
     }
   }
 
+  test("RANGE-predicate broadcast flip: min/max bounds price a BETWEEN, same rows") {
+    // equality predicates flip on NDV alone (test above); a range
+    // predicate needs the column BOUNDS — without min/max,
+    // FilterEstimation cannot interpolate and the filtered dim keeps
+    // ~file-size costing (SMJ); with ANALYZE's numeric min/max the
+    // 2-of-100 group BETWEEN prices at ~2% and broadcasts.
+    val store = freshStoreDir()
+    val data = Files.createTempDirectory("graft-cbo-data4").toString
+    val (fact, dim) = writeTables(data, factRows = 20000, dimRows = 8000,
+      nGroups = 100)
+    val dimBytes = Files.walk(java.nio.file.Paths.get(data, "dim"))
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+    def query() = fact.join(dim.filter(col("grp").between(3, 4)),
+        col("fk") === col("dk"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    withConf(cbo,
+        StatsStore.DIR -> store,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.graft.eagerAgg" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> (dimBytes / 8).toString) {
+      StatsStore.clearLoaded()
+      def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+      val withoutStats = plan(query())
+      assert(withoutStats.contains("SortMergeJoin"),
+        s"un-analyzed: range filter must keep file-size costing → SMJ:\n$withoutStats")
+      val rowsBefore = sortedRows(query())
+      StatsStore.analyze(dim, Seq(Seq("dk"), Seq("grp")), note = "cbo range spec")
+      StatsStore.clearLoaded()
+      val withStats = plan(query())
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"analyzed: min/max-priced BETWEEN must broadcast:\n$withStats")
+      assert(sortedRows(query()) === rowsBefore,
+        "the flipped plan must return identical rows")
+    }
+  }
+
   test("3-relation join order flips under sidecar statistics, same result rows") {
     val store = freshStoreDir()
     val data = Files.createTempDirectory("graft-cbo-data2").toString
