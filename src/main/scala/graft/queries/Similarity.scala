@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, d03, d04, d05, d06, d07, d09, q34, t26)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+      d03, d04, d05, d06, d07, d09, q34, t26)
 
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
@@ -803,6 +804,296 @@ object Similarity {
       SELECT method, n_queries, total_hits,
              round(total_hits / (5.0 * n_queries), 6) AS recall_at_5
       FROM sel ORDER BY method"""))
+
+  /** FILTERED VECTOR SEARCH — ANN under a metadata predicate, the
+    * production vector-store primitive ([[s02]] answers "nearest
+    * neighbors anywhere"; real retrieval asks "nearest ENGLISH
+    * documents"): top-5 cosine neighbors among `lang = 'en'`
+    * documents for every sampled query vector, via the s02 multi-probe
+    * hyperplane index built over the FILTERED subset only.
+    *
+    * The scale decision is PRE-filtering vs POST-filtering. Post-
+    * filtering (probe the full index, discard non-matching hits)
+    * under-fills k whenever the predicate is selective — a 1% filter
+    * leaves ~0.05 of 5 requested neighbors — and wastes index probes
+    * on rows the query can never return. Here the predicate is pushed
+    * BELOW candidate generation: the documents scan carries
+    * `PushedFilters: [EqualTo(lang,'en')]` (checked in
+    * PlanQualitySpec), the signature index is computed only for
+    * filtered rows, and the equi-join on `sig` sees the filtered
+    * corpus — at 100 TB a 10% predicate makes the index build and
+    * every probe 10× cheaper, and top-5 is always 5 deep. The filter
+    * side joins on vec_id BEFORE projections, so excluded rows never
+    * pay the B dot products. Queries stay unfiltered (any document
+    * may ask; only answers are constrained).
+    *
+    * Oracle: s02's deterministic-LSH replay (interpolated plane
+    * literals, integer XOR flips, shared cosine DAG) with the
+    * candidate CTE joined to `documents` on the predicate. */
+  val s09 = QueryDef(
+    "s09_filtered_ann",
+    (s, d) => {
+      val B = 4; val P = 4
+      val planes = s02Planes
+      val e = docVectors(s, d)
+      def projed(df: DataFrame): DataFrame = df.select(
+        (col("vec_id") +: col("v") +: col("n") +:
+          planes.zipWithIndex.map { case (p, j) =>
+            dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
+      def sigged(df: DataFrame): DataFrame =
+        df.withColumn("sig", (0 until B).map(j =>
+          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+      val enIds = graft.Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      val cand = sigged(projed(e.join(enIds, Seq("vec_id"))))
+        .select(col("sig"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("n").as("cn"))
+      val probes = sigged(projed(e.filter(col("vec_id") % 50 === 0)))
+        .withColumn("margins", array((0 until B).map(j =>
+          struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
+        .withColumn("flips", slice(array_sort(col("margins")), 1, P - 1))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+          explode(concat(array(col("sig")),
+            transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probes.join(cand, Seq("sig"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some {
+      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
+      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
+        s"list_dot_product(v, ${lst(p)}) AS p$j"
+      }.mkString(",\n               ")
+      val sigBits = (0 until 4).map(j =>
+        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      val flStructs = (0 until 4).map(j =>
+        s"{'m': abs(p$j), 'bit': ${1 << j}}").mkString(", ")
+      s"""
+      WITH en AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS n
+        FROM embeddings),
+      pj AS (
+        SELECT vec_id, v, n,
+               $pj
+        FROM en),
+      sigd AS (SELECT *, ($sigBits) AS sig FROM pj),
+      cand AS (
+        SELECT sig, s.vec_id AS neighbor_id, s.v AS nv, s.n AS cn
+        FROM sigd s JOIN documents dd
+          ON dd.doc_id = s.vec_id AND dd.lang = 'en'),
+      pr AS (
+        SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
+               list_sort([$flStructs]) AS fl
+        FROM sigd WHERE vec_id % 50 = 0),
+      probes AS (
+        SELECT query_id, qv, qn,
+               unnest([sig, xor(sig, fl[1].bit), xor(sig, fl[2].bit),
+                       xor(sig, fl[3].bit)]) AS sig
+        FROM pr),
+      scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               list_dot_product(p.qv, c.nv) / (p.qn * c.cn) AS cosine
+        FROM probes p JOIN cand c USING (sig)
+        WHERE c.neighbor_id <> p.query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored)
+      SELECT query_id, rn, neighbor_id, round(cosine, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""
+    })
+
+  /** HYBRID RETRIEVAL with RECIPROCAL RANK FUSION (Cormack et al.,
+    * SIGIR 2009) — the lexical+vector composition every production
+    * RAG/search stack runs: a sparse leg (shared-top-TF-IDF-term
+    * candidates over an inverted index) and a dense leg (cosine rank
+    * within the query's hyperplane bucket) are each ranked per query,
+    * then fused as Σ 1/(60 + rank) — rank fusion needs no score
+    * calibration between legs, which is exactly why RRF won.
+    *
+    * Both legs are BOUNDED candidate generators — the hybrid adds no
+    * new quadratic:
+    *  - lexical: docs are represented by their top-3 TF-IDF terms
+    *    (t16's scoring verbatim); the inverted index posts each doc
+    *    under exactly 3 terms and each posting list is capped to the
+    *    64 smallest doc_ids by [[graft.functions.TopKMinAgg]] (a
+    *    64-slot aggregation buffer, never a collected list), so a
+    *    query meets ≤ 3·64 lexical candidates. The cap is the d02
+    *    honesty trade: docs beyond a term's first 64 are reachable
+    *    only through the dense leg — documented bounded recall, not a
+    *    silent drop, and the fusion is WHY hybrid tolerates it.
+    *  - dense: single-probe signature equi-join (s02's planes), rank
+    *    within the query's own bucket.
+    * Every rank is decided on ROUNDED scores (round-then-rank, the
+    * t16 cross-engine discipline: a libm ulp cannot reorder at 4/6
+    * digits), ties fall to doc_id, and the RRF sum is two correctly-
+    * rounded divisions added in fixed order — bit-identical in both
+    * engines, so the fusion is hash-gated end to end.
+    *
+    * Shape at 100 TB: tf explode → one (doc,word) shuffle (persisted,
+    * two consumers); df and the ≤3N-row top-term table are word-keyed
+    * aggregates; postings are 64-slot buffers; both legs shuffle on
+    * their equi-keys (word / sig); the fusion is a full outer join on
+    * (query_id, doc_id) — candidate-list-sized, not corpus-sized. */
+  val s10 = QueryDef(
+    "s10_hybrid_rrf",
+    (s, d) => {
+      val planes = s02Planes
+      val e = docVectors(s, d)
+      // dense leg: single-probe LSH bucket, rank by rounded cosine
+      val sigd = e.select(
+          (col("vec_id") +: col("v") +: col("n") +:
+            planes.zipWithIndex.map { case (p, j) =>
+              dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
+        .withColumn("sig", (0 until 4).map(j =>
+          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+        .select(col("vec_id"), col("v"), col("n"), col("sig"))
+      val qv = sigd.filter(col("vec_id") % 50 === 0)
+        .select(col("sig"), col("vec_id").as("query_id"),
+          col("v").as("qv"), col("n").as("qn"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val vleg = qv.join(sigd.select(col("sig"), col("vec_id").as("doc_id"),
+            col("v").as("nv"), col("n").as("cn")), Seq("sig"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("nv")) / (col("qn") * col("cn")), 6))
+        .withColumn("vrn", row_number().over(wv)).filter(col("vrn") <= 20)
+        .select(col("query_id"), col("doc_id"), col("vrn"))
+      // lexical leg: t16 TF-IDF top-3 terms, capped inverted index
+      val docs = graft.Tables.documents(s, d)
+      val tf = Shingles.sharedPersist(
+        docs.select(col("doc_id"), explode(tokens).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val wt = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      val top3 = Shingles.sharedPersist(
+        tf.join(dfreq, Seq("word"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          .withColumn("rk", row_number().over(wt)).filter(col("rk") <= 3)
+          .select(col("doc_id"), col("word")))
+      val posting = top3.groupBy(col("word"))
+        .agg(graft.functions.TopKMinAgg.topKMin(col("doc_id"), 64).as("docs"))
+        .select(col("word"), explode(col("docs")).as("doc_id"))
+      val qterms = top3.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("word"))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+      val lleg = qterms.join(posting, Seq("word"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 20)
+        .select(col("query_id"), col("doc_id"), col("lrn"))
+      // fuse: RRF over the union of both candidate lists
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      vleg.join(lleg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("vrn")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lrn")), lit(0.0)), 6))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("rrf"),
+          col("vrn"), col("lrn"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some {
+      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
+      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
+        s"list_dot_product(v, ${lst(p)}) AS p$j"
+      }.mkString(",\n               ")
+      val sigBits = (0 until 4).map(j =>
+        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH en AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS n
+        FROM embeddings),
+      pj AS (
+        SELECT vec_id, v, n,
+               $pj
+        FROM en),
+      sigd AS (SELECT vec_id, v, n, ($sigBits) AS sig FROM pj),
+      vpairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS cosine
+        FROM sigd q JOIN sigd c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        WHERE q.vec_id % 50 = 0),
+      vleg AS (
+        SELECT query_id, doc_id, vrn FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, doc_id) AS vrn
+          FROM vpairs)
+        WHERE vrn <= 20),
+      toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM toks WHERE word <> '' GROUP BY doc_id, word),
+      dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+      top3 AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, word,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, word) AS rk
+          FROM scored)
+        WHERE rk <= 3),
+      posting AS (
+        SELECT word, doc_id FROM (
+          SELECT word, doc_id,
+                 row_number() OVER (PARTITION BY word ORDER BY doc_id) AS pr
+          FROM top3)
+        WHERE pr <= 64),
+      qterms AS (
+        SELECT doc_id AS query_id, word FROM top3 WHERE doc_id % 50 = 0),
+      lleg AS (
+        SELECT query_id, doc_id, lrn FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_shared DESC, doc_id) AS lrn
+          FROM (SELECT q.query_id, p.doc_id, count(*) AS n_shared
+                FROM qterms q JOIN posting p USING (word)
+                WHERE p.doc_id <> q.query_id
+                GROUP BY 1, 2))
+        WHERE lrn <= 20),
+      fused AS (
+        SELECT query_id, doc_id, vrn, lrn,
+               round(coalesce(1.0 / (60 + vrn), 0) +
+                     coalesce(1.0 / (60 + lrn), 0), 6) AS rrf
+        FROM vleg v FULL OUTER JOIN lleg l USING (query_id, doc_id)),
+      r AS (
+        SELECT query_id, doc_id, vrn, lrn, rrf,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused)
+      SELECT query_id, rn, doc_id, rrf, vrn, lrn
+      FROM r WHERE rn <= 10
+      ORDER BY query_id, rn"""
+    })
 
   /** Per-label vector centroid over the embeddings table, powered by
     * the [[graft.functions.VecSumAgg]] DeclarativeAggregate: one

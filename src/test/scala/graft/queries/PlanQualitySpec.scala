@@ -171,6 +171,32 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("s09 filtered ANN pre-filters: the lang predicate reaches the documents scan") {
+    // the pre-vs-post-filtering contract: the metadata predicate must
+    // be a data-source pushed filter on the documents scan (so the
+    // signature index is built over the filtered subset), not a
+    // post-probe Filter over join output
+    val p = plan("s09_filtered_ann")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)") ||
+      p.contains("PushedFilters: [EqualTo(lang,en)"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("s10 hybrid RRF: both legs are equi-joins, the posting aggregate is the capped sketch") {
+    val p = plan("s10_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested-loop join allowed is the broadcast one-row
+    // corpus count feeding the TF-IDF scale factor (t16's shape); it
+    // prints twice because the persisted top-terms subtree (ONE cached
+    // build) is referenced by both the posting and query-term branches
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+    // posting lists ride the bounded TopKMinAgg buffer, never a
+    // collect_list
+    assert(p.contains("graft_topk_min"), p.take(3000))
+    assert(!p.contains("collect_list"), p.take(3000))
+  }
+
   test("every broadcast() hint in src/main names a bounded relation (allowlist)") {
     // the 100 TB gate for HARD hints: a broadcast() on a relation that
     // scales with SF grows without bound at scale (round-4 defect:
@@ -196,6 +222,8 @@ class PlanQualitySpec extends SparkSpec {
                                            // ≤ K = 64 entries each — the
                                            // per-row argmin fold's input)
       ("TextOps.scala", "n"),              // one-row corpus count
+      ("Similarity.scala", "n"),           // one-row corpus count (s10's
+                                           // TF-IDF leg, t16's shape)
       ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)
       ("Curation.scala", "tot"),           // one-row corpus/token total
       ("Relational.scala", "n"), ("Relational.scala", "r"),

@@ -232,4 +232,49 @@ class SimilaritySpec extends SparkSpec {
     assert(maxCell <= 300, s"hot cell not split: $maxCell of 600 in one cell")
     assert(pairWork <= 600L * 600 / 2, "pair work not reduced by the split")
   }
+
+  test("s09 filtered ANN: every neighbor satisfies the metadata predicate") {
+    import org.apache.spark.sql.functions.col
+    val res = Registry.queries("s09_filtered_ann")(spark, sfDir)
+    assert(res.count() > 0)
+    // per-query at most 5, never the query itself
+    val byQuery = res.groupBy("query_id").count().collect()
+    assert(byQuery.forall(_.getLong(1) <= 5))
+    assert(res.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    // the predicate actually constrains the answer set: every
+    // neighbor_id maps to an English document
+    val nonEn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") =!= "en").select(col("doc_id").as("neighbor_id"))
+    assert(res.join(nonEn, Seq("neighbor_id")).count() === 0,
+      "filtered ANN returned a non-English neighbor")
+  }
+
+  test("s10 hybrid RRF: fusion arithmetic is consistent and both legs contribute") {
+    val res = Registry.queries("s10_hybrid_rrf")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    // rrf recomputes from the emitted leg ranks (null leg = 0)
+    res.foreach { r =>
+      val vrn = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val lrn = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      val expect = BigDecimal(
+        vrn.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          lrn.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf ${r.getDouble(3)} != $expect for row $r")
+      assert(vrn.nonEmpty || lrn.nonEmpty, s"candidate with no leg rank: $r")
+    }
+    // ranked per query: rn is 1..k dense and ordered by rrf desc
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rows.length))
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse, "rn order violates rrf desc")
+    }
+    // the hybrid is genuinely hybrid on the smoke corpus: at least one
+    // emitted candidate carries a dense rank and at least one a
+    // lexical rank
+    assert(res.exists(r => !r.isNullAt(4)), "no dense-leg candidate surfaced")
+    assert(res.exists(r => !r.isNullAt(5)), "no lexical-leg candidate surfaced")
+  }
 }
