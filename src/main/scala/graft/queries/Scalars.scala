@@ -832,12 +832,22 @@ object Scalars {
   /** FORWARD-FILL imputation (LOCF — last observation carried
     * forward): the time-series repair primitive next to [[q51]]'s
     * dense-grid zero-fill — nulls inherit the most recent non-null
-    * value within the key's ordered history, via ONE
-    * `last_value(ignoreNulls)` running window per key. The naive
-    * alternative (self-join each null row to its predecessor) shuffles
-    * the fact twice and explodes on ties; the window form is one hash
-    * exchange + partition-local sort, and at 100 TB the key
-    * partitioning bounds every frame.
+    * value within the key's ordered history.
+    *
+    * Runs through [[graft.ops.Locf.fill]], NOT the textbook
+    * `last(ignoreNulls) OVER (PARTITION BY event_type ORDER BY
+    * event_id)`: event_type has ~5 values, so the naive window hashes
+    * the whole fact onto ~5 reducers — corpus/5 through one task's
+    * sort at 100 TB, a straggler the plan gate's single-partition
+    * check can't see (the t18/t21 low-cardinality-window trap, q40's
+    * class). Locf segments each timeline into deterministic W-wide
+    * ord buckets, fills within each (type, bucket) — W-bounded reducer
+    * sorts — and stitches ONE carried value across each seam via a
+    * corpus/W-row boundary table; the carry join reuses the window's
+    * own (type, bucket) partitioning, so the fact still pays exactly
+    * ONE exchange, the same count the naive window pays. LocfSpec
+    * proves the two forms row-identical; the oracle replays the naive
+    * window (single-node totality is free in DuckDB).
     *
     * The null pattern is synthesized deterministically (every 7th
     * event's value masked) so both engines fill the same holes;
@@ -846,14 +856,10 @@ object Scalars {
   val q74 = QueryDef(
     "q74_forward_fill",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
         when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
           .as("v"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      graft.ops.Locf.fill(e, Seq("event_type"), "event_id", "v", "v_filled")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("v").isNull.cast("long")).as("n_masked"),
@@ -898,42 +904,33 @@ object Scalars {
     * slopes divide identically and the repaired series is
     * bit-identical with no float in the formula.
     *
-    * Shape at 100 TB: FOUR window functions (prev/next value + their
-    * positions) over ONE hash(event_type) exchange and TWO sorts
-    * (asc + desc). The desc pass is load-bearing, not cosmetic: the
-    * natural `first(x) OVER (ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
-    * FOLLOWING)` spelling makes Spark's
+    * Shape at 100 TB: the four neighbor columns (prev/next value +
+    * their positions) come from [[graft.ops.Locf.neighbors]] — the
+    * seam-stitched two-phase form (range-partition by (type, id),
+    * strict-frame windows within each P-bounded slice, one carried
+    * observation per direction per seam), because the naive
+    * hash(event_type) window puts corpus/|types| rows through each of
+    * ~5 reducer sorts (the low-cardinality funnel q74 documents;
+    * LocfSpec proves the stitched form row-identical). Two lessons
+    * LIVE INSIDE that operator rather than here now: (a) the desc
+    * pass is load-bearing — the natural `first(x) OVER (ROWS BETWEEN
+    * 1 FOLLOWING AND UNBOUNDED FOLLOWING)` spelling makes Spark's
     * UnboundedFollowingWindowFunctionFrame RE-SCAN the frame from
-    * each row to the partition end — O(n²) per partition, and with
-    * |event_type| = 5 partitions that is (N/5)² work: the sf1
-    * determinism run measured it as a multi-hour hang at 200k rows
-    * per partition (fine at sf0.1's 20k — the bug class that hides
-    * below the bench SF). "Nearest FOLLOWING non-null" is the same
-    * value as "nearest PRECEDING non-null under the REVERSED order",
-    * and preceding frames are evaluated incrementally (O(n) total),
-    * so both directions run linear; the repair itself is a narrow
+    * each row to the partition end, O(n²) per partition, measured as
+    * a multi-hour sf1 hang at 200k rows/partition (fine at sf0.1's
+    * 20k — the bug class that hides below the bench SF); "nearest
+    * FOLLOWING non-null" = "nearest PRECEDING non-null under the
+    * REVERSED order", evaluated incrementally; (b) both direction
+    * windows share one exchange. The repair itself is a narrow
     * projection and the report map-combines into |types| groups. */
   val q85 = QueryDef(
     "q85_linear_interp",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
         when(col("event_id") % 7 === 0, lit(null))
           .otherwise(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
-      val before = Window.partitionBy(col("event_type"))
-        .orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // strictly-after rows, nearest first under the reversed sort
-      val after = Window.partitionBy(col("event_type"))
-        .orderBy(col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withN = e
-        .withColumn("pv", last(col("x"), ignoreNulls = true).over(before))
-        .withColumn("pt", last(when(col("x").isNotNull, col("event_id")),
-          ignoreNulls = true).over(before))
-        .withColumn("nv", last(col("x"), ignoreNulls = true).over(after))
-        .withColumn("nt", last(when(col("x").isNotNull, col("event_id")),
-          ignoreNulls = true).over(after))
+      val withN = graft.ops.Locf.neighbors(
+        e, Seq("event_type"), "event_id", "x")
       val repaired = withN.withColumn("x_rep",
         when(col("x").isNotNull, col("x"))
           .when(col("pv").isNotNull && col("nv").isNotNull,
