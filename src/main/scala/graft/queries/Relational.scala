@@ -970,16 +970,36 @@ object Relational {
         FROM lineitem)
       SELECT check_name, violations FROM checks ORDER BY check_name"""))
 
-  /** Distribution-rank window family over one per-nation window —
-    * `ntile` (quartile bucketing), `percent_rank`, `cume_dist`, and a
-    * `lag` delta, completing §2.6 beyond rank/row_number/frames: the
-    * quantile-style windows a feature pipeline uses for per-group
-    * normalization. All four share ONE window spec, so Catalyst plans
-    * a single shuffle on the partition key + one sort — adding a
-    * function to the same window is free; a second window spec would
-    * double the exchange. Ties: acctbal is not unique per nation, so
-    * the order includes the key to make every function's output
-    * deterministic across engines.
+  /** Distribution-rank window family per nation — `ntile` (quartile
+    * bucketing), `percent_rank`, `cume_dist`, and a `lag` delta,
+    * completing §2.6 beyond rank/row_number/frames: the quantile-style
+    * per-group normalization a feature pipeline runs.
+    *
+    * WITHOUT the per-key window: `PARTITION BY c_nationkey` hashes
+    * the whole customer table onto 25 reducers — corpus/25 through
+    * one task's sort at scale, the low-cardinality funnel (q74/q85's
+    * class, but NOT one-carry-stitchable: rank-family functions need
+    * each key's TOTAL count and every row's GLOBAL position). The
+    * two-phase form the registry already owns supplies exactly those:
+    *  - global position `rn` from [[graft.ops.Ids.densePerKey]]
+    *    (range-partition by (nation, acctbal, custkey) so one nation
+    *    spans many partitions, per-key-run partials — P+25 longs to
+    *    the driver, never rows — broadcast offsets, partition-local
+    *    numbering);
+    *  - per-nation totals as a 25-row broadcast;
+    *  - the four functions recomputed ARITHMETICALLY from (rn, n):
+    *    ntile's SQL-standard fill (first n mod k buckets get one
+    *    extra row; when n ≤ k the first branch covers every row, so
+    *    the size-0 division is unreachable), percent_rank =
+    *    (rn−1)/(n−1) and cume_dist = rn/n (the order is total —
+    *    custkey breaks acctbal ties — so rank = row_number and every
+    *    peer group is 1), and lag's previous-row value fetched by an
+    *    EQUI-JOIN on (nation, rn−1) — a fully parallel integer join,
+    *    not an ordered neighbor scan. PlanQualitySpec pins the
+    *    window-free plan; the oracle keeps the native
+    *    ntile/percent_rank/cume_dist/lag windows, so the hash gate
+    *    proves the arithmetic reconstruction EQUALS the engine
+    *    built-ins row for row.
     *
     * Deliberately UNROUNDED outputs: percent_rank/cume_dist/lag-diff
     * are single IEEE operations on identical integers/doubles, so
@@ -993,13 +1013,29 @@ object Relational {
     "q46_window_family",
     (s, d) => {
       val c = Tables.customer(s, d)
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cdist"),
-          (col("c_acctbal") - lag(col("c_acctbal"), 1).over(w)).as("bal_step"))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      val ranked = Shingles.sharedPersist(graft.ops.Ids.densePerKey(
+        c, Seq("c_nationkey"), Seq(col("c_acctbal"), col("c_custkey")), "rn"))
+      val counts = ranked.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val prev = ranked.select(col("c_nationkey"),
+        (col("rn") + 1L).as("rn"), col("c_acctbal").as("prev_bal"))
+      ranked
+        .join(broadcast(counts), Seq("c_nationkey"))
+        .join(prev, Seq("c_nationkey", "rn"), "left")
+        .withColumn("__size", expr("n div 4L"))
+        .withColumn("__rem", expr("n % 4L"))
+        .withColumn("__cut", expr("__rem * (__size + 1L)"))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          when(col("rn") <= col("__cut"),
+            expr("(rn - 1L) div (__size + 1L) + 1L"))
+            .otherwise(expr("__rem + (rn - __cut - 1L) div __size + 1L"))
+            .cast("int").as("quartile"),
+          when(col("n") === 1L, lit(0.0))
+            .otherwise((col("rn") - 1L).cast("double") /
+              (col("n") - 1L).cast("double")).as("pct_rank"),
+          (col("rn").cast("double") / col("n").cast("double")).as("cdist"),
+          (col("c_acctbal") - col("prev_bal")).as("bal_step"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     },
     Some("""

@@ -171,6 +171,18 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q46 rank family plans with no Window operator at all") {
+    // the two-phase conversion: global positions from the offset-
+    // broadcast scan, rank functions recomputed arithmetically, lag
+    // via an (nation, rn-1) equi-join — so the executed plan must
+    // contain NO Window node (the low-cardinality per-nation window
+    // was the funnel) and no cartesian fallback
+    val p = plan("q46_window_family")
+    assert(!p.contains("Window ["), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("s09 filtered ANN pre-filters: the lang predicate reaches the documents scan") {
     // the pre-vs-post-filtering contract: the metadata predicate must
     // be a data-source pushed filter on the documents scan (so the
@@ -227,6 +239,7 @@ class PlanQualitySpec extends SparkSpec {
       ("Curation.scala", "cnt"),           // per-domain counts (#langs rows)
       ("Curation.scala", "tot"),           // one-row corpus/token total
       ("Relational.scala", "n"), ("Relational.scala", "r"),
+      ("Relational.scala", "counts"),      // q46 per-nation totals (25 rows)
       ("Relational.scala", "byRegion"),    // q89 parent totals (#regions rows)
       ("Scalars.scala", "n"),              // nation dim (25 rows, q57)
       ("Scalars.scala", "sk"),             // one-row CMS sketch (q60)
@@ -406,14 +419,6 @@ class PlanQualitySpec extends SparkSpec {
     // aggregate (post-execution plan, r6)
     val p = plan("d09_semdedup")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
-  }
-
-  test("q46's four window functions share one exchange + one sort") {
-    val p = plan("q46_window_family")
-    // one hash exchange for the window, one range exchange for the
-    // final ORDER BY; a second window spec would add a third
-    assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
-    assert("Window".r.findAllIn(p).size >= 1, p.take(2000))
   }
 
   test("q80 incremental maintenance runs exactly three joins (cross-delta term folded)") {
