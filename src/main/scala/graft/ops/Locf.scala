@@ -55,6 +55,23 @@ import org.apache.spark.sql.functions._
   */
 object Locf {
 
+  /** Fail-fast contract guards (Pack.exclusivePrefixSum discipline):
+    * the checkable halves of the documented contract are enforced, not
+    * just documented. A non-positive bucketWidth makes gidCol divide
+    * by zero / flip segment order silently; a non-integral ord makes
+    * the floor-division segmentation meaningless (a double ord would
+    * CAST-truncate, silently merging distinct ords into one bucket).
+    * Uniqueness of ord per key group is the one contract a guard
+    * can't check without a full shuffle — it stays documentation. */
+  private def requireContract(df: DataFrame, ord: String, w: Long): Unit = {
+    require(w > 0, s"Locf: bucketWidth must be > 0, got $w")
+    import org.apache.spark.sql.types._
+    val dt = df.schema(ord).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"Locf: ord column '$ord' must be integral (byte/short/int/long), " +
+        s"got $dt — floor-division bucketing is exact only on integers")
+  }
+
   /** exact floor(ord / w) on longs (`div` truncates toward zero,
     * which is wrong for negative ords; subtracting the non-negative
     * pmod first leaves an exact multiple, where truncation IS floor —
@@ -67,6 +84,7 @@ object Locf {
     * integral column, unique per key group. */
   def fill(df: DataFrame, keys: Seq[String], ord: String,
            value: String, out: String, bucketWidth: Long = 1L << 14): DataFrame = {
+    requireContract(df, ord, bucketWidth)
     val keyCols: Seq[Column] = keys.map(col)
     val seg = df.withColumn("__gid", gidCol(ord, bucketWidth))
     val wIn = Window.partitionBy((keyCols :+ col("__gid")): _*)
@@ -110,6 +128,7 @@ object Locf {
                 value: String, pv: String = "pv", pt: String = "pt",
                 nv: String = "nv", nt: String = "nt",
                 bucketWidth: Long = 1L << 14): DataFrame = {
+    requireContract(df, ord, bucketWidth)
     val keyCols: Seq[Column] = keys.map(col)
     val seg = df.withColumn("__gid", gidCol(ord, bucketWidth))
     val wB = Window.partitionBy((keyCols :+ col("__gid")): _*)

@@ -120,42 +120,87 @@ object Similarity {
     Seq.fill(4)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
   }
 
+  /** ONE definition of the s02 LSH index build, shared by every query
+    * that rides the same signature space (s02, s09, s10) — round-11
+    * advice: three near-copies of the projection + 4-bit signature
+    * construction could drift apart silently if the planes, bit
+    * count, or sign convention ever change. The Spark side and the
+    * DuckDB-oracle SQL fragments are hoisted TOGETHER so both engines
+    * always interpolate the identical geometry. */
+  private val SIG_BITS = 4
+
+  /** vec_id/v/n plus one projection column p0..p{B-1} per plane —
+    * the same left-to-right IEEE dot fold in both engines
+    * (DotProductSpec). Input needs (vec_id, v, n). */
+  private def planeProjected(df: DataFrame): DataFrame = df.select(
+    (col("vec_id") +: col("v") +: col("n") +:
+      s02Planes.zipWithIndex.map { case (p, j) =>
+        dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
+
+  /** Adds the 4-bit sign signature over p0..p3 (strictly-positive ⇒
+    * bit set, so a 0.0 projection lands on the same side in both
+    * engines). */
+  private def withSig(df: DataFrame): DataFrame =
+    df.withColumn("sig", (0 until SIG_BITS).map(j =>
+      when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+
+  /** Project + sign in one step — the full index build. */
+  private def sigOf(df: DataFrame): DataFrame = withSig(planeProjected(df))
+
+  /** Multi-probe expansion (Lv et al., VLDB 2007 shape): each query
+    * row explodes into its own bucket plus the nProbes−1 buckets
+    * reached by flipping the smallest-|margin| bits — the planes the
+    * vector sits closest to, where the true neighbor most likely
+    * landed on the other side. Requires the p0..p3 columns (call on
+    * a [[sigOf]] result BEFORE projecting them away). */
+  private def multiProbed(sigd: DataFrame, nProbes: Int): DataFrame = sigd
+    .withColumn("margins", array((0 until SIG_BITS).map(j =>
+      struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
+    .withColumn("flips", slice(array_sort(col("margins")), 1, nProbes - 1))
+    .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+      explode(concat(array(col("sig")),
+        transform(col("flips"), f =>
+          col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
+
+  /** Signature equi-join + exact-cosine rerank + per-query top-5 —
+    * the shared tail of s02/s09. No broadcast hint: the probe side is
+    * defined as a slice of the corpus (N/50 rows × P probes), so it
+    * SCALES with SF — a forced broadcast would grow without bound at
+    * 100 TB. The signature equi-join shuffles both sides on `sig`;
+    * AQE may still pick a size-based broadcast at small SF, which is
+    * fine because that decision is made from measured stats, not a
+    * hard hint. */
+  private def lshRerankTop5(probes: DataFrame, cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(cand, Seq("sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB twins of the fragments above, interpolated into every
+    * oracle that replays this signature space. */
+  private lazy val lshSqlProj: String =
+    s02Planes.zipWithIndex.map { case (p, j) =>
+      s"list_dot_product(v, ${p.mkString("[", ",", "]")}) AS p$j"
+    }.mkString(",\n               ")
+  private lazy val lshSqlSigBits: String = (0 until SIG_BITS).map(j =>
+    s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  private lazy val lshSqlFlipStructs: String = (0 until SIG_BITS).map(j =>
+    s"{'m': abs(p$j), 'bit': ${1 << j}}").mkString(", ")
+
   val s02 = QueryDef(
     "s02_cosine_topk_lsh",
     (s, d) => {
-      val B = 4; val P = 4
-      val planes = s02Planes
-      val e = docVectors(s, d)
-      val projed = e.select(
-        (col("vec_id") +: col("v") +: col("n") +:
-          planes.zipWithIndex.map { case (p, j) => dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
-      val sigd = projed
-        .withColumn("sig", (0 until B).map(j =>
-          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
-        .withColumn("margins", array((0 until B).map(j =>
-          struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
+      val sigd = sigOf(docVectors(s, d))
       val cand = sigd.select(col("sig"), col("vec_id").as("neighbor_id"),
         col("v").as("nv"), col("n").as("cn"))
-      val probes = sigd.filter(col("vec_id") % 50 === 0)
-        .withColumn("flips", slice(array_sort(col("margins")), 1, P - 1))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
-          explode(concat(array(col("sig")),
-            transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      // No broadcast hint: the probe side is defined as a slice of the
-      // corpus (N/50 rows × P probes), so it SCALES with SF — a forced
-      // broadcast would grow without bound at 100 TB. The signature
-      // equi-join shuffles both sides on `sig`; AQE may still pick a
-      // size-based broadcast at small SF, which is fine because that
-      // decision is made from measured stats, not a hard hint.
-      probes.join(cand, Seq("sig"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rn"))
+      val probes = multiProbed(sigd.filter(col("vec_id") % 50 === 0), 4)
+      lshRerankTop5(probes, cand)
     },
     // Full hash-compared oracle (was recall-spec-only through round 5):
     // every step is deterministic given the interpolated plane
@@ -164,14 +209,6 @@ object Similarity {
     // therefore agree bit-for-bit, multi-probe flips are pure integer
     // XOR, and the rerank reuses s01/s03's proven cosine DAG.
     Some {
-      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
-      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
-        s"list_dot_product(v, ${lst(p)}) AS p$j"
-      }.mkString(",\n               ")
-      val sigBits = (0 until 4).map(j =>
-        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-      val flStructs = (0 until 4).map(j =>
-        s"{'m': abs(p$j), 'bit': ${1 << j}}").mkString(", ")
       s"""
       WITH en AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -180,13 +217,13 @@ object Similarity {
         FROM embeddings),
       pj AS (
         SELECT vec_id, v, n,
-               $pj
+               $lshSqlProj
         FROM en),
-      sigd AS (SELECT *, ($sigBits) AS sig FROM pj),
+      sigd AS (SELECT *, ($lshSqlSigBits) AS sig FROM pj),
       cand AS (SELECT sig, vec_id AS neighbor_id, v AS nv, n AS cn FROM sigd),
       pr AS (
         SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
-               list_sort([$flStructs]) AS fl
+               list_sort([$lshSqlFlipStructs]) AS fl
         FROM sigd WHERE vec_id % 50 = 0),
       probes AS (
         SELECT query_id, qv, qn,
@@ -833,47 +870,18 @@ object Similarity {
   val s09 = QueryDef(
     "s09_filtered_ann",
     (s, d) => {
-      val B = 4; val P = 4
-      val planes = s02Planes
       val e = docVectors(s, d)
-      def projed(df: DataFrame): DataFrame = df.select(
-        (col("vec_id") +: col("v") +: col("n") +:
-          planes.zipWithIndex.map { case (p, j) =>
-            dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
-      def sigged(df: DataFrame): DataFrame =
-        df.withColumn("sig", (0 until B).map(j =>
-          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
       val enIds = graft.Tables.documents(s, d)
         .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
-      val cand = sigged(projed(e.join(enIds, Seq("vec_id"))))
+      // PRE-filtering: the predicate joins BELOW candidate generation,
+      // so the index is built over the filtered subset only
+      val cand = sigOf(e.join(enIds, Seq("vec_id")))
         .select(col("sig"), col("vec_id").as("neighbor_id"),
           col("v").as("nv"), col("n").as("cn"))
-      val probes = sigged(projed(e.filter(col("vec_id") % 50 === 0)))
-        .withColumn("margins", array((0 until B).map(j =>
-          struct(abs(col(s"p$j")).as("m"), lit(1 << j).as("bit"))): _*))
-        .withColumn("flips", slice(array_sort(col("margins")), 1, P - 1))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
-          explode(concat(array(col("sig")),
-            transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      probes.join(cand, Seq("sig"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rn"))
+      val probes = multiProbed(sigOf(e.filter(col("vec_id") % 50 === 0)), 4)
+      lshRerankTop5(probes, cand)
     },
     Some {
-      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
-      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
-        s"list_dot_product(v, ${lst(p)}) AS p$j"
-      }.mkString(",\n               ")
-      val sigBits = (0 until 4).map(j =>
-        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-      val flStructs = (0 until 4).map(j =>
-        s"{'m': abs(p$j), 'bit': ${1 << j}}").mkString(", ")
       s"""
       WITH en AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -882,16 +890,16 @@ object Similarity {
         FROM embeddings),
       pj AS (
         SELECT vec_id, v, n,
-               $pj
+               $lshSqlProj
         FROM en),
-      sigd AS (SELECT *, ($sigBits) AS sig FROM pj),
+      sigd AS (SELECT *, ($lshSqlSigBits) AS sig FROM pj),
       cand AS (
         SELECT sig, s.vec_id AS neighbor_id, s.v AS nv, s.n AS cn
         FROM sigd s JOIN documents dd
           ON dd.doc_id = s.vec_id AND dd.lang = 'en'),
       pr AS (
         SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
-               list_sort([$flStructs]) AS fl
+               list_sort([$lshSqlFlipStructs]) AS fl
         FROM sigd WHERE vec_id % 50 = 0),
       probes AS (
         SELECT query_id, qv, qn,
@@ -947,15 +955,9 @@ object Similarity {
   val s10 = QueryDef(
     "s10_hybrid_rrf",
     (s, d) => {
-      val planes = s02Planes
-      val e = docVectors(s, d)
-      // dense leg: single-probe LSH bucket, rank by rounded cosine
-      val sigd = e.select(
-          (col("vec_id") +: col("v") +: col("n") +:
-            planes.zipWithIndex.map { case (p, j) =>
-              dot(col("v"), typedlit(p)).as(s"p$j") }): _*)
-        .withColumn("sig", (0 until 4).map(j =>
-          when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+      // dense leg: single-probe LSH bucket (the shared s02 index
+      // build), rank by rounded cosine
+      val sigd = sigOf(docVectors(s, d))
         .select(col("vec_id"), col("v"), col("n"), col("sig"))
       val qv = sigd.filter(col("vec_id") % 50 === 0)
         .select(col("sig"), col("vec_id").as("query_id"),
@@ -1013,12 +1015,6 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     },
     Some {
-      def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
-      val pj = s02Planes.zipWithIndex.map { case (p, j) =>
-        s"list_dot_product(v, ${lst(p)}) AS p$j"
-      }.mkString(",\n               ")
-      val sigBits = (0 until 4).map(j =>
-        s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
       s"""
       WITH en AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1027,9 +1023,9 @@ object Similarity {
         FROM embeddings),
       pj AS (
         SELECT vec_id, v, n,
-               $pj
+               $lshSqlProj
         FROM en),
-      sigd AS (SELECT vec_id, v, n, ($sigBits) AS sig FROM pj),
+      sigd AS (SELECT vec_id, v, n, ($lshSqlSigBits) AS sig FROM pj),
       vpairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
                round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS cosine

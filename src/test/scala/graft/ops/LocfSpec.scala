@@ -92,4 +92,33 @@ class LocfSpec extends SparkSpec {
     assert(m(("x", 2L)) === Some(1.0))
     assert(m(("y", 1L)) === None)
   }
+
+  test("contract guards fail fast: bucketWidth > 0, integral ord") {
+    import spark.implicits._
+    val ok = Seq(("a", 1L, Some(1.0))).toDF("k", "ord", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Locf.fill(ok, Seq("k"), "ord", "v", "got", bucketWidth = 0)
+    }
+    assert(e1.getMessage.contains("bucketWidth"))
+    val e2 = intercept[IllegalArgumentException] {
+      Locf.neighbors(ok, Seq("k"), "ord", "v", bucketWidth = -16)
+    }
+    assert(e2.getMessage.contains("bucketWidth"))
+    // a double ord would CAST-truncate inside gidCol, silently merging
+    // distinct ordinals — must be rejected up front, both entry points
+    val badOrd = Seq(("a", 1.5, Some(1.0))).toDF("k", "ord", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      Locf.fill(badOrd, Seq("k"), "ord", "v", "got")
+    }
+    assert(e3.getMessage.contains("integral"))
+    val e4 = intercept[IllegalArgumentException] {
+      Locf.neighbors(badOrd, Seq("k"), "ord", "v")
+    }
+    assert(e4.getMessage.contains("integral"))
+    // int ord stays accepted (the guard allows all integral widths)
+    val intOrd = Seq(("a", 1, Some(1.0)), ("a", 2, None: Option[Double]))
+      .toDF("k", "ord", "v")
+    val filled = Locf.fill(intOrd, Seq("k"), "ord", "v", "got")
+    assert(filled.filter(col("ord") === 2 && col("got") === 1.0).count() === 1)
+  }
 }

@@ -183,6 +183,37 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q74/q85 keep the seam-stitched Locf shape: no fact-side window partitioned by event_type alone") {
+    // round-11 advice: q46's window-free shape is pinned above, but
+    // q74/q85's motivating claim (no per-key low-cardinality window
+    // over the FACT) was comment-only — a refactor could quietly
+    // reintroduce the PARTITION BY event_type funnel. Contract: every
+    // Window either partitions by (…, __gid) — the W-bounded
+    // within-segment form — or is the seam carry, which must consume
+    // the (event_type, __gid) boundary AGGREGATE (corpus/W rows),
+    // never the raw fact.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("q74_forward_fill", "q85_linear_interp")) {
+      val lp = Registry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$name: expected the Locf windows in the plan")
+      assert(windows.exists(_.partitionSpec.exists(_.toString.contains("__gid"))),
+        s"$name: no (key, __gid) within-segment window found — Locf shape lost")
+      windows.filterNot(_.partitionSpec.exists(_.toString.contains("__gid")))
+        .foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name: global (empty-partition) window entered the plan")
+          val aggBelow = w.child.collectFirst {
+            case a: Aggregate
+              if a.groupingExpressions.exists(_.toString.contains("__gid")) => a
+          }
+          assert(aggBelow.isDefined,
+            s"$name: window partitioned by ${w.partitionSpec.mkString(",")} " +
+              s"consumes a non-aggregated input — the event_type funnel is back")
+        }
+    }
+  }
+
   test("s09 filtered ANN pre-filters: the lang predicate reaches the documents scan") {
     // the pre-vs-post-filtering contract: the metadata predicate must
     // be a data-source pushed filter on the documents scan (so the
