@@ -21,28 +21,50 @@ import graft.plans.StatsStore
   * seeds the per-column singles that cover every base-table join key.
   *
   * Usage: `sbt "runMain graft.Analyze <dir> [<dir> ...]"`.
+  *
+  * Retention: `sbt "runMain graft.Analyze --vacuum <dir> [<dir> ...]"`
+  * deletes every sidecar file whose fingerprint matches no CURRENT
+  * data version of the listed directories' tables (overwrites leave
+  * the old version's file behind — unreachable, but accumulating).
+  * The listed dirs are the retention roots: pass every corpus you
+  * still read. `--vacuum` composes with analysis — tables are
+  * analyzed first, then stale fingerprints dropped — so
+  * `Analyze --vacuum <dir>` is "make the sidecar exactly this
+  * corpus's stats".
   */
 object Analyze {
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def tablePaths(dirs: Seq[String]): Seq[String] =
+    for (d <- dirs; t <- tables; p = s"$d/$t.parquet"
+         if new java.io.File(p).exists()) yield p
+
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.01")
+    val vacuum = args.contains("--vacuum")
+    val dirs0 = args.toSeq.filterNot(_ == "--vacuum")
+    val dirs = if (dirs0.nonEmpty) dirs0 else Seq("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    for (d <- dirs; t <- tables) {
-      val path = s"$d/$t.parquet"
-      if (new java.io.File(path).exists()) {
-        val df = spark.read.parquet(path)
-        // HLL needs a hashable scalar input: skip nested/binary columns
-        // (the embeddings vector and events props map have no join-key
-        // use)
-        val cols = df.schema.fields.filter(_.dataType match {
-          case _: ArrayType | _: MapType | _: StructType | BinaryType => false
-          case _ => true
-        }).map(f => Seq(f.name)).toSeq
-        StatsStore.analyze(df, cols, note = s"graft.Analyze $path")
-        println(s"analyzed $path: ${cols.size} columns")
-      }
+    for (path <- tablePaths(dirs)) {
+      val df = spark.read.parquet(path)
+      // HLL needs a hashable scalar input: skip nested/binary columns
+      // (the embeddings vector and events props map have no join-key
+      // use)
+      val cols = df.schema.fields.filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }).map(f => Seq(f.name)).toSeq
+      StatsStore.analyze(df, cols, note = s"graft.Analyze $path")
+      println(s"analyzed $path: ${cols.size} columns")
+    }
+    if (vacuum) {
+      val live = tablePaths(dirs)
+        .flatMap(p => StatsStore.fingerprintOf(spark.read.parquet(p))).toSet
+      val deleted = StatsStore.vacuum(live)
+      println(s"vacuum: kept ${live.size} live fingerprints, " +
+        s"deleted ${deleted.size} stale sidecar files" +
+        (if (deleted.nonEmpty) deleted.mkString(" (", ", ", ")") else ""))
     }
     spark.stop()
   }

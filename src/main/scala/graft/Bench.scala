@@ -4,14 +4,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Headline bench measures SHIPPING shapes only (round-11 verdict
+    // #2): the Complete-mode finite-replay oracle twins
+    // (QueryDef.oracleOnly — st01/st10/st11/st13/st14/st19) exist to
+    // feed the correctness gate and each names a graduated Append
+    // production form that IS benched. SPARK_GRAFT_BENCH_TWINS=only
+    // measures just the twin class (the committed twin artifact);
+    // =all restores the pre-round-12 everything-in-one-run behavior.
+    val base: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_TWINS") match {
+        case Some("only") =>
+          graft.queries.Registry.oracleTwins.map(q => q.name -> q.build).toMap
+        case Some("all") => SparkEntry.queries
+        case _ =>
+          graft.queries.Registry.production.map(q => q.name -> q.build).toMap
+      }
     // optional subset: comma-separated name prefixes (e.g.
     // "d02,d05,d11" for the near-dup scale study) — default all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def selected = only match {
-      case Some(ps) => SparkEntry.queries.filter {
+      case Some(ps) => base.filter {
         case (n, _) => ps.exists(n.startsWith) }
-      case None => SparkEntry.queries
+      case None => base
     }
     val spark = GraftSession.local(cpus)
     // Steady-state methodology: one untimed warmup pass (codegen, JIT,
@@ -107,11 +122,21 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench artifact write failed ($outPath): $e") }
     spark.stop()
-    // the JSON summary is the FINAL stdout line (round-10 verdict #5:
-    // the driver parses the tail of stdout, and with sbt's [success]
-    // epilogue suppressed in build.sbt this line is what it reads;
-    // Spark's own shutdown chatter goes to stderr). Printed after
-    // spark.stop() so nothing can interleave.
+    // Two stdout lines, full then SHORT, both after spark.stop() so
+    // nothing interleaves. The driver parses the tail of stdout and
+    // its window is smaller than the full per-query map (round-11
+    // verdict #1: BENCH_r11.parsed was null because the one-line
+    // summary exceeded the tail) — so the FINAL line is a compact
+    // summary guaranteed to survive any tail: headline total, query
+    // count, errors count, and the top-5 map as `queries` (the
+    // driver's documented key). The full per-query detail stays in
+    // the on-disk artifact (bench_full_*.json) and the first line.
     println(line)
+    val top5 = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + s"""":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
+      s""""n_errors":${errors.size},"queries":$top5,""" +
+      s""""full_artifact":"${outPath.getFileName}","value":$total}""")
   }
 }

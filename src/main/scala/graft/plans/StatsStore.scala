@@ -338,6 +338,63 @@ object StatsStore {
     * alone — delete files there to simulate an un-analyzed table). */
   private[graft] def clearLoaded(): Unit = loaded.clear()
 
+  /** The fingerprint a DataFrame's single file-scan leaf would be
+    * stored under — None when the plan has no (or several) file
+    * scans. The vacuum's bridge from "table I still read" to "sidecar
+    * file to keep". */
+  def fingerprintOf(df: DataFrame): Option[Long] = {
+    val fps = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(relationFingerprint(fs))
+        case _ => None
+      }
+    }.flatten
+    if (fps.size == 1) Some(fps.head) else None
+  }
+
+  /** SIDECAR RETENTION (round-11 verdict #4): the store writes one
+    * file per table DATA VERSION, and overwriting a table makes its
+    * old fingerprint unreachable by construction — correct, but the
+    * dead file stays on disk forever. vacuum() deletes every `.stats`
+    * file whose fingerprint is NOT in `live` (the fingerprints of the
+    * data versions the caller still reads — see
+    * [[graft.Analyze]] `--vacuum`) and evicts those entries from the
+    * in-process cache. Returns the deleted file names.
+    *
+    * Safe by the store's own contract: statistics are an
+    * optimization, never a correctness input — a wrongly-deleted
+    * entry costs a future measurement, not a wrong answer. Runs under
+    * the same ioLock as writes, so a concurrent in-process ANALYZE
+    * can't interleave; a cross-process writer racing the vacuum
+    * re-creates its file on next record (atomic rename, last writer
+    * wins — the store's existing cross-process posture). */
+  def vacuum(live: Set[Long]): Seq[String] = dir().toSeq.flatMap { d =>
+    ioLock.synchronized {
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val keep = live.map(fp => java.lang.Long.toHexString(fp) + ".stats")
+        val listing = Files.list(d)
+        val stale =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .filter { p =>
+                val n = p.getFileName.toString
+                n.endsWith(".stats") && !keep.contains(n)
+              }
+              .toVector // materialize before mutating the directory
+          } finally listing.close()
+        stale.map { p =>
+          val name = p.getFileName.toString
+          scala.util.Try(Files.delete(p))
+          scala.util.Try(java.lang.Long.parseUnsignedLong(
+            name.stripSuffix(".stats"), 16)).toOption.foreach(loaded.remove)
+          name
+        }
+      }
+    }
+  }
+
   /** THE CANONICAL MEASUREMENT FORM — exact row count plus HLL NDV of
     * the sorted-column struct in one map-only pass. Both aggregates
     * are order-insensitive, so the result is reproducible and

@@ -16,10 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   *    result is independent of accumulation order (Spark partial aggs
   *    vs DuckDB's single-node order), then surface as DOUBLE.
   */
+/** @param oracleOnly CORRECTNESS-GATE MACHINERY, not a shipping shape:
+  *   a Complete-mode finite-replay twin whose only purpose is to give
+  *   the DuckDB oracle a batch-equal streaming result to hash against.
+  *   Every oracleOnly entry names a graduated Append production form
+  *   (st01→st17, st10→st21, st11→st25, st13→st22, st14→st23,
+  *   st19→st20) that IS benched. Verify still runs oracleOnly entries
+  *   — they are the gate — but Bench excludes them from the headline
+  *   artifact by default (SPARK_GRAFT_BENCH_TWINS=only|all to measure
+  *   them separately), so the headline measures shipping shapes. */
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleOnly: Boolean = false)
 
 object QueryDef {
   /** Order-independent sum of a 2-dec money double: route through an

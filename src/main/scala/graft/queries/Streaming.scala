@@ -42,7 +42,8 @@ object Streaming {
           s, s"$d/documents.parquet", merges, vocab)
         .orderBy(col("window_start_epoch"))
     },
-    Some(TextOps.bpeBudgetOracle(TextOps.BPE_ROUNDS)))
+    Some(TextOps.bpeBudgetOracle(TextOps.BPE_ROUNDS)),
+    oracleOnly = true) // Complete-mode finite-replay twin of st20
 
   /** APPEND-MODE token-budget monitor
     * ([[graft.streaming.Streams.tokenBudgetClosed]]) — st19's
@@ -131,7 +132,8 @@ object Streaming {
       FROM events
       JOIN customer ON c_custkey = user_id
       GROUP BY 1, 2
-      ORDER BY window_start, segment"""))
+      ORDER BY window_start, segment"""),
+    oracleOnly = true) // Complete-mode finite-replay twin of st25
 
   /** Streaming cardinality monitoring
     * ([[graft.streaming.Streams.hourlyDistinctUsers]]): per-hour HLL
@@ -162,7 +164,8 @@ object Streaming {
              CAST(1 AS INT) AS within_bound
       FROM events
       GROUP BY 1
-      ORDER BY window_start"""))
+      ORDER BY window_start"""),
+    oracleOnly = true) // Complete-mode finite-replay twin of st21
 
   /** Streaming QUANTILE monitoring — the KLL twin of [[st10]]'s HLL
     * cardinality monitor and the streaming face of q65: per-hour
@@ -223,7 +226,8 @@ object Streaming {
              CAST(1 AS INT) AS within_bound
       FROM events
       GROUP BY 1
-      ORDER BY window_start"""))
+      ORDER BY window_start"""),
+    oracleOnly = true) // Complete-mode finite-replay twin of st22
 
   /** Streaming TRENDING-ITEMS monitoring — the Misra-Gries member of
     * the streaming sketch-monitor trio (st10 cardinality, st13
@@ -273,7 +277,8 @@ object Streaming {
              exact_cnt, n_events, CAST(1 AS INT) AS within_bound
       FROM r JOIN n ON r.ws = n.ws
       WHERE rnk <= 3
-      ORDER BY window_start, rnk"""))
+      ORDER BY window_start, rnk"""),
+    oracleOnly = true) // Complete-mode finite-replay twin of st23
 
   /** Stream-stream LEFT OUTER join
     * ([[graft.streaming.Streams.attributionOuter]]): [[st07]]'s
@@ -468,7 +473,8 @@ object Streaming {
              CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY window_start, event_type"""))
+      ORDER BY window_start, event_type"""),
+    oracleOnly = true) // Complete-mode finite-replay twin of st17
 
   /** Append-mode EMIT-ON-WINDOW-CLOSE hourly aggregate
     * ([[graft.streaming.Streams.hourlyTypeCountsClosed]]) — st01's

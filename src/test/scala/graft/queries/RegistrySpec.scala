@@ -89,6 +89,29 @@ class RegistrySpec extends SparkSpec {
       s"README.md says ALL ${m.get.group(2)} oracle-checked; registry has ${Registry.oracles.size}")
   }
 
+  test("oracleOnly twins: exactly the Complete-mode replays, each with a graduated production form") {
+    // the bench split contract (round-11 verdict #2): the headline
+    // bench measures shipping shapes; the Complete-mode finite-replay
+    // twins exist only to feed the DuckDB gate. This pins (a) the
+    // twin set can't silently grow — a new Complete-only pipeline
+    // must either graduate or be added here deliberately; (b) every
+    // twin's graduated Append form is itself registered AND benched;
+    // (c) production + twins partition the registry, so Verify (which
+    // runs Registry.all) still gates everything.
+    val twins = Map(
+      "st01_stream_hourly" -> "st17_stream_window_close",
+      "st10_stream_sketch_cardinality" -> "st21_stream_sketch_cardinality_closed",
+      "st11_stream_static_join" -> "st25_stream_static_join_closed",
+      "st13_stream_quantile_monitor" -> "st22_stream_quantile_monitor_closed",
+      "st14_stream_trending" -> "st23_stream_trending_closed",
+      "st19_stream_token_budget" -> "st20_stream_token_budget_closed")
+    assert(Registry.oracleTwins.map(_.name).toSet === twins.keySet)
+    val prodNames = Registry.production.map(_.name).toSet
+    twins.values.foreach(p =>
+      assert(prodNames.contains(p), s"graduated form $p missing from production set"))
+    assert(Registry.production.size + Registry.oracleTwins.size === Registry.all.size)
+  }
+
   test("SparkEntry.entry returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
