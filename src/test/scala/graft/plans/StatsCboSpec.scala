@@ -223,6 +223,65 @@ class StatsCboSpec extends SparkSpec {
     }
   }
 
+  test("SQL-text entry point: reorder + sidecar stats fix a naive worst-first join") {
+    // The consumer join reorder serves (round-11 verdict #3): someone
+    // typing SQL against registered tables, with no opportunity to
+    // hand-order the join tree the way the registry's Column-API
+    // pipelines are. Same worst-first 3-relation shape as above, but
+    // declared AS SQL TEXT — the q28/q86/q88 entry-point class. With
+    // reorder on and the tables ANALYZEd, the optimizer rewrites the
+    // declared (bigA ⋈ bigB) ⋈ tiny into a selective-first tree;
+    // rows are identical either way. README's "Cost-based
+    // optimization" section documents this as the one case to flip
+    // spark.sql.cbo.joinReorder.enabled=true.
+    val store = freshStoreDir()
+    val data = Files.createTempDirectory("graft-cbo-data4").toString
+    import cbo.implicits._
+    (0 until 30000).map(i => (i % 3000, i.toLong)).toDF("k1", "a")
+      .repartition(1).write.mode("overwrite").parquet(s"$data/bigA")
+    (0 until 30000).map(i => (i % 3000, i.toLong + 7)).toDF("k2", "b")
+      .repartition(1).write.mode("overwrite").parquet(s"$data/bigB")
+    (0 until 30).map(i => (i * 100, s"t$i")).toDF("k3", "t")
+      .repartition(1).write.mode("overwrite").parquet(s"$data/tiny")
+    val bigA = cbo.read.parquet(s"$data/bigA")
+    val bigB = cbo.read.parquet(s"$data/bigB")
+    val tiny = cbo.read.parquet(s"$data/tiny")
+    bigA.createOrReplaceTempView("sql_biga")
+    bigB.createOrReplaceTempView("sql_bigb")
+    tiny.createOrReplaceTempView("sql_tiny")
+    def query() = cbo.sql("""
+      SELECT t, count(1) AS n
+      FROM sql_biga
+      JOIN sql_bigb ON k1 = k2
+      JOIN sql_tiny ON k1 = k3
+      GROUP BY t""")
+    def joinLeaves(plan: LogicalPlan): Seq[String] = plan.collect {
+      case j: Join => j
+    }.lastOption.toSeq.flatMap(_.collectLeaves().map(_.toString))
+    withConf(cbo,
+        StatsStore.DIR -> store,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.graft.eagerAgg" -> "false",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      StatsStore.clearLoaded()
+      val before = query()
+      val orderBefore = joinLeaves(before.queryExecution.optimizedPlan)
+      val rowsBefore = sortedRows(before)
+      StatsStore.analyze(bigA, Seq(Seq("k1")), note = "cbo sql spec bigA")
+      StatsStore.analyze(bigB, Seq(Seq("k2")), note = "cbo sql spec bigB")
+      StatsStore.analyze(tiny, Seq(Seq("k3")), note = "cbo sql spec tiny")
+      StatsStore.clearLoaded()
+      val after = query()
+      val orderAfter = joinLeaves(after.queryExecution.optimizedPlan)
+      assert(orderAfter !== orderBefore,
+        s"SQL-text join must reorder under statistics:\n" +
+          s"before=$orderBefore\nafter=$orderAfter")
+      assert(sortedRows(after) === rowsBefore,
+        "the reordered SQL plan must return identical rows")
+    }
+  }
+
   test("attaching statistics runs zero Spark jobs at optimize time") {
     val store = freshStoreDir()
     val data = Files.createTempDirectory("graft-cbo-data3").toString
