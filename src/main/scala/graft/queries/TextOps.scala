@@ -552,7 +552,19 @@ object TextOps {
     * PPJoin-family convention); a quantile-adaptive cap would trade
     * determinism for coverage and is intentionally NOT taken — d11's
     * lossless prefix-filter join is the right tool where recall on
-    * saturating data matters. */
+    * saturating data matters.
+    *
+    * The saturating regime is NO LONGER SILENT (round-11 verdict #5):
+    * when the cap filters every shingle (zero surviving posting
+    * lists), the query emits ONE diagnostic row — doc_a/doc_b = −1,
+    * zero counts, null jaccard, vacuous = 1 — instead of an empty
+    * result a consumer could misread as "no near-dups". Normal rows
+    * carry vacuous = 0. The flag keys off the capped POSTING table
+    * (empty posting ⟺ every shingle's df fell outside [2, 20]), not
+    * the final pair set, so a corpus whose pairs all fail the jaccard
+    * threshold still reads as a real (non-vacuous) empty answer. The
+    * oracle replays the same rule as a NOT EXISTS over its `kept`
+    * CTE, so the flag is hash-gated on both corpus regimes. */
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, d) => {
@@ -586,12 +598,21 @@ object TextOps {
         .agg(count(lit(1)).as("n_common"))
       val ca = cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
       val cb = cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-      pairs.join(ca, Seq("doc_a")).join(cb, Seq("doc_b"))
+      val scored = pairs.join(ca, Seq("doc_a")).join(cb, Seq("doc_b"))
         .withColumn("jaccard", round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
         .filter(col("jaccard") >= 0.05)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
+          col("n_b"), col("jaccard"), lit(0).as("vacuous"))
+      // one diagnostic row iff the df cap filtered EVERY shingle —
+      // third consumer of the persisted posting table, a count-only
+      // scan that emits either zero rows or one literal row
+      val diag = posting.groupBy().agg(count(lit(1)).as("__c"))
+        .filter(col("__c") === 0)
+        .select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"),
+          lit(0L).as("n_common"), lit(0L).as("n_a"), lit(0L).as("n_b"),
+          lit(null).cast("double").as("jaccard"), lit(1).as("vacuous"))
+      scored.unionByName(diag).orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
       WITH ${Shingles.oracleCte},
@@ -602,13 +623,19 @@ object TextOps {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM sh2 a JOIN sh2 b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
-      SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
+      SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard, vacuous FROM (
         SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
-               round(CAST(p.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.n_common AS DOUBLE), 4) AS jaccard
+               round(CAST(p.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.n_common AS DOUBLE), 4) AS jaccard,
+               CAST(0 AS INT) AS vacuous
         FROM pairs p
         JOIN cnt ca ON p.doc_a = ca.doc_id
-        JOIN cnt cb ON p.doc_b = cb.doc_id)
-      WHERE jaccard >= 0.05
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE round(CAST(p.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - p.n_common AS DOUBLE), 4) >= 0.05
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(1 AS INT)
+        WHERE NOT EXISTS (SELECT 1 FROM kept))
       ORDER BY doc_a, doc_b"""))
 
   // regex patterns shared by the Spark plan and the DuckDB oracle —
