@@ -49,4 +49,101 @@ object Scd2 {
       .withColumn("eff_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("eff_to").isNull)
   }
+
+  /** [[history]] row-identical, with SEAM-STITCHED windows — the
+    * [[Locf]] discipline applied to SCD2: the naive form sorts each
+    * key's ENTIRE change log through one reducer (q40's audited
+    * ×1.5-class skew residual), this form sorts W-bounded segments.
+    *
+    * WHEN TO USE — a measured regime split, not a default (round-12
+    * A/B at sf1, 1.5M changes / 150k keys, 20%-hot-key corpus):
+    * the stitch pays two boundary aggregates and two carry joins
+    * whose row counts are O(keys × populated segments) — FACT-SIZED
+    * when keys are many and histories shallow. There the naive
+    * window wins decisively (q40: 1.24 s naive vs 5.97 s stitched
+    * uniform; ~1.9 s vs 3.53 s hot-key — the hot key's 300k-row sort
+    * is cheaper than the stitch overhead). Reach for this form only
+    * when a single key's history outgrows one task's sort — deep
+    * per-entity change logs (telemetry-grade SCD, billions of
+    * changes for one hub entity), where the naive form's straggler
+    * is unbounded and the boundary table is corpus/W, tiny. The
+    * q18-join-reorder posture: available, proven, opt-in on
+    * measurement.
+    *
+    * The insight making SCD2 stitchable where an arbitrary-frame
+    * window is not: BOTH of its window functions are offset-1 —
+    * `lag(attrs)` for version suppression and `lead(ts)` for interval
+    * closing — so exactly ONE row needs to cross each segment seam in
+    * each direction. Mechanism:
+    *  1. `gid = floor(segOrd / W)` — `segOrd` must be an integral,
+    *     order-preserving function of `ts` ALONE (epoch day/second of
+    *     the change timestamp). Because gid depends only on ts, an
+    *     equal-ts run can never split across segments, so the
+    *     composite (ts, tie) sort stays total within segments and
+    *     monotone across them.
+    *  2. suppression lag runs per (keys…, gid) — reducer sorts are
+    *     W-bounded (× the per-ts change rate), not key-volume-bounded;
+    *     each segment's FIRST row takes its predecessor from a
+    *     boundary table carrying the max-(ts, tie) row's attrs per
+    *     populated segment, running-carried over gids (the Locf
+    *     carry: a corpus/W-row table, keys-partitioned).
+    *  3. interval-closing lead runs over the surviving VERSIONS with
+    *     the same segmentation; each segment's LAST version takes
+    *     `eff_to` from the carry-BACK of the next populated
+    *     version-segment's first ts (Locf.neighbors' reversed-sort
+    *     PRECEDING frame — never an UnboundedFollowing re-scan).
+    *  4. the carry joins reuse the windows' own hash(keys…, gid)
+    *     clustering: the fact pays ONE exchange total, the same count
+    *     the naive form pays, with segment-bounded sorts instead of
+    *     key-volume-bounded.
+    * Scd2Spec proves the two forms row-identical on seam-engineered
+    * data (suppressed runs spanning seams, all-suppressed segments,
+    * equal-ts boundary groups, single-version keys). */
+  def historyStitched(changes: DataFrame, keys: Seq[String], ts: String,
+      tie: String, attrs: Seq[String], segOrd: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0,
+      s"historyStitched: bucketWidth must be > 0, got $bucketWidth")
+    val keyCols = keys.map(col)
+    // exact integral floor-division (Locf.gidCol's arithmetic)
+    val seg = changes.withColumn("__so", segOrd.cast("long"))
+      .withColumn("__gid",
+        expr(s"(__so - pmod(__so, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .drop("__so")
+    val segKeys = keyCols :+ col("__gid")
+    val wIn = Window.partitionBy(segKeys: _*).orderBy(col(ts), col(tie))
+    val attrStruct = struct(attrs.map(col): _*)
+    // pass 1: suppression lag, seam-filled from the previous populated
+    // segment's last row. max over struct(ts, tie, attrs) decides on
+    // the unique (ts, tie) prefix, so attr NULLs never enter ordering.
+    val within = seg.withColumn("__prev", lag(attrStruct, 1).over(wIn))
+    val bounds = seg.groupBy(segKeys: _*)
+      .agg(max(struct(col(ts).as("t"), col(tie).as("k"),
+        attrStruct.as("a"))).getField("a").as("__b"))
+    val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("__gid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds
+      .withColumn("__carry", last(col("__b"), ignoreNulls = true).over(wCarry))
+      .select(segKeys :+ col("__carry"): _*)
+    val versions = within.join(carry, keys :+ "__gid")
+      .withColumn("__prev", coalesce(col("__prev"), col("__carry")))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+      .drop("__prev", "__carry")
+    // pass 2: interval-closing lead over the versions, seam-filled
+    // BACKWARD from the next populated version-segment's first ts
+    val vWithin = versions.withColumn("__next", lead(col(ts), 1).over(wIn))
+    val vBounds = versions.groupBy(segKeys: _*)
+      .agg(min(struct(col(ts).as("t"), col(tie).as("k")))
+        .getField("t").as("__first"))
+    val wBack = Window.partitionBy(keyCols: _*).orderBy(col("__gid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vCarry = vBounds
+      .withColumn("__nxt", last(col("__first"), ignoreNulls = true).over(wBack))
+      .select(segKeys :+ col("__nxt"): _*)
+    vWithin.join(vCarry, keys :+ "__gid")
+      .withColumn("eff_from", col(ts))
+      .withColumn("eff_to", coalesce(col("__next"), col("__nxt")))
+      .withColumn("is_current", col("eff_to").isNull)
+      .drop("__gid", "__next", "__nxt")
+  }
 }

@@ -751,6 +751,16 @@ object Relational {
       val o = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
           col("o_orderstatus"))
+      // Deliberately the NAIVE per-key window, not
+      // Scd2.historyStitched — a MEASURED choice (round 12): at sf1
+      // per-key histories are shallow (~10 changes/key; the 20%-hot
+      // key's 300k), and the stitch's two boundary aggregates + two
+      // carry joins are fact-sized when keys are many and shallow —
+      // measured 1.24 s naive vs 5.97 s stitched on uniform sf1 and
+      // ~1.9 s vs 3.53 s on the hot-key corpus. The ×1.5-class skew
+      // residual of this form is the cheaper trade until a single
+      // key's history outgrows one task's sort (the true hub regime
+      // historyStitched exists for — row-identical, spec-proven).
       graft.ops.Scd2.history(o, Seq("o_custkey"),
           ts = "o_orderdate", tie = "o_orderkey", attrs = Seq("o_orderstatus"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),

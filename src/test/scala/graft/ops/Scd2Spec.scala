@@ -44,4 +44,46 @@ class Scd2Spec extends SparkSpec {
     assert(h.map(_._3) === Seq(Some("a"), Some("b"), Some("a")))
     assert(h.count(_._6) === 1)
   }
+
+  test("historyStitched equals history across seam-engineered data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 keys × 4000 ts, width-64 segments ⇒ ~63 seams per key, with:
+    //  - long suppressed runs spanning many seams (key A repeats its
+    //    status for 300-ts stretches ⇒ whole segments produce no
+    //    version and the lead carry must hop them),
+    //  - equal-ts groups straddling a seam boundary value (ts=64k),
+    //  - a key whose attr is constant (ONE version total),
+    //  - NULL attribute stretches (null-safe compare across seams).
+    val rows = (0 until 4000).flatMap { t =>
+      val a = ("A", t, t * 10 + 1,
+        if ((t / 300) % 2 == 0) "s0" else s"s${t / 700}")
+      val b = ("B", t, t * 10 + 2,
+        if (t % 5 == 0) null else s"v${(t / 64) % 3}")
+      val c = ("C", t, t * 10 + 3, "const")
+      // equal-ts pile-up exactly at segment boundaries
+      val extra = if (t % 64 == 0)
+        Seq(("A", t, t * 10 + 4, "tiebreak"), ("A", t, t * 10 + 5, "s0"))
+      else Seq.empty
+      Seq(a, b, c) ++ extra
+    }
+    val df = rows.toDF("k", "ts", "id", "attr").repartition(8)
+    def canon(h: org.apache.spark.sql.DataFrame) = h
+      .select("k", "id", "attr", "eff_from", "eff_to", "is_current")
+      .collect().map(_.toString).sorted.toSeq
+    val naive = canon(Scd2.history(
+      df, Seq("k"), ts = "ts", tie = "id", attrs = Seq("attr")))
+    val stitched = canon(Scd2.historyStitched(
+      df, Seq("k"), ts = "ts", tie = "id", attrs = Seq("attr"),
+      segOrd = col("ts"), bucketWidth = 64))
+    assert(stitched.size === naive.size,
+      s"version counts differ: ${stitched.size} vs ${naive.size}")
+    assert(stitched === naive)
+    // contract guard
+    val e = intercept[IllegalArgumentException] {
+      Scd2.historyStitched(df, Seq("k"), "ts", "id", Seq("attr"),
+        col("ts"), bucketWidth = 0)
+    }
+    assert(e.getMessage.contains("bucketWidth"))
+  }
 }
