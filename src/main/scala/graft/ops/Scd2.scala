@@ -66,7 +66,12 @@ object Scd2 {
     * when a single key's history outgrows one task's sort — deep
     * per-entity change logs (telemetry-grade SCD, billions of
     * changes for one hub entity), where the naive form's straggler
-    * is unbounded and the boundary table is corpus/W, tiny. The
+    * is unbounded and the boundary table is corpus/W, tiny. BOTH
+    * regimes are measured, not asserted —
+    * [[graft.tools.Scd2Probe]] (bench_scd2_regime_r12.json):
+    * 150k keys × 10 changes → naive 0.86 s vs stitched 3.21 s;
+    * 4 keys × 2M changes → naive 7.09 s vs stitched 4.52 s, version
+    * counts cross-checked equal inside the probe. The
     * q18-join-reorder posture: available, proven, opt-in on
     * measurement.
     *
