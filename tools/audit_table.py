@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--sf1", required=True)
     ap.add_argument("--skew", action="append", default=[],
                     help="label=skew_artifact:uniform_artifact")
+    ap.add_argument("--twins", help="bench_twins artifact (oracle-twin class, "
+                    "listed after the production rows)")
     ap.add_argument("--plans", default="PLANS.md")
     args = ap.parse_args()
 
@@ -85,6 +87,14 @@ def main():
         ratio = f"x{b/a:.2f}" if a and b and a > 0 else "-"
         sk = f"x{skew[n][1]:.2f} ({skew[n][0]})" if n in skew else "-"
         rows.append(f"| {n} | {fa} | {fb} | {ratio} | {sk} | {NOTES.get(n, '')} |")
+
+    if args.twins:
+        qt, _ = qmap(args.twins)
+        rows.append("| *oracle-twin class (Verify-gated; benched separately "
+                    f"in `{args.twins}`)* | | | | | |")
+        for n in sorted(qt, key=lambda n: -qt[n]):
+            rows.append(f"| {n} | {qt[n]:.2f} | - | - | - | "
+                        f"{NOTES.get(n, 'oracleOnly twin')} |")
 
     header = [
         "<!-- AUDIT-BEGIN (generated by tools/audit_table.py - edit NOTES there, not here) -->",
