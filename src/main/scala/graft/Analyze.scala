@@ -43,10 +43,16 @@ object Analyze {
   def main(args: Array[String]): Unit = {
     val vacuum = args.contains("--vacuum")
     val dirs0 = args.toSeq.filterNot(_ == "--vacuum")
+    // the analyze-only default is harmless (it only ADDS statistics);
+    // a defaulted vacuum would silently delete every OTHER corpus's
+    // sidecar — retention roots must be explicit (round-12 review)
+    require(!vacuum || dirs0.nonEmpty,
+      "Analyze --vacuum requires explicit retention roots: pass every " +
+        "directory whose statistics must survive")
     val dirs = if (dirs0.nonEmpty) dirs0 else Seq("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
-    for (path <- tablePaths(dirs)) {
+    val live = for (path <- tablePaths(dirs)) yield {
       val df = spark.read.parquet(path)
       // HLL needs a hashable scalar input: skip nested/binary columns
       // (the embeddings vector and events props map have no join-key
@@ -57,14 +63,16 @@ object Analyze {
       }).map(f => Seq(f.name)).toSeq
       StatsStore.analyze(df, cols, note = s"graft.Analyze $path")
       println(s"analyzed $path: ${cols.size} columns")
+      // fingerprint captured from THIS read — no second metadata pass
+      StatsStore.fingerprintOf(df)
     }
     if (vacuum) {
-      val live = tablePaths(dirs)
-        .flatMap(p => StatsStore.fingerprintOf(spark.read.parquet(p))).toSet
-      val deleted = StatsStore.vacuum(live)
-      println(s"vacuum: kept ${live.size} live fingerprints, " +
+      val (deleted, failed) = StatsStore.vacuum(live.flatten.toSet)
+      println(s"vacuum: kept ${live.flatten.size} live fingerprints, " +
         s"deleted ${deleted.size} stale sidecar files" +
-        (if (deleted.nonEmpty) deleted.mkString(" (", ", ", ")") else ""))
+        (if (deleted.nonEmpty) deleted.mkString(" (", ", ", ")") else "") +
+        (if (failed.nonEmpty)
+          failed.mkString("; FAILED to delete: ", ", ", "") else ""))
     }
     spark.stop()
   }

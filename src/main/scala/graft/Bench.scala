@@ -11,13 +11,20 @@ object Bench {
     // production form that IS benched. SPARK_GRAFT_BENCH_TWINS=only
     // measures just the twin class (the committed twin artifact);
     // =all restores the pre-round-12 everything-in-one-run behavior.
+    val twinsMode = sys.env.get("SPARK_GRAFT_BENCH_TWINS")
     val base: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      sys.env.get("SPARK_GRAFT_BENCH_TWINS") match {
+      twinsMode match {
         case Some("only") =>
           graft.queries.Registry.oracleTwins.map(q => q.name -> q.build).toMap
         case Some("all") => SparkEntry.queries
-        case _ =>
+        case None =>
           graft.queries.Registry.production.map(q => q.name -> q.build).toMap
+        // fail fast: a typo ("twins", "true", "1") silently measuring
+        // the production set would commit headline numbers as a twin
+        // artifact — the silent-miscapture class the errors map exists
+        // to prevent
+        case Some(other) => sys.error(
+          s"SPARK_GRAFT_BENCH_TWINS must be 'only' or 'all' (or unset), got '$other'")
       }
     // optional subset: comma-separated name prefixes (e.g.
     // "d02,d05,d11" for the near-dup scale study) — default all
@@ -115,9 +122,17 @@ object Bench {
     // is swallowed — an OOM/interrupt must propagate, not vanish
     // behind a stderr line (and catching InterruptedException would
     // also clear the interrupt flag).
+    // twin-mode default artifact is its OWN file: a twins run left on
+    // the default path would clobber the headline bench_full_latest
+    // with a 6-query map, and a later audit_table regeneration from it
+    // would blank the sf0.1 column for every production query
+    val defaultOut = twinsMode match {
+      case Some("only") => "bench_twins_latest.json"
+      case _ => "bench_full_latest.json"
+    }
     val outPath = java.nio.file.Paths.get(
       System.getProperty("user.dir", ".")).resolve(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     try java.nio.file.Files.write(outPath, line.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench artifact write failed ($outPath): $e") }

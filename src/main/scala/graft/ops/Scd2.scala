@@ -109,12 +109,37 @@ object Scd2 {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0,
       s"historyStitched: bucketWidth must be > 0, got $bucketWidth")
+    // fail-fast on the checkable contract (the Locf.requireContract
+    // discipline): a non-integral segOrd would cast-coerce — a string
+    // column casts to NULL per row, collapsing every key into ONE
+    // NULL segment and silently degenerating to the per-key sort this
+    // form exists to avoid.
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = changes.select(segOrd.as("__so")).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"historyStitched: segOrd must be an integral expression " +
+          s"(epoch day/second of the change time), got $dt")
+    }
     val keyCols = keys.map(col)
     // exact integral floor-division (Locf.gidCol's arithmetic)
     val seg = changes.withColumn("__so", segOrd.cast("long"))
       .withColumn("__gid",
         expr(s"(__so - pmod(__so, ${bucketWidth}L)) div ${bucketWidth}L"))
       .drop("__so")
+    // carry joins must be NULL-SAFE on the key columns: the naive
+    // form's window partitioning groups NULL keys like any value, so
+    // this form must too — a Seq-based (null-unsafe) equi-join would
+    // silently DROP every NULL-keyed change. The right side's join
+    // columns are re-aliased first (fresh exprIds), because carry
+    // tables derive from the same lineage as the fact side and
+    // grouping columns keep their exprIds through an Aggregate.
+    def nullSafeJoin(left: DataFrame, right: DataFrame,
+        on: Seq[String]): DataFrame = {
+      val r = on.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
+      val cond = on.map(c => left(c) <=> r(s"__r_$c")).reduce(_ && _)
+      left.join(r, cond).drop(on.map(c => s"__r_$c"): _*)
+    }
     val segKeys = keyCols :+ col("__gid")
     val wIn = Window.partitionBy(segKeys: _*).orderBy(col(ts), col(tie))
     val attrStruct = struct(attrs.map(col): _*)
@@ -130,7 +155,7 @@ object Scd2 {
     val carry = bounds
       .withColumn("__carry", last(col("__b"), ignoreNulls = true).over(wCarry))
       .select(segKeys :+ col("__carry"): _*)
-    val versions = within.join(carry, keys :+ "__gid")
+    val versions = nullSafeJoin(within, carry, keys :+ "__gid")
       .withColumn("__prev", coalesce(col("__prev"), col("__carry")))
       .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
       .drop("__prev", "__carry")
@@ -145,7 +170,7 @@ object Scd2 {
     val vCarry = vBounds
       .withColumn("__nxt", last(col("__first"), ignoreNulls = true).over(wBack))
       .select(segKeys :+ col("__nxt"): _*)
-    vWithin.join(vCarry, keys :+ "__gid")
+    nullSafeJoin(vWithin, vCarry, keys :+ "__gid")
       .withColumn("eff_from", col(ts))
       .withColumn("eff_to", coalesce(col("__next"), col("__nxt")))
       .withColumn("is_current", col("eff_to").isNull)

@@ -367,32 +367,43 @@ object StatsStore {
     * the same ioLock as writes, so a concurrent in-process ANALYZE
     * can't interleave; a cross-process writer racing the vacuum
     * re-creates its file on next record (atomic rename, last writer
-    * wins — the store's existing cross-process posture). */
-  def vacuum(live: Set[Long]): Seq[String] = dir().toSeq.flatMap { d =>
-    ioLock.synchronized {
-      if (!Files.isDirectory(d)) Seq.empty
-      else {
-        val keep = live.map(fp => java.lang.Long.toHexString(fp) + ".stats")
-        val listing = Files.list(d)
-        val stale =
-          try {
-            import scala.jdk.CollectionConverters._
-            listing.iterator().asScala
-              .filter { p =>
-                val n = p.getFileName.toString
-                n.endsWith(".stats") && !keep.contains(n)
-              }
-              .toVector // materialize before mutating the directory
-          } finally listing.close()
-        stale.map { p =>
-          val name = p.getFileName.toString
-          scala.util.Try(Files.delete(p))
-          scala.util.Try(java.lang.Long.parseUnsignedLong(
-            name.stripSuffix(".stats"), 16)).toOption.foreach(loaded.remove)
-          name
+    * wins — the store's existing cross-process posture).
+    *
+    * Returns (deleted, failed) file names: a delete that throws
+    * (permissions, file held open) lands in `failed` and keeps its
+    * cache entry — reporting it as deleted would tell the operator
+    * retention succeeded while the stale file survives every
+    * subsequent run identically (round-12 review). */
+  def vacuum(live: Set[Long]): (Seq[String], Seq[String]) = {
+    val results = dir().toSeq.flatMap { d =>
+      ioLock.synchronized {
+        if (!Files.isDirectory(d)) Seq.empty
+        else {
+          val keep = live.map(fp => java.lang.Long.toHexString(fp) + ".stats")
+          val listing = Files.list(d)
+          val stale =
+            try {
+              import scala.jdk.CollectionConverters._
+              listing.iterator().asScala
+                .filter { p =>
+                  val n = p.getFileName.toString
+                  n.endsWith(".stats") && !keep.contains(n)
+                }
+                .toVector // materialize before mutating the directory
+            } finally listing.close()
+          stale.map { p =>
+            val name = p.getFileName.toString
+            val ok = scala.util.Try { Files.delete(p); true }.getOrElse(false)
+            if (ok)
+              scala.util.Try(java.lang.Long.parseUnsignedLong(
+                name.stripSuffix(".stats"), 16)).toOption.foreach(loaded.remove)
+            (name, ok)
+          }
         }
       }
     }
+    (results.collect { case (n, true) => n },
+      results.collect { case (n, false) => n })
   }
 
   /** THE CANONICAL MEASUREMENT FORM — exact row count plus HLL NDV of

@@ -61,11 +61,16 @@ class Scd2Spec extends SparkSpec {
       val b = ("B", t, t * 10 + 2,
         if (t % 5 == 0) null else s"v${(t / 64) % 3}")
       val c = ("C", t, t * 10 + 3, "const")
+      // a NULL key: the naive window partitions NULLs like any value,
+      // so the stitched carry joins must be null-safe or these rows
+      // silently vanish (round-12 review catch)
+      val n = (null.asInstanceOf[String], t, t * 10 + 6,
+        s"n${(t / 100) % 2}")
       // equal-ts pile-up exactly at segment boundaries
       val extra = if (t % 64 == 0)
         Seq(("A", t, t * 10 + 4, "tiebreak"), ("A", t, t * 10 + 5, "s0"))
       else Seq.empty
-      Seq(a, b, c) ++ extra
+      Seq(a, b, c, n) ++ extra
     }
     val df = rows.toDF("k", "ts", "id", "attr").repartition(8)
     def canon(h: org.apache.spark.sql.DataFrame) = h
@@ -79,11 +84,20 @@ class Scd2Spec extends SparkSpec {
     assert(stitched.size === naive.size,
       s"version counts differ: ${stitched.size} vs ${naive.size}")
     assert(stitched === naive)
-    // contract guard
+    // NULL-keyed versions actually present in both outputs (the
+    // equivalence assert would also pass if BOTH forms dropped them)
+    assert(naive.exists(_.startsWith("[null,")),
+      "corpus must produce NULL-keyed versions")
+    // contract guards
     val e = intercept[IllegalArgumentException] {
       Scd2.historyStitched(df, Seq("k"), "ts", "id", Seq("attr"),
         col("ts"), bucketWidth = 0)
     }
     assert(e.getMessage.contains("bucketWidth"))
+    val e2 = intercept[IllegalArgumentException] {
+      Scd2.historyStitched(df, Seq("k"), "ts", "id", Seq("attr"),
+        segOrd = col("ts").cast("string"), bucketWidth = 64)
+    }
+    assert(e2.getMessage.contains("integral"))
   }
 }

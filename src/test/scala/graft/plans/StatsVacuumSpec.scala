@@ -55,8 +55,9 @@ class StatsVacuumSpec extends SparkSpec {
         .filter(_.endsWith(".stats"))
       assert(statsFiles.length === 2, statsFiles.mkString(", "))
 
-      val deleted = StatsStore.vacuum(Set(fp2))
+      val (deleted, failed) = StatsStore.vacuum(Set(fp2))
       assert(deleted === Seq(java.lang.Long.toHexString(fp1) + ".stats"))
+      assert(failed.isEmpty)
       // live entry still serves; stale one is gone from disk AND cache
       assert(StatsStore.lookup(fp2, Seq("k")).exists(_._1 === 150L))
       assert(StatsStore.lookup(fp1, Seq("k")).isEmpty)
@@ -76,14 +77,14 @@ class StatsVacuumSpec extends SparkSpec {
       val bystander = Paths.get(d, "README.txt")
       Files.write(bystander, "not a stats file".getBytes("UTF-8"))
 
-      assert(StatsStore.vacuum(Set(fp)) === Seq.empty) // nothing stale
-      assert(StatsStore.vacuum(Set(fp)) === Seq.empty) // idempotent
+      assert(StatsStore.vacuum(Set(fp)) === ((Seq.empty, Seq.empty))) // nothing stale
+      assert(StatsStore.vacuum(Set(fp)) === ((Seq.empty, Seq.empty))) // idempotent
       assert(Files.exists(bystander), "vacuum must not touch foreign files")
       assert(StatsStore.lookup(fp, Seq("k")).exists(_._1 === 10L))
 
       // emptied retention set ⇒ everything .stats goes, bystander stays
-      val all = StatsStore.vacuum(Set.empty)
-      assert(all.size === 1)
+      val (all, failedAll) = StatsStore.vacuum(Set.empty)
+      assert(all.size === 1 && failedAll.isEmpty)
       assert(Files.exists(bystander))
       assert(StatsStore.lookup(fp, Seq("k")).isEmpty)
     }

@@ -55,6 +55,10 @@ def qmap(path):
     return d.get("queries", {}), d
 
 
+def errset(meta):
+    return set(meta.get("errors", {}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01", required=True)
@@ -66,8 +70,15 @@ def main():
     ap.add_argument("--plans", default="PLANS.md")
     args = ap.parse_args()
 
-    q01, _ = qmap(args.sf01)
-    q1, _ = qmap(args.sf1)
+    q01, m01 = qmap(args.sf01)
+    q1, m1 = qmap(args.sf1)
+    # a query that ERRORED in a run has no timing (Bench's round-9
+    # discipline) but MUST stay visible here: an absent row reads as
+    # "gone or fine", the exact silent-failure mode the errors map
+    # exists to prevent
+    errs = {n: "sf0.1" for n in errset(m01)}
+    for n in errset(m1):
+        errs[n] = errs.get(n, "") + ("+sf1" if n in errs else "sf1")
     skew = {}   # name -> (label, ratio)
     for spec in args.skew:
         label, pair = spec.split("=", 1)
@@ -78,7 +89,11 @@ def main():
             if name in qu and qu[name] > 0:
                 skew[name] = (label, qs[name] / qu[name])
 
-    names = sorted(set(q01) | set(q1), key=lambda n: -(q1.get(n) or 0))
+    # name tiebreak: rows missing an sf1 timing would otherwise keep
+    # set-iteration order, which varies under Python hash randomization
+    # and churns the committed table on regeneration
+    names = sorted(set(q01) | set(q1) | set(errs),
+                   key=lambda n: (-(q1.get(n) or 0), n))
     rows = []
     for n in names:
         a, b = q01.get(n), q1.get(n)
@@ -86,13 +101,16 @@ def main():
         fb = f"{b:.2f}" if b is not None else "-"
         ratio = f"x{b/a:.2f}" if a and b and a > 0 else "-"
         sk = f"x{skew[n][1]:.2f} ({skew[n][0]})" if n in skew else "-"
-        rows.append(f"| {n} | {fa} | {fb} | {ratio} | {sk} | {NOTES.get(n, '')} |")
+        note = NOTES.get(n, "")
+        if n in errs:
+            note = f"**ERRORED ({errs[n]})** " + note
+        rows.append(f"| {n} | {fa} | {fb} | {ratio} | {sk} | {note} |")
 
     if args.twins:
         qt, _ = qmap(args.twins)
         rows.append("| *oracle-twin class (Verify-gated; benched separately "
                     f"in `{args.twins}`)* | | | | | |")
-        for n in sorted(qt, key=lambda n: -qt[n]):
+        for n in sorted(qt, key=lambda n: (-qt[n], n)):
             rows.append(f"| {n} | {qt[n]:.2f} | - | - | - | "
                         f"{NOTES.get(n, 'oracleOnly twin')} |")
 
