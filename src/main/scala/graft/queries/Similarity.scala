@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * can replay the exact pipeline.
   *
   * Scale design notes:
-  *  - brute-force cosine is the *baseline* (quadratic): it exists to
-  *    calibrate the bucketed variants, and the query-side is a small
-  *    sampled set so the pair count is |Q|·N, not N².
+  *  - brute-force cosine is the *baseline*: it exists to calibrate
+  *    the bucketed variants, and the query side is a FIXED 64-id
+  *    panel ([[Similarity.PANEL]]) so the pair count |Q|·N is linear
+  *    in corpus size, never N².
   *  - minhash-LSH: shingle→minhash→band→bucket-join. Candidate pairs
   *    come from equality joins on band signatures (shuffle on the
   *    signature, even distribution), never from a cross join. This is
@@ -33,6 +34,27 @@ object Similarity {
   /** Testdata embedding width (TESTDATA.md: embeddings.embedding is a
     * fixed 64-lane float vector). */
   private[queries] val EMB_DIM = 64
+
+  /** FIXED ANN QUERY PANEL — the PANEL lowest vec_ids (round-13
+    * verdict #1). Every retrieval query in this family evaluates the
+    * same sampled query set; through round 12 that set was
+    * `vec_id % 50 == 0`, which GROWS with the corpus (|Q| = N/50), so
+    * the exact calibration baseline [[s01]] was N²/50 — the two
+    * biggest discretionary lines of the sf1 bench (s01 15.3 s +
+    * s06 15.4 s). Calibration needs a FIXED panel, not a growing one:
+    * with |Q| constant, s01's pair count |Q|·N is linear in N, every
+    * probe set is constant-sized, and recall estimates stay
+    * comparable across scale factors because they measure the same
+    * 64-query workload. `vec_id < 64` is portable verbatim to the
+    * DuckDB oracle (vec_ids are dense from 0 at every SF ≥ 0.001;
+    * the smallest corpus has 500 vectors, so the panel is always
+    * fully populated). Shared by s01/s02/s03/s07/s08/s09/s10 and the
+    * SimilaritySpec recall checks — ONE definition so the engines and
+    * the spec can never sample different panels. */
+  private[queries] val PANEL = 64
+
+  /** The panel predicate, Spark side ([[PANEL]]). */
+  private def isPanel(c: Column): Column = c < PANEL
 
   /** Portable 60-bit hash: first 15 hex chars of md5. */
   private def h60(c: Column): Column =
@@ -61,13 +83,18 @@ object Similarity {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Brute-force cosine top-k: exact baseline for ANN. Sampled query
-    * set (vec_id % 50 == 0) against all candidates; per-query top-5. */
+  /** Brute-force cosine top-k: exact baseline for ANN over the FIXED
+    * query panel ([[PANEL]] lowest vec_ids) against all candidates;
+    * per-query top-5. LINEAR by construction since round 13: |Q| is a
+    * constant 64, so the broadcast side is bounded (64 rows at any SF)
+    * and the pair count |Q|·N scales with the corpus, not its square —
+    * the exact-baseline shape production recall audits actually run
+    * (a fixed query workload re-evaluated as the corpus grows). */
   val s01 = QueryDef(
     "s01_cosine_topk",
     (s, d) => {
       val e = docVectors(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(isPanel(col("vec_id")))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"))
       val cosine = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
@@ -82,9 +109,9 @@ object Similarity {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rn"))
     },
-    Some("""
+    Some(s"""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                 FROM embeddings WHERE vec_id % 50 = 0),
+                 FROM embeddings WHERE vec_id < $PANEL),
       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
       p AS (SELECT query_id, neighbor_id,
               list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
@@ -163,13 +190,12 @@ object Similarity {
           col("sig").bitwiseXOR(f.getField("bit"))))).as("sig"))
 
   /** Signature equi-join + exact-cosine rerank + per-query top-5 —
-    * the shared tail of s02/s09. No broadcast hint: the probe side is
-    * defined as a slice of the corpus (N/50 rows × P probes), so it
-    * SCALES with SF — a forced broadcast would grow without bound at
-    * 100 TB. The signature equi-join shuffles both sides on `sig`;
-    * AQE may still pick a size-based broadcast at small SF, which is
-    * fine because that decision is made from measured stats, not a
-    * hard hint. */
+    * the shared tail of s02/s09. No broadcast hint even though the
+    * probe side is now panel-bounded ([[PANEL]] × P probe rows): AQE
+    * already picks the size-based broadcast from measured stats, and
+    * leaving the decision to it means a future panel widening (or a
+    * caller passing an unbounded probe set) degrades gracefully to a
+    * shuffle instead of OOMing a hard hint. */
   private def lshRerankTop5(probes: DataFrame, cand: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -199,7 +225,7 @@ object Similarity {
       val sigd = sigOf(docVectors(s, d))
       val cand = sigd.select(col("sig"), col("vec_id").as("neighbor_id"),
         col("v").as("nv"), col("n").as("cn"))
-      val probes = multiProbed(sigd.filter(col("vec_id") % 50 === 0), 4)
+      val probes = multiProbed(sigd.filter(isPanel(col("vec_id"))), 4)
       lshRerankTop5(probes, cand)
     },
     // Full hash-compared oracle (was recall-spec-only through round 5):
@@ -224,7 +250,7 @@ object Similarity {
       pr AS (
         SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
                list_sort([$lshSqlFlipStructs]) AS fl
-        FROM sigd WHERE vec_id % 50 = 0),
+        FROM sigd WHERE vec_id < $PANEL),
       probes AS (
         SELECT query_id, qv, qn,
                unnest([sig, xor(sig, fl[1].bit), xor(sig, fl[2].bit),
@@ -304,7 +330,7 @@ object Similarity {
         .select(col("cell"), col("vec_id").as("neighbor_id"),
           col("v").as("nv2"), col("n").as("nn"))
       val probes = ranked
-        .filter((col("crn") <= NPROBE) && (col("vec_id") % 50 === 0))
+        .filter((col("crn") <= NPROBE) && isPanel(col("vec_id")))
         .select(col("cell"), col("vec_id").as("query_id"),
           col("v").as("qv"), col("n").as("qn"))
       val w = Window.partitionBy(col("query_id"))
@@ -317,7 +343,7 @@ object Similarity {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rn"))
     },
-    Some("""
+    Some(s"""
       WITH u AS (
         SELECT label AS cell, generate_subscripts(embedding, 1) AS lane,
                CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,6)) AS ed
@@ -339,7 +365,7 @@ object Similarity {
       assign AS (SELECT cell, vec_id AS neighbor_id, v AS nv2, n AS nn
                  FROM ranked WHERE crn = 1),
       probes AS (SELECT cell, vec_id AS query_id, v AS qv, n AS qn
-                 FROM ranked WHERE crn <= 3 AND vec_id % 50 = 0),
+                 FROM ranked WHERE crn <= 3 AND vec_id < $PANEL),
       scored AS (
         SELECT query_id, neighbor_id,
                list_dot_product(qv, nv2) / (qn * nn) AS cosine
@@ -597,7 +623,7 @@ object Similarity {
     val cellOf = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("n").as("nn"))
     val probes = ranked
-      .filter((col("crn") <= IVF_NPROBE) && (col("vec_id") % 50 === 0))
+      .filter((col("crn") <= IVF_NPROBE) && isPanel(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("cell"),
         col("v").as("qv"), col("n").as("qn"))
     val dtab = probes.select(col("query_id"), col("qv")).distinct()
@@ -648,7 +674,7 @@ object Similarity {
       cellof AS (SELECT cell, vec_id AS neighbor_id, n AS nn
                  FROM ranked WHERE crn = 1),
       probes AS (SELECT cell, vec_id AS query_id, v AS qv, n AS qn
-                 FROM ranked WHERE crn <= 3 AND vec_id % 50 = 0),
+                 FROM ranked WHERE crn <= 3 AND vec_id < $PANEL),
       sub AS (SELECT vec_id, label, m, v[m*16+1 : m*16+16] AS vs
               FROM en CROSS JOIN (SELECT unnest(range(4)) AS m)),
       cb0 AS (
@@ -795,12 +821,12 @@ object Similarity {
     * integer hit counts + a derived ratio.
     *
     * Shape at 100 TB: this is exactly how production ANN is audited —
-    * the exact baseline runs only over the SAMPLED query set (s01's
-    * |Q| = N/50 design, the one quarantined quadratic), the approx
-    * paths run at full scale, and recall is a tiny join of two
+    * the exact baseline runs only over the FIXED query panel (s01's
+    * |Q| = [[PANEL]] design: |Q|·N pairs, linear in corpus size), the
+    * approx paths run at full scale, and recall is a tiny join of two
     * (query, neighbor) top-k lists. The exact top-5 list is persisted
     * once and read by both method branches ([[Shingles.sharedPersist]],
-    * the q61 pattern), so the quadratic baseline is computed once.
+    * the q61 pattern), so the baseline is computed once.
     *
     * Determinism: hits are integer counts over exact-hash-gated
     * inputs (s01/s02/s03 are themselves fully oracle-checked), and
@@ -878,7 +904,7 @@ object Similarity {
       val cand = sigOf(e.join(enIds, Seq("vec_id")))
         .select(col("sig"), col("vec_id").as("neighbor_id"),
           col("v").as("nv"), col("n").as("cn"))
-      val probes = multiProbed(sigOf(e.filter(col("vec_id") % 50 === 0)), 4)
+      val probes = multiProbed(sigOf(e.filter(isPanel(col("vec_id")))), 4)
       lshRerankTop5(probes, cand)
     },
     Some {
@@ -900,7 +926,7 @@ object Similarity {
       pr AS (
         SELECT vec_id AS query_id, v AS qv, n AS qn, sig,
                list_sort([$lshSqlFlipStructs]) AS fl
-        FROM sigd WHERE vec_id % 50 = 0),
+        FROM sigd WHERE vec_id < $PANEL),
       probes AS (
         SELECT query_id, qv, qn,
                unnest([sig, xor(sig, fl[1].bit), xor(sig, fl[2].bit),
@@ -959,7 +985,7 @@ object Similarity {
       // build), rank by rounded cosine
       val sigd = sigOf(docVectors(s, d))
         .select(col("vec_id"), col("v"), col("n"), col("sig"))
-      val qv = sigd.filter(col("vec_id") % 50 === 0)
+      val qv = sigd.filter(isPanel(col("vec_id")))
         .select(col("sig"), col("vec_id").as("query_id"),
           col("v").as("qv"), col("n").as("qn"))
       val wv = Window.partitionBy(col("query_id"))
@@ -992,7 +1018,7 @@ object Similarity {
       val posting = top3.groupBy(col("word"))
         .agg(graft.functions.TopKMinAgg.topKMin(col("doc_id"), 64).as("docs"))
         .select(col("word"), explode(col("docs")).as("doc_id"))
-      val qterms = top3.filter(col("doc_id") % 50 === 0)
+      val qterms = top3.filter(isPanel(col("doc_id")))
         .select(col("doc_id").as("query_id"), col("word"))
       val wl = Window.partitionBy(col("query_id"))
         .orderBy(col("n_shared").desc, col("doc_id"))
@@ -1030,7 +1056,7 @@ object Similarity {
         SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
                round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS cosine
         FROM sigd q JOIN sigd c ON q.sig = c.sig AND c.vec_id <> q.vec_id
-        WHERE q.vec_id % 50 = 0),
+        WHERE q.vec_id < $PANEL),
       vleg AS (
         SELECT query_id, doc_id, vrn FROM (
           SELECT query_id, doc_id,
@@ -1065,7 +1091,7 @@ object Similarity {
           FROM top3)
         WHERE pr <= 64),
       qterms AS (
-        SELECT doc_id AS query_id, word FROM top3 WHERE doc_id % 50 = 0),
+        SELECT doc_id AS query_id, word FROM top3 WHERE doc_id < $PANEL),
       lleg AS (
         SELECT query_id, doc_id, lrn FROM (
           SELECT query_id, doc_id,

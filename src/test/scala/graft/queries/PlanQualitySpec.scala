@@ -247,16 +247,17 @@ class PlanQualitySpec extends SparkSpec {
     // (file, argument) pair is bounded by construction:
     //   dims (nation/region/teams/players — fixed cardinality),
     //   one-row scalars (corpus count), constant-C builds (centroids,
-    //   month spine), driver offsets (P longs), and the ONE quarantined
-    //   exception: s01's brute-force calibration baseline, documented
-    //   as weak-by-design in Similarity.scala.
+    //   month spine), and driver offsets (P longs). s01's broadcast
+    //   query side graduated from "quarantined exception" to bounded
+    //   by construction in round 13: the panel is a FIXED 64 ids
+    //   (Similarity.PANEL), so the crossJoin is 64·N — linear.
     val allowed = Set(
       ("Facts.scala", "df"),  // bc(): caller-gated hint — football dims
                               // (bounded) pass hintDims=true; StarGate's
                               // SF-scaling dims pass false (no pin)
       ("Pack.scala", "partials"),          // P partition offsets (longs)
       ("Pack.scala", "offsetMap"),         // P+K key-run offsets (longs)
-      ("Similarity.scala", "q"),           // s01 quarantined baseline
+      ("Similarity.scala", "q"),           // s01 fixed 64-id query panel
       ("Similarity.scala", "cent"),        // C centroids
       ("Similarity.scala", "nrow"),        // one-row corpus count (d09 nbits)
       ("Similarity.scala", "cb"),          // s05 codebook (K·M rows, K ≤ 64)
