@@ -17,7 +17,7 @@ object Scalars {
   def defs: Seq[QueryDef] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q29, q31, q32, q35, q36,
       q44, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-      q67, q68, q69, q70, q73, q74, q76, q78, q83, q85)
+      q67, q68, q69, q70, q73, q74, q76, q78, q83, q85, q93)
 
   /** Join on normalized keys. Ops: J9/F1 (Transform.py:394-404: lower/trim
     * both sides before merging). */
@@ -1731,5 +1731,104 @@ object Scalars {
                   WHEN 2 THEN b.b3 WHEN 3 THEN b.b4 WHEN 4 THEN b.b5
                   WHEN 5 THEN b.b6 WHEN 6 THEN b.b7 ELSE NULL END AS hi,
              g.n_rows
+      FROM g CROSS JOIN b ORDER BY g.bucket_id"""))
+
+  /** [[q83]]'s PETABYTE BOUNDARY PATH, demonstrated not promised
+    * (round-13 verdict #4): the equi-depth histogram with its octile
+    * boundaries computed from the MERGEABLE KLL sketch ([[q65]]'s
+    * machinery) instead of the exact percentile pass — at petabyte N
+    * the exact pass's full-value percentile buffer is the bottleneck,
+    * while the sketch is one k-bounded buffer per fine bucket,
+    * map-side combined and mergeable across partitions/days (built
+    * here per o_orderstatus and rolled up, the q65 two-stage shape).
+    *
+    * ONE SHARED ASSIGNMENT PASS (the verdict's sharing requirement):
+    * the fact is scanned once against BOTH broadcast boundary rows,
+    * aggregating to the ≤64-row (exact_bucket × kll_bucket) cross
+    * matrix; the exact histogram, the KLL histogram, and the total
+    * are all rollups of that persisted matrix — three aggregates, one
+    * fact pass.
+    *
+    * Gate = the q35 discipline: the hash-compared columns (bucket_id,
+    * exact rounded boundary hi, exact n_rows) replay q83 verbatim in
+    * DuckDB; everything sketch-derived folds into `within_bound` —
+    * each KLL-assigned bucket population must land within 4ε·N of its
+    * exact twin (each of a bucket's two boundaries is a rank-ε probe,
+    * doubled per the q60/q65 widen-the-bound lesson; k=200 ⇒
+    * ε ≈ 1.65%, so the tolerance is ±6.6% of N against an expected
+    * 12.5% share — a sketch drifting past its KLL guarantee flips the
+    * flag and fails the row hash). */
+  val q93 = QueryDef(
+    "q93_equidepth_kll",
+    (s, d) => {
+      import graft.functions.KllSketchAgg.{kllSketch, kllMerge, kllQuantile}
+      val KLL_EPS = 0.0165 // getNormalizedRankError(k=200), 99% conf
+      val o = graft.Tables.orders(s, d)
+        .select(col("o_totalprice").as("x"), col("o_orderstatus"))
+      // exact boundaries — q83's fused single-aggregate octile array
+      val exactB = o
+        .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
+          "0.625, 0.75, 0.875))").as("bs"))
+        .select((1 to 7).map(i =>
+          round(element_at(col("bs"), i), 2).as(s"b$i")): _*)
+      // sketch boundaries — per-status fine sketches, merged up (q65)
+      val sketchB = o.groupBy(col("o_orderstatus"))
+        .agg(kllSketch(col("x").cast("double"), 200).as("sk"))
+        .agg(kllMerge(col("sk"), 200).as("sk"))
+        .select((1 to 7).map(i =>
+          kllQuantile(col("sk"), lit(i / 8.0)).as(s"k$i")): _*)
+      val bucketEx = (1 to 7)
+        .map(i => when(col("x") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("bigint")
+      val bucketKll = (1 to 7)
+        .map(i => when(col("x") > col(s"k$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("bigint")
+      // ONE fact pass: both assignments aggregate to the ≤64-row
+      // cross matrix; everything downstream rolls up from it
+      val matrix = Shingles.sharedPersist(
+        o.crossJoin(broadcast(exactB)).crossJoin(broadcast(sketchB))
+          .groupBy(bucketEx.as("bucket_id"), bucketKll.as("kb"))
+          .agg(count(lit(1)).as("n")))
+      val ex = matrix.groupBy(col("bucket_id")).agg(sum(col("n")).as("n_rows"))
+      val kl = matrix.groupBy(col("kb").as("bucket_id"))
+        .agg(sum(col("n")).as("kn"))
+      val tot = matrix.agg(sum(col("n")).as("n_total"))
+      ex.join(kl, Seq("bucket_id"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(exactB))
+        .select(col("bucket_id"),
+          element_at(array(col("b1"), col("b2"), col("b3"), col("b4"),
+            col("b5"), col("b6"), col("b7"), lit(null).cast("double")),
+            (col("bucket_id") + 1).cast("int")).as("hi"),
+          col("n_rows"),
+          (abs(coalesce(col("kn"), lit(0L)) - col("n_rows")).cast("double")
+            <= lit(4 * KLL_EPS) * col("n_total")).cast("int")
+            .as("within_bound"))
+        .orderBy(col("bucket_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.125), 2) AS b1,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS b2,
+               round(quantile_cont(o_totalprice, 0.375), 2) AS b3,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS b4,
+               round(quantile_cont(o_totalprice, 0.625), 2) AS b5,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS b6,
+               round(quantile_cont(o_totalprice, 0.875), 2) AS b7
+        FROM orders),
+      a AS (
+        SELECT CAST(o_totalprice > b1 AS INT) + CAST(o_totalprice > b2 AS INT) +
+               CAST(o_totalprice > b3 AS INT) + CAST(o_totalprice > b4 AS INT) +
+               CAST(o_totalprice > b5 AS INT) + CAST(o_totalprice > b6 AS INT) +
+               CAST(o_totalprice > b7 AS INT) AS bucket_id
+        FROM orders CROSS JOIN b),
+      g AS (SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n_rows
+            FROM a GROUP BY 1)
+      SELECT g.bucket_id,
+             CASE g.bucket_id WHEN 0 THEN b.b1 WHEN 1 THEN b.b2
+                  WHEN 2 THEN b.b3 WHEN 3 THEN b.b4 WHEN 4 THEN b.b5
+                  WHEN 5 THEN b.b6 WHEN 6 THEN b.b7 ELSE NULL END AS hi,
+             g.n_rows,
+             CAST(1 AS INT) AS within_bound
       FROM g CROSS JOIN b ORDER BY g.bucket_id"""))
 }
