@@ -23,9 +23,11 @@ object Streaming {
   /** Streaming token-budget monitor
     * ([[graft.streaming.Streams.tokenBudget]]) — the online twin of
     * the t24/t25 tokenizer-apply family: arriving documents are
-    * tokenized against the FROZEN tokenizer artifact t23 trains and
-    * [[TextOps.bpeTrain]] shares (the K-row merge table plus the
-    * segmented vocab — exactly what a tokenizer worker ships). The
+    * tokenized against the FROZEN tokenizer artifact t23 trains,
+    * publishes as a Versioned table pair, and [[TextOps.bpeFrozen]]
+    * LOADS (the K-row merge table plus the segmented vocab — exactly
+    * what a tokenizer worker ships, read from storage the way a
+    * production worker cold-starts). The
     * vocab is the word→length dim auto-broadcast into the stream
     * (st11's stream-static shape, zero join state, zero merge replay
     * on the steady path); live-OOV words fall back to the inline
@@ -37,7 +39,7 @@ object Streaming {
   val st19 = QueryDef(
     "st19_stream_token_budget",
     (s, d) => {
-      val (merges, vocab) = TextOps.bpeTrain(s, d)
+      val (merges, vocab) = TextOps.bpeFrozen(s, d)
       graft.streaming.Streams.tokenBudget(
           s, s"$d/documents.parquet", merges, vocab)
         .orderBy(col("window_start_epoch"))
@@ -56,12 +58,13 @@ object Streaming {
     * second boundary so the watermark can never tie an hour-aligned
     * window end; the oracle replays the identical closed-set rule
     * (window end ≤ max event time − 1 h) over the same t24-style
-    * vocab-join segmentation. Shares the one frozen tokenizer training
-    * with t23/t24/st19. */
+    * vocab-join segmentation. Loads the one frozen tokenizer artifact
+    * t23 publishes (round-13 verdict #3: a monitor LOADS its
+    * tokenizer; training cost lives on the trainer's own line). */
   val st20 = QueryDef(
     "st20_stream_token_budget_closed",
     (s, d) => {
-      val (merges, vocab) = TextOps.bpeTrain(s, d)
+      val (merges, vocab) = TextOps.bpeFrozen(s, d)
       graft.streaming.Streams.tokenBudgetClosed(
           s, s"$d/documents.parquet", merges, vocab)
         .orderBy(col("window_start_epoch"))

@@ -1216,17 +1216,83 @@ object TextOps {
     },
     Some(bpeOracle(BPE_ROUNDS)))
 
-  /** One BPE training per (session, corpus): [[t23]] ships the merge
-    * table, [[t24]] applies the segmented vocab — the Graph-family
-    * shared-build discipline (Graph.purchaseGraph), so running both
-    * costs one training. An external `catalog.clearCache()` (Bench
-    * between passes) drops the persisted vocab; the cache treats that
-    * as staleness and RE-TRAINS rather than serving driver-held merges
-    * a cold-cache pass never paid for (the count-vs-noop honesty
-    * standard applied to driver-side state). */
+  /** One BPE training per (session, corpus, mode): [[t23]] ships the
+    * merge table, the consumers apply the segmented vocab. The TRAINER
+    * entry ([[bpeTrain]], t23 only) and the FROZEN consumer entry
+    * ([[bpeFrozen]], t24/t25/st19/st20) cache under DISTINCT keys so
+    * a consumer warming the frozen artifact can never serve t23 a
+    * training it didn't run — t23's bench number must always carry
+    * the training cost it exists to measure. An external
+    * `catalog.clearCache()` (Bench between passes) drops the persisted
+    * vocab; the cache treats that as staleness and recomputes — the
+    * trainer RE-TRAINS, the consumers RE-READ the frozen artifact
+    * (the count-vs-noop honesty standard applied to driver-side
+    * state: a production token monitor's cold start IS an artifact
+    * load, never a training run). */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+
+  /** FROZEN-TOKENIZER ARTIFACT (round-13 verdict #3) — the trained
+    * merge table + segmented vocab persisted ONCE per corpus data
+    * version as a [[graft.sources.Versioned]] table pair (time-travel
+    * readable — the q72 machinery — so a tokenizer rollout can be
+    * audited and rolled back like any other versioned dim). Through
+    * round 12 every consumer re-derived the training through the
+    * session cache, which un-shares across bench artifacts (st20 paid
+    * ~1.6 s of vocab training the headline used to amortize through
+    * st19). The artifact dir is keyed by the DOCUMENTS DATA VERSION
+    * ([[graft.plans.StatsStore.fingerprintOf]]: input file list +
+    * bytes — the sidecar-stats invalidation contract), the train
+    * split, and the round budget, so a regenerated corpus can never
+    * serve a stale vocab: its fingerprint names a different artifact,
+    * and the gate's DuckDB oracle — which always retrains in SQL —
+    * would catch a collision. vocab commits before merges; a crash
+    * between the two leaves the loader returning None (both tables
+    * required), and re-commits of the same fingerprint are
+    * deterministic re-trainings of the same data, so mixed version
+    * numbers still carry identical content. */
+  private def bpeArtifactDir(s: org.apache.spark.sql.SparkSession, d: String,
+      trainSplitOnly: Boolean): Option[String] =
+    graft.plans.StatsStore.fingerprintOf(Tables.documents(s, d)).map { fp =>
+      val root = sys.env.getOrElse("SPARK_GRAFT_BPE_DIR",
+        java.nio.file.Paths.get(System.getProperty("user.dir", "."))
+          .resolve("spark-warehouse/graft-bpe").toString)
+      val split = if (trainSplitOnly) "train" else "full"
+      s"$root/k${BPE_ROUNDS}_${split}_${java.lang.Long.toHexString(fp)}"
+    }
+
+  private def loadBpeArtifact(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[(Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame)] = {
+    import graft.sources.Versioned
+    if (Versioned.versions(s, s"$dir/merges").isEmpty ||
+        Versioned.versions(s, s"$dir/vocab").isEmpty) None
+    else {
+      val m = Versioned.read(s, s"$dir/merges")
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
+          col("pair_count"))
+        .orderBy(col("merge_rank")).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+      val v = Shingles.sharedPersist(Versioned.read(s, s"$dir/vocab")
+        .select(col("word"), col("wc"), col("syms")))
+      Some((m, v))
+    }
+  }
+
+  private def saveBpeArtifact(s: org.apache.spark.sql.SparkSession, dir: String,
+      trained: (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame)): Unit = {
+    import graft.sources.Versioned
+    import s.implicits._
+    // idempotent write-once: the fingerprint key means an existing
+    // artifact already holds this training's content
+    if (Versioned.versions(s, s"$dir/merges").isEmpty) {
+      Versioned.commit(s, s"$dir/vocab",
+        trained._2.select(col("word"), col("wc"), col("syms")).coalesce(1))
+      Versioned.commit(s, s"$dir/merges", trained._1
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count").coalesce(1))
+    }
+  }
 
   /** One greedy left-to-right merge pass of (l, r) over a symbol array
     * — the single fold both training re-segmentation and held-out
@@ -1239,6 +1305,9 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** The TRAINER entry — t23 only: always trains (that cost is what
+    * t23's bench line measures), then write-through-publishes the
+    * frozen artifact for the consumers. */
   private[queries] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
       trainSplitOnly: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
@@ -1246,8 +1315,41 @@ object TextOps {
     bpeCache.compute((s, d + (if (trainSplitOnly) "#train" else "")), { (_, prev) =>
       if (prev != null &&
           prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
-      else trainBpe(s, d, trainSplitOnly)
+      else {
+        val trained = trainBpe(s, d, trainSplitOnly)
+        bpeArtifactDir(s, d, trainSplitOnly)
+          .foreach(dir => saveBpeArtifact(s, dir, trained))
+        trained
+      }
     })
+  }
+
+  /** The CONSUMER entry — t24/t25/st19/st20: LOADS the frozen
+    * tokenizer artifact (the production monitor's cold start — a
+    * parquet read, not a training run); bootstraps by training +
+    * committing only when no artifact exists for this corpus data
+    * version. Distinct cache key from [[bpeTrain]] so consumer warmth
+    * never masks the trainer's cost. */
+  private[queries] def bpeFrozen(s: org.apache.spark.sql.SparkSession, d: String,
+      trainSplitOnly: Boolean = false)
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeCache.compute((s, d + (if (trainSplitOnly) "#train" else "") + "#frozen"),
+      { (_, prev) =>
+        if (prev != null &&
+            prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
+        else bpeArtifactDir(s, d, trainSplitOnly) match {
+          case Some(dir) =>
+            loadBpeArtifact(s, dir).getOrElse {
+              val trained = trainBpe(s, d, trainSplitOnly)
+              saveBpeArtifact(s, dir, trained)
+              trained
+            }
+          // no single-leaf fingerprint (exotic corpus plumbing): fall
+          // back to the session-scoped training, never a keyless file
+          case None => trainBpe(s, d, trainSplitOnly)
+        }
+      })
   }
 
   private def trainBpe(s: org.apache.spark.sql.SparkSession, d: String,
@@ -1324,11 +1426,11 @@ object TextOps {
     * apply = ONE equi-join of the exploded corpus against the |V|-row
     * vocab on `word` (broadcast when |V| fits, shuffle-hash at web
     * scale — AQE's call) + a doc_id hash-agg; no per-document merge
-    * loop ever runs. Shares one training with t23 via [[bpeTrain]]. */
+    * loop ever runs. Reads the frozen artifact via [[bpeFrozen]]. */
   val t24 = QueryDef(
     "t24_bpe_apply",
     (s, d) => {
-      val vocab = bpeTrain(s, d)._2
+      val vocab = bpeFrozen(s, d)._2
       Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("word"))
         .join(vocab.select(col("word"), size(col("syms")).as("n_syms")),
@@ -1360,7 +1462,7 @@ object TextOps {
   val t25 = QueryDef(
     "t25_bpe_apply_oov",
     (s, d) => {
-      val merges = bpeTrain(s, d, trainSplitOnly = true)._1
+      val merges = bpeFrozen(s, d, trainSplitOnly = true)._1
       val valDocs = Tables.documents(s, d)
         .filter(docBucket >= 90 && docBucket < 95)
       val seg = merges.foldLeft(
