@@ -31,6 +31,15 @@ import graft.plans.StatsStore
   * analyzed first, then stale fingerprints dropped — so
   * `Analyze --vacuum <dir>` is "make the sidecar exactly this
   * corpus's stats".
+  *
+  * SCOPE OF RETENTION (round-12 advice): under each listed dir only
+  * the TEN standard testdata tables are recognized — stats recorded
+  * for any OTHER parquet (ad-hoc StatsStore.analyze calls pointing at
+  * the same graft-stats dir) are vacuumed even when current. Pass
+  * each such file explicitly with `--keep <path/to/file.parquet>`
+  * (repeatable) to retain its current data version too. Over-deletion
+  * is self-healing — stats are an optimization, the next analyze
+  * re-measures — but the keep flag makes it avoidable.
   */
 object Analyze {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -42,7 +51,23 @@ object Analyze {
 
   def main(args: Array[String]): Unit = {
     val vacuum = args.contains("--vacuum")
-    val dirs0 = args.toSeq.filterNot(_ == "--vacuum")
+    // --keep <path>: extra retention roots for parquet files OUTSIDE
+    // the fixed table list (round-12 advice) — fingerprinted like any
+    // analyzed table, no stats written
+    val (keeps, rest) = {
+      val a = args.toSeq.filterNot(_ == "--vacuum")
+      val ks = scala.collection.mutable.Buffer[String]()
+      val ds = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < a.size) {
+        if (a(i) == "--keep") {
+          require(i + 1 < a.size, "--keep requires a parquet path")
+          ks += a(i + 1); i += 2
+        } else { ds += a(i); i += 1 }
+      }
+      (ks.toSeq, ds.toSeq)
+    }
+    val dirs0 = rest
     // the analyze-only default is harmless (it only ADDS statistics);
     // a defaulted vacuum would silently delete every OTHER corpus's
     // sidecar — retention roots must be explicit (round-12 review)
@@ -66,9 +91,15 @@ object Analyze {
       // fingerprint captured from THIS read — no second metadata pass
       StatsStore.fingerprintOf(df)
     }
+    val kept = for (path <- keeps) yield {
+      val fp = StatsStore.fingerprintOf(spark.read.parquet(path))
+      println(s"keep $path: fingerprint ${fp.getOrElse("UNRESOLVED")}")
+      fp
+    }
     if (vacuum) {
-      val (deleted, failed) = StatsStore.vacuum(live.flatten.toSet)
-      println(s"vacuum: kept ${live.flatten.size} live fingerprints, " +
+      val (deleted, failed) = StatsStore.vacuum(
+        (live.flatten ++ kept.flatten).toSet)
+      println(s"vacuum: kept ${live.flatten.size + kept.flatten.size} live fingerprints, " +
         s"deleted ${deleted.size} stale sidecar files" +
         (if (deleted.nonEmpty) deleted.mkString(" (", ", ", ")") else "") +
         (if (failed.nonEmpty)

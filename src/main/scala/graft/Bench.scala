@@ -35,6 +35,16 @@ object Bench {
         case (n, _) => ps.exists(n.startsWith) }
       case None => base
     }
+    // fail fast on an empty selection (round-12 advice): a prefix typo
+    // — or a twin name like 'st19' under the default twin-exclusion
+    // mode — would otherwise silently run NOTHING and overwrite the
+    // default artifact with an empty queries map and value 0.0, the
+    // same silent-miscapture class the TWINS guard above closes
+    only.foreach { ps =>
+      require(selected.nonEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY matched no queries in this mode " +
+          s"(${ps.mkString(",")}); twin names need SPARK_GRAFT_BENCH_TWINS")
+    }
     val spark = GraftSession.local(cpus)
     // Steady-state methodology: one untimed warmup pass (codegen, JIT,
     // parquet reader paths), then TWO timed passes, each from a cold
@@ -84,6 +94,26 @@ object Bench {
         else None
       }.toMap
     }
+    // HOST-SPEED CANARY (round-13 verdict #5): a fixed-size, corpus-
+    // independent calibration workload — 8M longs hashed, shuffled on
+    // the hash, sorted within partitions, fully materialized through
+    // the noop sink (exercising codegen, exchange, and sort, the three
+    // cost centers host drift moves). Timed AFTER the warmup pass
+    // (JIT-warm, like every timed query), min of two runs, emitted as
+    // `canary_sec` in the artifact so round-over-round totals can be
+    // drift-adjusted mechanically (tools/audit_table.py --prev)
+    // instead of burning a same-session A/B per round (the r12
+    // adjudication).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 8L * 1000 * 1000, 1, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .repartition(32, org.apache.spark.sql.functions.col("h"))
+        .sortWithinPartitions("h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = math.min(canaryOnce(), canaryOnce())
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.flatMap { case (k, v) =>
@@ -111,7 +141,7 @@ object Bench {
       else errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("\"errors\":{", ",", "},")
-    val line = s"""{$note$errs"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
+    val line = s"""{$note$errs"canary_sec":$canary,"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
     // cross-round diffs depend on regexing tails). Default lands in
@@ -151,7 +181,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + s"""":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
-      s""""n_errors":${errors.size},"queries":$top5,""" +
+      s""""n_errors":${errors.size},"canary_sec":$canary,"queries":$top5,""" +
       s""""full_artifact":"${outPath.getFileName}","value":$total}""")
   }
 }

@@ -67,6 +67,12 @@ def main():
                     help="label=skew_artifact:uniform_artifact")
     ap.add_argument("--twins", help="bench_twins artifact (oracle-twin class, "
                     "listed after the production rows)")
+    ap.add_argument("--prev", help="previous round's sf0.1 artifact: prints a "
+                    "canary-drift-adjusted round-over-round delta (r13 verdict "
+                    "#5 - replaces the per-round same-session A/B)")
+    ap.add_argument("--noop", help="noop-mode artifact for the window-tail "
+                    "class (SPARK_GRAFT_BENCH_MODE=noop): footnotes each "
+                    "covered query with its full-materialization cost")
     ap.add_argument("--plans", default="PLANS.md")
     args = ap.parse_args()
 
@@ -114,9 +120,47 @@ def main():
             rows.append(f"| {n} | {qt[n]:.2f} | - | - | - | "
                         f"{NOTES.get(n, 'oracleOnly twin')} |")
 
+    drift_lines = []
+    if args.prev:
+        qp, mp = qmap(args.prev)
+        common = [n for n in q01 if n in qp]
+        now_t = sum(q01[n] for n in common)
+        prev_t = sum(qp[n] for n in common)
+        raw = 100.0 * (now_t - prev_t) / prev_t if prev_t else 0.0
+        line = (f"Round-over-round ({args.prev} -> {args.sf01}, "
+                f"{len(common)} common queries): {prev_t:.1f} s -> {now_t:.1f} s "
+                f"(raw {raw:+.1f}%)")
+        c_now, c_prev = m01.get("canary_sec"), mp.get("canary_sec")
+        if c_now and c_prev:
+            adj_t = now_t * (c_prev / c_now)
+            adj = 100.0 * (adj_t - prev_t) / prev_t if prev_t else 0.0
+            line += (f"; host canary {c_prev:.2f} s -> {c_now:.2f} s, "
+                     f"drift-adjusted {adj:+.1f}%")
+        else:
+            line += "; no canary in one artifact - raw delta only"
+        drift_lines = [line, ""]
+
+    noop_notes = {}
+    if args.noop:
+        qn, _ = qmap(args.noop)
+        for n, v in qn.items():
+            noop_notes[n] = (f"noop-mode (full materialization) {v:.2f} s "
+                             f"at sf0.1 - the count-mode number lets Catalyst "
+                             f"prune the filter-free windowed tail")
+        # append the footnote to each covered query's note cell
+        def with_noop(r):
+            hits = [n for n in noop_notes if f"| {n} |" in r]
+            if not hits:
+                return r
+            body = r[:-1].rstrip()
+            sep = " " if body.endswith("|") else "; "
+            return body + sep + noop_notes[hits[0]] + " |"
+        rows = [with_noop(r) for r in rows]
+
     header = [
         "<!-- AUDIT-BEGIN (generated by tools/audit_table.py - edit NOTES there, not here) -->",
         "",
+        *drift_lines,
         f"Numbers: `{args.sf01}` (sf0.1) and `{args.sf1}` (sf1, 10x data), per-query",
         "steady-state seconds (min of two cold-cache passes, local[32]). The x10x column",
         "is the wall-ratio for 10x data - sublinear (<x10) means the plan's shuffles are",
