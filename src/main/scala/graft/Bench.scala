@@ -156,8 +156,12 @@ object Bench {
     // the default path would clobber the headline bench_full_latest
     // with a 6-query map, and a later audit_table regeneration from it
     // would blank the sf0.1 column for every production query
-    val defaultOut = twinsMode match {
-      case Some("only") => "bench_twins_latest.json"
+    // ... and a noop-mode run is likewise NOT count-mode-comparable:
+    // landing it on the headline path would poison the next audit
+    // table regeneration with full-materialization numbers
+    val defaultOut = (twinsMode, noop) match {
+      case (Some("only"), _) => "bench_twins_latest.json"
+      case (_, true) => "bench_noop_latest.json"
       case _ => "bench_full_latest.json"
     }
     val outPath = java.nio.file.Paths.get(

@@ -278,6 +278,9 @@ class PlanQualitySpec extends SparkSpec {
       ("Scalars.scala", "a"),              // q61 sketch table (G = #event
       ("Scalars.scala", "b"),              //   types rows, kilobyte sketches)
       ("Scalars.scala", "bounds"),         // q62 one-row min/max bounds
+      ("Scalars.scala", "exactB"),         // q93 one-row exact octiles
+      ("Scalars.scala", "sketchB"),        // q93 one-row KLL octiles
+      ("Scalars.scala", "tot"),            // q93 one-row corpus total
       ("Relational.scala", "cn"), ("Relational.scala", "sn"),
       ("Relational.scala", "months"),      // calendar spine
       ("Streaming.scala", "streamed"),     // st13/st14 gate joins: the

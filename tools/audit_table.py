@@ -46,7 +46,31 @@ NOTES = {
     "s10_hybrid_rrf": "RRF fusion: 64-slot capped postings + single-probe LSH; fusion join candidate-sized",
     "t25_bpe_apply_oov": "corpus apply = ONE equi-join; OOV fold bounded by vocab misses",
     "q67_bloom_lookup": "bloom build is the cost; probe is a scalar-subquery Filter",
+    # round-13: one-line shape notes for every >4 s sf1 row (verdict #6)
+    "m06_media_real_resize": "real javax.imageio decode->resize->re-encode per row (iterator mapPartitions); cost is linear decode work per row (x10.2 = row ratio)",
+    "q83_equidepth_histogram": "two fact passes: ONE fused octile percentile agg + broadcast bucket assignment; q93 (r13) gates the KLL-sketch boundary swap for petabyte N",
+    "p05_star_fact_player_match": "star fact build: broadcast dim joins + priority-window dedup, scale-honest (no global-id window)",
+    "m03_media_framesample": "animated-GIF frame decode + deterministic frame sampling per row; linear decode cost",
+    "s05_pq_encode": "one-Lloyd PQ train+encode: constant K*M codebook broadcast, per-row argmin fold (no N*K row explosion)",
+    "t20_pretrain_recipe": "composed corpus-clean recipe: lang-ID/quality/dedup stages over one shared corpus pass",
+    "st20_stream_token_budget_closed": "Append emit-on-window-close; loads the frozen tokenizer artifact (r13) - training cost lives on t23's line",
+    "d03_minhash_lsh": "banded minhash signature equi-join; candidates bounded by band buckets, never a cross join",
+    "st24_stream_neardup_windowed": "fingerprint keyed state per OPEN window only (horizon-bounded)",
+    "st16_stream_full_outer_join": "stream-stream full outer, watermark-bounded join state; symmetric data-derived cutoff",
+    "st12_stream_neardup": "keyed state = one long (min doc_id) per winnowing fingerprint",
+    "s07_pq_adc_topk": "IVF-PQ ADC: all equi-joins (cell, then per-query code lookup table); panel-bounded probes (r13)",
+    "q71_basket_pairs": "pair explosion bounded by sum(basket_size^2), one hash exchange on the basket key",
+    "s08_adc_rerank": "s07 shortlist then exact rerank touches |Q|*k' full-precision rows only",
+    "m07_media_real_features": "real pixel-histogram feature extraction + cosine retrieval; linear decode cost",
+    "t23_bpe_train": "the TRAINER line: K bounded argmax rounds over the word-frequency table; publishes the frozen artifact consumers load (r13)",
 }
+# r13: s01 graduated from quarantined quadratic to linear (fixed
+# 64-id panel) - supersede the r12 notes in place
+NOTES["s01_cosine_topk"] = ("exact recall-calibration baseline over the FIXED "
+    "64-id query panel (r13): |Q|*N pairs, linear in corpus size; "
+    "shared-persisted so s06 reuses it")
+NOTES["s06_ann_recall"] = ("inherits s01's exact panel list by definition; "
+    "approx legs run corpus-wide")
 
 
 def qmap(path):
