@@ -63,6 +63,11 @@ NOTES = {
     "s08_adc_rerank": "s07 shortlist then exact rerank touches |Q|*k' full-precision rows only",
     "m07_media_real_features": "real pixel-histogram feature extraction + cosine retrieval; linear decode cost",
     "t23_bpe_train": "the TRAINER line: K bounded argmax rounds over the word-frequency table; publishes the frozen artifact consumers load (r13)",
+    "q93_equidepth_kll": "q83's petabyte boundary path: per-status KLL sketches merged for octiles, ONE shared fact assignment pass (64-row cross matrix), 4-eps within_bound gate",
+    "q92_scd2_stitched_deep": "Scd2.historyStitched on its deep-history regime (8 hub keys, epoch-day segments), oracle = the naive global-lag SQL",
+    "st05_stream_dedup": "dropDuplicatesWithinWatermark: one state row per (user, type, day) key inside the watermark horizon",
+    "m04_media_feature_search": "query-by-example media search: probe embedded by the same real featurizer, candidate join equi-keyed",
+    "st08_transform_with_state": "transformWithState custom keyed processor; state bounded per key",
 }
 # r13: s01 graduated from quarantined quadratic to linear (fixed
 # 64-id panel) - supersede the r12 notes in place
