@@ -183,6 +183,44 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q92 keeps the stitched SCD2 shape: W-bounded windows, one fact exchange reused") {
+    // the q74/q85 pin applied to Scd2.historyStitched (round 13): both
+    // offset-1 windows must partition by (keys, __gid) — a refactor
+    // reintroducing the naive per-key window would silently rebuild
+    // the unbounded hub-key sort q92 exists to avoid — and the
+    // interval-closing pass must REUSE the suppression pass's
+    // (key, gid) fact exchange rather than paying a second one.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Registry.queries("q92_scd2_stitched_deep")(spark, sfDir)
+    // materialize THIS plan so AQE finalizes it (ReusedExchange is a
+    // final-plan node; count() would execute a different QueryExecution)
+    df.collect()
+    val qe = df.queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "q92: expected the stitched windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "q92: global window entered the plan")
+      val segmented = w.partitionSpec.exists(_.toString.contains("__gid"))
+      if (!segmented) {
+        // the only key-partitioned windows allowed are the two carry
+        // passes, which consume the (key, gid) boundary AGGREGATE
+        // (corpus/W rows), never the raw fact
+        val aggBelow = w.child.collectFirst {
+          case a: Aggregate
+            if a.groupingExpressions.exists(_.toString.contains("__gid")) => a
+        }
+        assert(aggBelow.isDefined,
+          s"q92: window partitioned by ${w.partitionSpec.mkString(",")} " +
+            "consumes a non-aggregated input — the naive per-key sort is back")
+      }
+    }
+    // physical: the fact's (key, gid) exchange is paid once and read
+    // back by the second window pass
+    val executed = qe.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      "q92: interval-closing pass no longer reuses the fact exchange")
+  }
+
   test("q74/q85 keep the seam-stitched Locf shape: no fact-side window partitioned by event_type alone") {
     // round-11 advice: q46's window-free shape is pinned above, but
     // q74/q85's motivating claim (no per-key low-cardinality window
