@@ -93,6 +93,12 @@ object Analyze {
     }
     val kept = for (path <- keeps) yield {
       val fp = StatsStore.fingerprintOf(spark.read.parquet(path))
+      // fail fast under --vacuum (the BENCH_ONLY discipline): silently
+      // dropping an unresolved keep path would delete exactly the
+      // stats the operator explicitly asked to retain
+      require(fp.isDefined || !vacuum,
+        s"--keep $path: fingerprint unresolved (not a single-leaf " +
+          "parquet read) — refusing to vacuum past an explicit retention")
       println(s"keep $path: fingerprint ${fp.getOrElse("UNRESOLVED")}")
       fp
     }

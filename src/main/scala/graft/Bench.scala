@@ -160,7 +160,8 @@ object Bench {
     // landing it on the headline path would poison the next audit
     // table regeneration with full-materialization numbers
     val defaultOut = (twinsMode, noop) match {
-      case (Some("only"), _) => "bench_twins_latest.json"
+      case (Some("only"), true) => "bench_twins_noop_latest.json"
+      case (Some("only"), false) => "bench_twins_latest.json"
       case (_, true) => "bench_noop_latest.json"
       case _ => "bench_full_latest.json"
     }

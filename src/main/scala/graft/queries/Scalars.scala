@@ -1765,12 +1765,16 @@ object Scalars {
       val KLL_EPS = 0.0165 // getNormalizedRankError(k=200), 99% conf
       val o = graft.Tables.orders(s, d)
         .select(col("o_totalprice").as("x"), col("o_orderstatus"))
-      // exact boundaries — q83's fused single-aggregate octile array
-      val exactB = o
+      // exact boundaries — q83's fused single-aggregate octile array,
+      // shared-persisted (1 row) because TWO consumers broadcast it
+      // (the matrix assignment pass and the final `hi` projection) and
+      // exchange reuse cannot cross the cache boundary — unpersisted,
+      // the expensive exact-percentile fact pass would run twice
+      val exactB = Shingles.sharedPersist(o
         .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
           "0.625, 0.75, 0.875))").as("bs"))
         .select((1 to 7).map(i =>
-          round(element_at(col("bs"), i), 2).as(s"b$i")): _*)
+          round(element_at(col("bs"), i), 2).as(s"b$i")): _*))
       // sketch boundaries — per-status fine sketches, merged up (q65)
       val sketchB = o.groupBy(col("o_orderstatus"))
         .agg(kllSketch(col("x").cast("double"), 200).as("sk"))

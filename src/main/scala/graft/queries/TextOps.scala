@@ -1305,24 +1305,35 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** ONE definition of the session-cache discipline shared by the two
+    * entry points below (review pass: two verbatim copies of the
+    * staleness predicate + stopped-session sweep could drift apart):
+    * evict stopped sessions, serve a cached entry only while its vocab
+    * is still persisted (an external clearCache reads as staleness),
+    * recompute via `miss` otherwise. */
+  private def cachedBpe(s: org.apache.spark.sql.SparkSession, key: String)(
+      miss: => (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame))
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeCache.compute((s, key), { (_, prev) =>
+      if (prev != null &&
+          prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
+      else miss
+    })
+  }
+
   /** The TRAINER entry — t23 only: always trains (that cost is what
     * t23's bench line measures), then write-through-publishes the
     * frozen artifact for the consumers. */
   private[queries] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
       trainSplitOnly: Boolean = false)
-      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bpeCache.compute((s, d + (if (trainSplitOnly) "#train" else "")), { (_, prev) =>
-      if (prev != null &&
-          prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
-      else {
-        val trained = trainBpe(s, d, trainSplitOnly)
-        bpeArtifactDir(s, d, trainSplitOnly)
-          .foreach(dir => saveBpeArtifact(s, dir, trained))
-        trained
-      }
-    })
-  }
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    cachedBpe(s, d + (if (trainSplitOnly) "#train" else "")) {
+      val trained = trainBpe(s, d, trainSplitOnly)
+      bpeArtifactDir(s, d, trainSplitOnly)
+        .foreach(dir => saveBpeArtifact(s, dir, trained))
+      trained
+    }
 
   /** The CONSUMER entry — t24/t25/st19/st20: LOADS the frozen
     * tokenizer artifact (the production monitor's cold start — a
@@ -1332,25 +1343,20 @@ object TextOps {
     * never masks the trainer's cost. */
   private[queries] def bpeFrozen(s: org.apache.spark.sql.SparkSession, d: String,
       trainSplitOnly: Boolean = false)
-      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bpeCache.compute((s, d + (if (trainSplitOnly) "#train" else "") + "#frozen"),
-      { (_, prev) =>
-        if (prev != null &&
-            prev._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
-        else bpeArtifactDir(s, d, trainSplitOnly) match {
-          case Some(dir) =>
-            loadBpeArtifact(s, dir).getOrElse {
-              val trained = trainBpe(s, d, trainSplitOnly)
-              saveBpeArtifact(s, dir, trained)
-              trained
-            }
-          // no single-leaf fingerprint (exotic corpus plumbing): fall
-          // back to the session-scoped training, never a keyless file
-          case None => trainBpe(s, d, trainSplitOnly)
-        }
-      })
-  }
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    cachedBpe(s, d + (if (trainSplitOnly) "#train" else "") + "#frozen") {
+      bpeArtifactDir(s, d, trainSplitOnly) match {
+        case Some(dir) =>
+          loadBpeArtifact(s, dir).getOrElse {
+            val trained = trainBpe(s, d, trainSplitOnly)
+            saveBpeArtifact(s, dir, trained)
+            trained
+          }
+        // no single-leaf fingerprint (exotic corpus plumbing): fall
+        // back to the session-scoped training, never a keyless file
+        case None => trainBpe(s, d, trainSplitOnly)
+      }
+    }
 
   private def trainBpe(s: org.apache.spark.sql.SparkSession, d: String,
       trainSplitOnly: Boolean)

@@ -24,8 +24,8 @@ NOTES = {
     "d11_prefix_filter_join": "lossless PPJoin; saturating uniform corpus inflates (trigram space); ng ratio is the honest one (x3.3)",
     "d12_substring_dedup": "Lee et al. gram-hash spans, 3 pinned exchanges; cost tracks duplicated-substring mass",
     "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned)",
-    "s01_cosine_topk": "QUARANTINED quadratic-by-design recall-calibration baseline; shared-persisted so s06 reuses it",
-    "s06_ann_recall": "inherits s01's exact list by definition",
+    "s01_cosine_topk": "exact recall-calibration baseline over the FIXED 64-id query panel (r13): |Q|*N pairs, linear in corpus size; shared-persisted so s06 reuses it",
+    "s06_ann_recall": "inherits s01's exact panel list by definition; approx legs run corpus-wide",
     "d05_embedding_neardup": "sig-space saturation on uniform corpus; ng ratio x3.0",
     "d02_ngram_jaccard": "df-capped [2,20] inverted index; vacuous flag row on saturating corpora (r12)",
     "q66_pagerank": "Pregel-on-DataFrames, fixed-point integer; edges built once, per-superstep shuffle O(|V|) not O(|E|)",
@@ -69,13 +69,6 @@ NOTES = {
     "m04_media_feature_search": "query-by-example media search: probe embedded by the same real featurizer, candidate join equi-keyed",
     "st08_transform_with_state": "transformWithState custom keyed processor; state bounded per key",
 }
-# r13: s01 graduated from quarantined quadratic to linear (fixed
-# 64-id panel) - supersede the r12 notes in place
-NOTES["s01_cosine_topk"] = ("exact recall-calibration baseline over the FIXED "
-    "64-id query panel (r13): |Q|*N pairs, linear in corpus size; "
-    "shared-persisted so s06 reuses it")
-NOTES["s06_ann_recall"] = ("inherits s01's exact panel list by definition; "
-    "approx legs run corpus-wide")
 
 
 def qmap(path):
@@ -171,11 +164,12 @@ def main():
 
     noop_notes = {}
     if args.noop:
-        qn, _ = qmap(args.noop)
+        qn, mn = qmap(args.noop)
+        sf_label = (mn.get("sf") or "?").rstrip("/").split("/")[-1]
         for n, v in qn.items():
             noop_notes[n] = (f"noop-mode (full materialization) {v:.2f} s "
-                             f"at sf0.1 - the count-mode number lets Catalyst "
-                             f"prune the filter-free windowed tail")
+                             f"at {sf_label} - the count-mode number lets "
+                             f"Catalyst prune the filter-free windowed tail")
         # append the footnote to each covered query's note cell
         def with_noop(r):
             hits = [n for n in noop_notes if f"| {n} |" in r]
