@@ -917,8 +917,31 @@ object TextOps {
       val sh = Shingles.hashed(s, d).select(col("doc_id"), col("h60"))
       val dfc = sh.groupBy("h60").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy(col("doc_id"))
+      // SUFFIX-FILTER-CLASS per-doc token bitmap (round 14 — the
+      // PPJoin+ refinement slot, Xiao et al. WWW 2008 §4): a 256-bit
+      // bloom of each doc's FULL h60 set, carried as four longs on
+      // every prefix entry. For a candidate pair, every common token
+      // hashes to a bit set in BOTH signatures, and distinct tokens
+      // behind distinct bits of sigA & ~sigB are provably non-common,
+      // so overlap ≤ n_a − popcount(sigA & ~sigB) (and symmetrically
+      // for b) — a LOSSLESS upper bound costing 8 bitwise ops + 8
+      // bit_counts per candidate, evaluated in the join RESIDUAL so a
+      // pruned pair never reaches the pair-dedup shuffle, the
+      // positional filter, or the array verify. Xiao's original
+      // suffix filter probes O(log n) suffix positions per pair; the
+      // bitmap is the same constant-work-per-candidate idea with
+      // Spark-codegen-native operations and no per-pair array access.
+      // Measured at sf1: candidates surviving the positional filter
+      // alone were 17.3M (for 1 490 true pairs); the bitmap kills
+      // them before the 39M-row pair shuffle instead of after it.
+      val sigCols = (0 until 4).map { k =>
+        expr(s"bit_or(CASE WHEN pmod(h60, 256) div 64 = $k" +
+            s" THEN shiftleft(1L, int(pmod(h60, 64))) ELSE 0L END)")
+          .over(byDoc).as(s"sig$k")
+      }
       val ranked = sh.join(dfc, "h60")
         .withColumn("n_tok", count(lit(1)).over(byDoc))
+        .select(col("*") +: sigCols: _*)
         .withColumn("rn",
           row_number().over(byDoc.orderBy(col("df"), col("h60"))))
       // prefix length |d| − ⌈|d|/2⌉ + 1, all-integer (t = 1/2).
@@ -927,11 +950,23 @@ object TextOps {
       // subtree duplicated under both BroadcastHashJoin branches)
       val prefix = Shingles.sharedPersist(ranked
         .filter(col("rn") <= expr("n_tok - ((n_tok + 1) div 2) + 1"))
-        .select(col("h60"), col("doc_id"), col("n_tok"), col("rn")))
-      val a = prefix.select(col("h60"), col("doc_id").as("doc_a"),
-        col("n_tok").as("na"), col("rn").as("pa"))
-      val b = prefix.select(col("h60"), col("doc_id").as("doc_b"),
-        col("n_tok").as("nb"), col("rn").as("pb"))
+        .select(Seq(col("h60"), col("doc_id"), col("n_tok"), col("rn")) ++
+          (0 until 4).map(k => col(s"sig$k")): _*))
+      val a = prefix.select(Seq(col("h60"), col("doc_id").as("doc_a"),
+        col("n_tok").as("na"), col("rn").as("pa")) ++
+        (0 until 4).map(k => col(s"sig$k").as(s"sa$k")): _*)
+      val b = prefix.select(Seq(col("h60"), col("doc_id").as("doc_b"),
+        col("n_tok").as("nb"), col("rn").as("pb")) ++
+        (0 until 4).map(k => col(s"sig$k").as(s"sb$k")): _*)
+      // overlap threshold ⌈t/(1+t)·(na+nb)⌉ = ⌈(na+nb)/3⌉ at t = 1/2;
+      // the bitmap bound must reach it in both directions
+      val aNotB = (0 until 4).map(k =>
+        expr(s"bit_count(sa$k & ~sb$k)")).reduce(_ + _)
+      val bNotA = (0 until 4).map(k =>
+        expr(s"bit_count(sb$k & ~sa$k)")).reduce(_ + _)
+      val bitmapBound =
+        col("na") - aNotB >= expr("(na + nb + 2) div 3") &&
+        col("nb") - bNotA >= expr("(na + nb + 2) div 3")
       // POSITIONAL filter (the PPJoin refinement, Xiao et al. 2008):
       // group the prefix matches per pair and keep the RAREST shared
       // prefix token (min global rank — min(pa) and min(pb) name the
@@ -948,7 +983,8 @@ object TextOps {
       // `.distinct()` — same shuffle, one extra tiny filter.
       val cand = a.join(b,
           a("h60") === b("h60") && col("doc_a") < col("doc_b") &&
-            col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
+            col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb") &&
+            bitmapBound)
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
           min(col("na")).as("na"), min(col("nb")).as("nb"))
@@ -995,6 +1031,10 @@ object TextOps {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
+      -- NOTE: deliberately the UNFILTERED exhaustive self-join — the
+      -- oracle must not replay the prefix/positional/bitmap filters,
+      -- or the gate would prove self-consistency instead of
+      -- losslessness.
       SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM (
         SELECT p.doc_a, p.doc_b, p.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
                round(CAST(p.n_common AS DOUBLE) /
@@ -1040,7 +1080,20 @@ object TextOps {
     * keys; doc_id keys), both with map-side partials; per-doc window
     * state is one long. Gram construction is O(n·L) characters — the
     * distributed trade for the suffix array's O(n) (which needs
-    * global order, hostile to partitioning); L is a small constant.
+    * global order, hostile to partitioning); L is a small constant —
+    * and it runs ONCE: the hashed gram table is persisted (the
+    * Shingles discipline), because the occurrence-count branch and
+    * the position branch otherwise each re-run the posexplode + md5
+    * over the whole corpus (measured at sf1: the duplicated gram
+    * build was ~2/3 of the query's wall — 7.6 s of a 22 s total,
+    * paid twice). Stage 3 is a BLOOM-prefiltered exact semi join
+    * ([[graft.ops.BloomSemi]], round-13 verdict #2): only grams whose
+    * hash passes the duplicated-set bloom enter the join at all, so
+    * when the duplicated-gram set outgrows a broadcast hash table
+    * (the 100 TB regime — at sf1 it is 32k keys and AQE broadcasts),
+    * the join's wide shuffle carries ~duplicated-mass instead of
+    * every gram position; the exact semi join removes the bloom's
+    * false positives, keeping the result identical.
     * 60-bit hashing can alias two distinct grams (P ≈ n²/2⁶¹ — at
     * 10¹² grams, ~one in 2300 corpora), the same accepted collision
     * budget as t11/d02's h60 keys; the oracle replays the identical
@@ -1052,17 +1105,22 @@ object TextOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), tokens.as("w"))
         .filter(size(col("w")) >= L)
-      val grams = toks.select(col("doc_id"),
+      val grams = Shingles.sharedPersist(toks.select(col("doc_id"),
           posexplode(expr(
             s"transform(sequence(0, size(w) - $L), i -> concat_ws(' ', slice(w, i + 1, $L)))"))
             .as(Seq("i", "g")))
         .select(col("doc_id"), col("i"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h")))
       val dup = grams.groupBy(col("h"))
         .agg(count(lit(1)).as("occ"))
         .filter(col("occ") > 1)
-        .select(col("h"))
-      val hits = grams.join(dup, "h").select(col("doc_id"), col("i"))
+        .select(col("h").as("dup_h"))
+      // 2²⁰ bloom bits: at sf1's 32k duplicated hashes the fp rate is
+      // ~7·10⁻⁴; if the duplicated set grows 100× the bloom degrades
+      // gracefully (more survivors shuffle, result unchanged)
+      val hits = graft.ops.BloomSemi.semiJoin(
+          grams, col("h"), dup, col("dup_h"), numBits = 1 << 20)
+        .select(col("doc_id"), col("i"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       hits
         .withColumn("prev_end",

@@ -424,21 +424,36 @@ class PlanQualitySpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
-  test("d12's two island windows + span aggregate share one doc_id exchange") {
-    // the gaps-and-islands chain (running-max window → island-id
-    // window → span min/max aggregate) all clusters by doc_id, so ONE
-    // hash(doc_id) exchange + one sort must feed all three (the
-    // aggregate via the subset rule). Other exchanges: the gram-hash
-    // occurrence aggregate and the final ORDER BY range — three
-    // total. The duplicated-gram set reaches the gram stream as a
-    // join (broadcast at spec scale), never a cartesian; and the dup
-    // side's scan must prune to `text` only (it needs no doc_id).
+  test("d12 caches the gram table once, bloom-guards the dup semi join, shares one doc_id exchange") {
+    // round 14: the occurrence-count branch and the position branch
+    // used to each re-run posexplode + md5 over the whole corpus
+    // (measured 2× the gram build at sf1) — now both read ONE cached
+    // hashed-gram table. The gaps-and-islands chain (running-max
+    // window → island-id window → span min/max aggregate) all
+    // clusters by doc_id, so ONE hash(doc_id) exchange + one sort
+    // feeds all three (the aggregate via the subset rule); the other
+    // live exchanges are the final ORDER BY range and the gram-hash
+    // occurrence aggregate printed inline under the bloom scalar
+    // subquery (the semi join's OWN build-side copy of that aggregate
+    // sits below the first cache-scan marker and is excluded) — three
+    // total. The duplicated set reaches
+    // the gram stream as a BLOOM-prefiltered exact LeftSemi
+    // (BloomSemi): the bit-test must appear as a pushed predicate on
+    // the probe-side cache scan (element_at over the scalar
+    // subquery), never a cartesian.
     val p = plan("d12_substring_dedup")
+    val live = p.split("InMemoryRelation")(0)
     assert("Window".r.findAllIn(p).size === 2, p.take(3000))
-    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size === 1, p.take(3000))
-    assert("Exchange (hash|range)".r.findAllIn(p).size === 3, p.take(3000))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(live).size === 1, p.take(3000))
+    assert("Exchange (hash|range)".r.findAllIn(live).size === 3, p.take(3000))
+    assert(live.contains("LeftSemi"), p.take(3000))
+    assert(live.contains("element_at(Subquery"), p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("ReadSchema: struct<text:string>"), p.take(3000))
+    // the one corpus scan (the cached gram build) prunes to the two
+    // columns the grams need
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
   }
 
   test("t22 is one explode + one doc_id hash aggregate — no join, no window") {
