@@ -113,9 +113,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val canary = math.min(canaryOnce(), canaryOnce())
+    // Min of THREE pre-run samples (r13 advice: one min-of-two ~1 s
+    // sample propagates its noise 1:1 into the drift-adjusted
+    // headline), plus two post-run samples so drift DURING the bench
+    // is visible; the artifact carries the pre-min (the cross-round
+    // comparable `canary_sec`, same semantics as r13), the post-min,
+    // and the total spread as the adjustment's error bar.
+    val canaryPre = Seq.fill(3)(canaryOnce())
+    val canary = canaryPre.min
     val p1 = timedPass()
     val p2 = timedPass()
+    val canaryPost = Seq.fill(2)(canaryOnce())
+    val canaryAll = canaryPre ++ canaryPost
+    val canarySpreadPct =
+      100.0 * (canaryAll.max - canaryAll.min) / canaryAll.min
     val results = p1.flatMap { case (k, v) =>
       p2.get(k).map(v2 => k -> math.min(v, v2)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -141,7 +152,7 @@ object Bench {
       else errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("\"errors\":{", ",", "},")
-    val line = s"""{$note$errs"canary_sec":$canary,"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
+    val line = s"""{$note$errs"canary_sec":$canary,"canary_post_sec":${canaryPost.min},"canary_spread_pct":${math.round(canarySpreadPct * 10) / 10.0},"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
     // cross-round diffs depend on regexing tails). Default lands in

@@ -1757,7 +1757,17 @@ object Scalars {
     * doubled per the q60/q65 widen-the-bound lesson; k=200 ⇒
     * ε ≈ 1.65%, so the tolerance is ±6.6% of N against an expected
     * 12.5% share — a sketch drifting past its KLL guarantee flips the
-    * flag and fails the row hash). */
+    * flag and fails the row hash).
+    *
+    * GATE CLASS: PROBABILISTIC (r13 advice). The DataSketches KLL
+    * sketch is unseeded and randomized, so `within_bound` is a
+    * random variable compared against a constant-1 oracle: the
+    * 4-epsilon headroom (±6.6% of N vs the ~1.65% 99%-confidence
+    * rank error) makes a flip astronomically unlikely, but a failure
+    * here would be RUN-DEPENDENT and non-reproducible. Operational
+    * rule: re-run once before treating a within_bound flip as a
+    * regression; two consecutive flips = a real sketch defect. q29
+    * (HLL) and q60/q65 carry the same class. */
   val q93 = QueryDef(
     "q93_equidepth_kll",
     (s, d) => {

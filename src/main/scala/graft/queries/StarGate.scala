@@ -434,6 +434,40 @@ object StarGate {
   // the gate queries
   // ---------------------------------------------------------------
 
+  /** Explicit star-BUILD query (round-13 verdict #3): materializes
+    * the shared raw + three-dimension build that p01–p05 reuse, and
+    * returns each component's row count (oracle replays the same
+    * counts from the shared CTEs, so the build itself sits under the
+    * hash gate). Named p00 so the bench's name-sorted timed pass runs
+    * it FIRST: the one-time build cost lands on this line, and
+    * p01–p05's lines then measure their queries against the warm
+    * star — the honest attribution the audit table used to footnote
+    * (p01's old sf1 line was "p01 + star build"). */
+  val p00 = QueryDef(
+    "p00_star_build",
+    (s, d) => {
+      val (raw, dimTeam, dimMatch, dimPlayer) = star(s, d)
+      def one(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n_rows"))
+          .select(lit(name).as("component"), col("n_rows"))
+      one("raw_team_match", raw)
+        .unionByName(one("dim_team", dimTeam))
+        .unionByName(one("dim_match", dimMatch))
+        .unionByName(one("dim_player", dimPlayer))
+        .orderBy(col("component"))
+    },
+    Some(s"""
+      WITH raw AS ($rawTeamMatchSql),
+      dim_team AS ($dimTeamSql),
+      $dimMatchSql,
+      $dimPlayerSql
+      SELECT component, n_rows FROM (
+        SELECT 'raw_team_match' AS component, count(*) AS n_rows FROM raw
+        UNION ALL SELECT 'dim_team', count(*) FROM dim_team
+        UNION ALL SELECT 'dim_match', count(*) FROM dim_match
+        UNION ALL SELECT 'dim_player', count(*) FROM dim_player)
+      ORDER BY component"""))
+
   /** League table over fact_team_match — the ui.py:51-93 dashboard
     * shape (points/W/D/L/GF/GA/xG per team), computed from the FULL
     * pipeline: raw synthesis → dims → fact → aggregate. */
@@ -644,5 +678,5 @@ object StarGate {
       WHERE player_id IS NOT NULL AND game_id IS NOT NULL
       ORDER BY game_id, player_id, min_played"""))
 
-  val defs: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
+  val defs: Seq[QueryDef] = Seq(p00, p01, p02, p03, p04, p05)
 }

@@ -1338,17 +1338,33 @@ object TextOps {
     }
   }
 
+  /** Per-artifact-dir JVM locks for [[saveBpeArtifact]] (r13 advice):
+    * Versioned.commit sweeps ALL _tmp_v* staging dirs before writing,
+    * and the trainer ([[bpeTrain]]) and consumer ([[bpeFrozen]])
+    * serialize under DIFFERENT bpeCache keys — so two threads
+    * bootstrapping the same fingerprint dir concurrently could sweep
+    * each other's in-flight staging and die on the rename. Benign
+    * under today's sequential Bench/Verify; the lock closes the
+    * latent spurious-failure if query execution is ever
+    * parallelized. (Cross-JVM writers still rely on the write-once
+    * fingerprint key: both would commit identical content.) */
+  private val bpeSaveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def saveBpeArtifact(s: org.apache.spark.sql.SparkSession, dir: String,
       trained: (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame)): Unit = {
     import graft.sources.Versioned
     import s.implicits._
-    // idempotent write-once: the fingerprint key means an existing
-    // artifact already holds this training's content
-    if (Versioned.versions(s, s"$dir/merges").isEmpty) {
-      Versioned.commit(s, s"$dir/vocab",
-        trained._2.select(col("word"), col("wc"), col("syms")).coalesce(1))
-      Versioned.commit(s, s"$dir/merges", trained._1
-        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count").coalesce(1))
+    val lock = bpeSaveLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      // idempotent write-once: the fingerprint key means an existing
+      // artifact already holds this training's content
+      if (Versioned.versions(s, s"$dir/merges").isEmpty) {
+        Versioned.commit(s, s"$dir/vocab",
+          trained._2.select(col("word"), col("wc"), col("syms")).coalesce(1))
+        Versioned.commit(s, s"$dir/merges", trained._1
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count").coalesce(1))
+      }
     }
   }
 

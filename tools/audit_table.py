@@ -21,9 +21,10 @@ import sys
 # Shape / regime notes for queries whose scale story needs words.
 # Everything else is adequately described by its ratios.
 NOTES = {
-    "d11_prefix_filter_join": "lossless PPJoin; saturating uniform corpus inflates (trigram space); ng ratio is the honest one (x3.3)",
-    "d12_substring_dedup": "Lee et al. gram-hash spans, 3 pinned exchanges; cost tracks duplicated-substring mass",
-    "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned)",
+    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.4 of r13",
+    "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join",
+    "p00_star_build": "the one-time shared star build (raw + 3 dims), charged to its own line since r14; p01-p05 run against the warm build",
+    "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned); build cost on p00's line since r14",
     "s01_cosine_topk": "exact recall-calibration baseline over the FIXED 64-id query panel (r13): |Q|*N pairs, linear in corpus size; shared-persisted so s06 reuses it",
     "s06_ann_recall": "inherits s01's exact panel list by definition; approx legs run corpus-wide",
     "d05_embedding_neardup": "sig-space saturation on uniform corpus; ng ratio x3.0",
@@ -58,9 +59,9 @@ NOTES = {
     "st24_stream_neardup_windowed": "fingerprint keyed state per OPEN window only (horizon-bounded)",
     "st16_stream_full_outer_join": "stream-stream full outer, watermark-bounded join state; symmetric data-derived cutoff",
     "st12_stream_neardup": "keyed state = one long (min doc_id) per winnowing fingerprint",
-    "s07_pq_adc_topk": "IVF-PQ ADC: all equi-joins (cell, then per-query code lookup table); panel-bounded probes (r13)",
+    "s07_pq_adc_topk": "IVF-PQ ADC: all equi-joins (cell, then per-query code lookup table); panel-bounded probes (r13). Fixed 64-probe panel > old N/50~40 probes at sf0.1 (+0.7 s there); flat at sf1 - see Similarity.PANEL",
     "q71_basket_pairs": "pair explosion bounded by sum(basket_size^2), one hash exchange on the basket key",
-    "s08_adc_rerank": "s07 shortlist then exact rerank touches |Q|*k' full-precision rows only",
+    "s08_adc_rerank": "s07 shortlist then exact rerank touches |Q|*k' full-precision rows only. Fixed 64-probe panel > old N/50~40 probes at sf0.1 (+0.7 s there); flat at sf1 - see Similarity.PANEL",
     "m07_media_real_features": "real pixel-histogram feature extraction + cosine retrieval; linear decode cost",
     "t23_bpe_train": "the TRAINER line: K bounded argmax rounds over the word-frequency table; publishes the frozen artifact consumers load (r13)",
     "q93_equidepth_kll": "q83's petabyte boundary path: per-status KLL sketches merged for octiles, ONE shared fact assignment pass (64-row cross matrix), 4-eps within_bound gate",
@@ -117,6 +118,27 @@ def main():
             if name in qu and qu[name] > 0:
                 skew[name] = (label, qs[name] / qu[name])
 
+    # round-over-round drift (r13 verdict #5 / r14 verdict #7): with
+    # --prev, each row also carries raw and canary-adjusted per-query
+    # ratios so a host-speed swing never reads as a plan regression.
+    # adjusted ratio = (now/prev) / (canary_now/canary_prev).
+    qp, mp, canary_ratio = {}, {}, None
+    if args.prev:
+        qp, mp = qmap(args.prev)
+        c_now, c_prev = m01.get("canary_sec"), mp.get("canary_sec")
+        if c_now and c_prev:
+            canary_ratio = c_now / c_prev
+
+    def prev_cell(n):
+        a, p = q01.get(n), qp.get(n)
+        if not (a and p and p > 0):
+            return "-"
+        raw = a / p
+        if canary_ratio:
+            return f"x{raw:.2f} raw / x{raw / canary_ratio:.2f} adj"
+        return f"x{raw:.2f} raw"
+
+    prev_col = bool(args.prev)
     # name tiebreak: rows missing an sf1 timing would otherwise keep
     # set-iteration order, which varies under Python hash randomization
     # and churns the committed table on regeneration
@@ -132,19 +154,20 @@ def main():
         note = NOTES.get(n, "")
         if n in errs:
             note = f"**ERRORED ({errs[n]})** " + note
-        rows.append(f"| {n} | {fa} | {fb} | {ratio} | {sk} | {note} |")
+        pv = f" {prev_cell(n)} |" if prev_col else ""
+        rows.append(f"| {n} | {fa} | {fb} | {ratio} | {sk} |{pv} {note} |")
 
     if args.twins:
         qt, _ = qmap(args.twins)
+        pad = " |" if prev_col else ""
         rows.append("| *oracle-twin class (Verify-gated; benched separately "
-                    f"in `{args.twins}`)* | | | | | |")
+                    f"in `{args.twins}`)* | | | | |{pad} |")
         for n in sorted(qt, key=lambda n: (-qt[n], n)):
-            rows.append(f"| {n} | {qt[n]:.2f} | - | - | - | "
+            rows.append(f"| {n} | {qt[n]:.2f} | - | - | - |{' - |' if prev_col else ''} "
                         f"{NOTES.get(n, 'oracleOnly twin')} |")
 
     drift_lines = []
     if args.prev:
-        qp, mp = qmap(args.prev)
         common = [n for n in q01 if n in qp]
         now_t = sum(q01[n] for n in common)
         prev_t = sum(qp[n] for n in common)
@@ -158,18 +181,32 @@ def main():
             adj = 100.0 * (adj_t - prev_t) / prev_t if prev_t else 0.0
             line += (f"; host canary {c_prev:.2f} s -> {c_now:.2f} s, "
                      f"drift-adjusted {adj:+.1f}%")
+            spread = m01.get("canary_spread_pct")
+            if spread is not None:
+                line += (f" (canary spread +/-{spread:.0f}% this run - the "
+                         f"adjustment's error bar)")
         else:
             line += "; no canary in one artifact - raw delta only"
         drift_lines = [line, ""]
 
+    # Queries whose count-mode number is known to let Catalyst prune a
+    # filter-free windowed tail (the class bench_noop_r13.json was cut
+    # for). Other queries in a noop artifact get a neutral footnote -
+    # stamping the pruning claim on every row would be wrong (r13
+    # advice).
+    WINDOW_TAIL = {"q30_asof_join", "q41_pit_join",
+                   "q74_forward_fill", "q85_linear_interp",
+                   "q57_trailing_range_window"}
     noop_notes = {}
     if args.noop:
         qn, mn = qmap(args.noop)
         sf_label = (mn.get("sf") or "?").rstrip("/").split("/")[-1]
         for n, v in qn.items():
-            noop_notes[n] = (f"noop-mode (full materialization) {v:.2f} s "
-                             f"at {sf_label} - the count-mode number lets "
-                             f"Catalyst prune the filter-free windowed tail")
+            base = f"noop-mode (full materialization) {v:.2f} s at {sf_label}"
+            if n in WINDOW_TAIL:
+                base += (" - the count-mode number lets Catalyst prune the "
+                         "filter-free windowed tail")
+            noop_notes[n] = base
         # append the footnote to each covered query's note cell
         def with_noop(r):
             hits = [n for n in noop_notes if f"| {n} |" in r]
@@ -180,6 +217,8 @@ def main():
             return body + sep + noop_notes[hits[0]] + " |"
         rows = [with_noop(r) for r in rows]
 
+    prev_hdr = " vs prev (raw/adj) |" if prev_col else ""
+    prev_div = "---|" if prev_col else ""
     header = [
         "<!-- AUDIT-BEGIN (generated by tools/audit_table.py - edit NOTES there, not here) -->",
         "",
@@ -190,10 +229,12 @@ def main():
         "key/candidate-bounded rather than corpus-bounded. Skew = hot-key corpus seconds /",
         "uniform corpus seconds at sf1 (20%-hot-key generator), for the families where a",
         "skew A/B has been measured. Sorted by sf1 cost: the expensive tail is the audit's",
-        "priority order.",
+        "priority order." + (" 'vs prev' divides this round's sf0.1 seconds by the"
+        " previous round's, raw and canary-drift-adjusted (raw / canary ratio):"
+        " adj ~x1.00 = host drift, not a plan change." if prev_col else ""),
         "",
-        "| query | sf0.1 s | sf1 s | x10x | skew | shape / regime |",
-        "|---|---|---|---|---|---|",
+        f"| query | sf0.1 s | sf1 s | x10x | skew |{prev_hdr} shape / regime |",
+        f"|---|---|---|---|---|{prev_div}---|",
     ]
     footer = ["", "<!-- AUDIT-END -->"]
     block = "\n".join(header + rows + footer)
