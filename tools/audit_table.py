@@ -21,8 +21,8 @@ import sys
 # Shape / regime notes for queries whose scale story needs words.
 # Everything else is adequately described by its ratios.
 NOTES = {
-    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.4 of r13",
-    "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join",
+    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.21 of r13 (29.1 -> 6.1 s)",
+    "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join - sf1 wall 23.3 -> 10.0 s",
     "p00_star_build": "the one-time shared star build (raw + 3 dims), charged to its own line since r14; p01-p05 run against the warm build",
     "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned); build cost on p00's line since r14",
     "s01_cosine_topk": "exact recall-calibration baseline over the FIXED 64-id query panel (r13): |Q|*N pairs, linear in corpus size; shared-persisted so s06 reuses it",
@@ -65,7 +65,7 @@ NOTES = {
     "m07_media_real_features": "real pixel-histogram feature extraction + cosine retrieval; linear decode cost",
     "t23_bpe_train": "the TRAINER line: K bounded argmax rounds over the word-frequency table; publishes the frozen artifact consumers load (r13)",
     "q93_equidepth_kll": "q83's petabyte boundary path: per-status KLL sketches merged for octiles, ONE shared fact assignment pass (64-row cross matrix), 4-eps within_bound gate",
-    "q92_scd2_stitched_deep": "Scd2.historyStitched on its deep-history regime (8 hub keys, epoch-day segments), oracle = the naive global-lag SQL",
+    "q92_scd2_stitched_deep": "Scd2.historyStitched on its deep-history regime (8 hub keys, epoch-day segments), oracle = the naive global-lag SQL; r14 hot-hub A/B x1.15 raw (x1.33 canary-adj), day-segment bound holds",
     "st05_stream_dedup": "dropDuplicatesWithinWatermark: one state row per (user, type, day) key inside the watermark horizon",
     "m04_media_feature_search": "query-by-example media search: probe embedded by the same real featurizer, candidate join equi-keyed",
     "st08_transform_with_state": "transformWithState custom keyed processor; state bounded per key",
