@@ -1681,19 +1681,29 @@ object Scalars {
     * map-combined 8-group aggregate). The exact percentile is the
     * small-N path; at petabyte N the boundary pass swaps for the
     * mergeable KLL sketch ([[q65]]) with the same downstream shape. */
+  /** Shared one-row EXACT octile boundary table over orders — the
+    * expensive pass both [[q83]] and [[q93]] start from, spelled once
+    * so the two queries' canonical plans are identical and the
+    * persisted materialization is shared across them (the Shingles
+    * discipline: a 100 TB deployment writes the boundary table once
+    * per corpus snapshot and feeds every histogram job from it).
+    * ONE percentile aggregate over the octile array — seven scalar
+    * percentile(x, p) calls each materialize their own full-value
+    * buffer (7× the state and sort work; measured 2.9 s at sf0.1 in
+    * the bench vs sub-second for the fused call). */
+  private def exactOctiles(s: org.apache.spark.sql.SparkSession, d: String) =
+    Shingles.sharedPersist(
+      graft.Tables.orders(s, d).select(col("o_totalprice").as("x"))
+        .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
+          "0.625, 0.75, 0.875))").as("bs"))
+        .select((1 to 7).map(i =>
+          round(element_at(col("bs"), i), 2).as(s"b$i")): _*))
+
   val q83 = QueryDef(
     "q83_equidepth_histogram",
     (s, d) => {
       val o = graft.Tables.orders(s, d).select(col("o_totalprice").as("x"))
-      // ONE percentile aggregate over the octile array — seven scalar
-      // percentile(x, p) calls each materialize their own full-value
-      // buffer (7× the state and sort work; measured 2.9 s at sf0.1 in
-      // the bench vs sub-second for the fused call)
-      val bounds = o
-        .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
-          "0.625, 0.75, 0.875))").as("bs"))
-        .select((1 to 7).map(i =>
-          round(element_at(col("bs"), i), 2).as(s"b$i")): _*)
+      val bounds = exactOctiles(s, d)
       val bucket = (1 to 7)
         .map(i => when(col("x") > col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -1775,16 +1785,13 @@ object Scalars {
       val KLL_EPS = 0.0165 // getNormalizedRankError(k=200), 99% conf
       val o = graft.Tables.orders(s, d)
         .select(col("o_totalprice").as("x"), col("o_orderstatus"))
-      // exact boundaries — q83's fused single-aggregate octile array,
-      // shared-persisted (1 row) because TWO consumers broadcast it
-      // (the matrix assignment pass and the final `hi` projection) and
-      // exchange reuse cannot cross the cache boundary — unpersisted,
-      // the expensive exact-percentile fact pass would run twice
-      val exactB = Shingles.sharedPersist(o
-        .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
-          "0.625, 0.75, 0.875))").as("bs"))
-        .select((1 to 7).map(i =>
-          round(element_at(col("bs"), i), 2).as(s"b$i")): _*))
+      // exact boundaries — THE shared [[exactOctiles]] table (r14):
+      // identical canonical plan to q83's, so in a suite run the
+      // expensive exact-percentile fact pass materializes ONCE and
+      // q93 reads the cache; within this query the persist also feeds
+      // its two broadcast consumers (the matrix assignment pass and
+      // the final `hi` projection) without a recompute
+      val exactB = exactOctiles(s, d)
       // sketch boundaries — per-status fine sketches, merged up (q65)
       val sketchB = o.groupBy(col("o_orderstatus"))
         .agg(kllSketch(col("x").cast("double"), 200).as("sk"))
