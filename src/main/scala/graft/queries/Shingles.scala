@@ -56,16 +56,22 @@ object Shingles {
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
         .select(col("doc_id"), tokens.as("w")).filter(size(col("w")) >= 3)
-        // NOTE: a native (h1,h2) Generator was tried here and measured
-        // SLOWER — a CodegenFallback Generate emits interpreted rows
-        // and re-converts them to unsafe format at the aggregate
-        // boundary, while this form keeps explode+md5+conv inside
-        // whole-stage codegen with the HOF as the only interpreted step
+        // NOTE (r4→r14 evolution): a native (h1,h2) Generator was tried
+        // and measured SLOWER (CodegenFallback Generate emits
+        // interpreted rows); then r14 A/B'd the transform(...)-lambda
+        // shingle builder against exploding the POSITION INDEX and
+        // building each shingle string as a regular codegen'd
+        // projection — the interpreted HOF was the wall (sf1 warm:
+        // 9.4 → 7.0 s, identical hash sums). The exploded rows carry
+        // `w` once each; md5 is computed ONCE per shingle and sliced
+        // twice (the lambda form relied on codegen CSE for the same).
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 3)")).as("i"))
         .select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
+          md5(expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])")).as("m"))
         .select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
         .distinct()
         .withColumn("h60", shiftleft(col("h1"), 28) + shiftright(col("h2"), 4))
         .persist(StorageLevel.MEMORY_AND_DISK)
