@@ -1419,29 +1419,30 @@ object Similarity {
           col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
       val a = sigged.select(col("label"), col("tbl"), col("sig"), col("vec_id").as("vec_a"))
       val b = sigged.select(col("label"), col("tbl"), col("sig"), col("vec_id").as("vec_b"))
-      // VERIFY-THEN-DEDUPE (round 14): a pair colliding in several of
-      // the L tables used to be deduplicated BEFORE verification, and
-      // that pre-verify `.distinct()` was the query's wall — on the
-      // saturating sf1 corpus the bucket join emits 15.2M pair rows,
-      // 11.6M distinct, for 33k verified survivors: the distinct
-      // shuffled the 15M-row candidate stream to save at most a ×L
-      // recompute of a codegen'd dot product. Verifying first keeps
-      // the candidate stream map-side (the vector joins broadcast at
-      // this scale; at 100 TB they degrade to hash joins carrying the
-      // same rows the old distinct shuffled anyway) and the dedup
-      // then runs on ≤ L× the FINAL pair count (cosine is
-      // deterministic per pair, so dup rows are identical and the
-      // result set is unchanged). Measured at sf1: 12.6 → ~4 s.
+      // DEDUPE-BEFORE-VERIFY, kept deliberately (round-14 A/B): the
+      // alternative — skip this `.distinct()` and dedupe the verified
+      // survivors — looked like a win on a cold single-pass probe
+      // (the distinct's shuffle re-ran the whole sigged build), but a
+      // warm min-of-two bench on the same host says otherwise:
+      // distinct-first 12.5 s vs verify-first 13.5 s canary-adjusted
+      // at sf1. The distinct shuffles compact 24-byte pair rows
+      // (fast, local), and in exchange every downstream join + dot
+      // carries the deduplicated 11.6M rows instead of the raw 15.2M
+      // (×L collisions on saturated corpora make that gap wider) —
+      // at 100 TB, where the vector joins degrade to shuffle joins,
+      // dedup-first is strictly the right order. Methodology lesson
+      // recorded in PLANS_HISTORY r14: never conclude from a cold
+      // single-pass stage probe what only a warm steady-state A/B
+      // can decide.
       val cand = a.join(b, Seq("label", "tbl", "sig"))
         .filter(col("vec_a") < col("vec_b"))
-        .select(col("label"), col("vec_a"), col("vec_b"))
+        .select(col("label"), col("vec_a"), col("vec_b")).distinct()
       val ea = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
       val eb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
       cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
         .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
-        .distinct()
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
     },
     Some {

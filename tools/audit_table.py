@@ -27,7 +27,7 @@ NOTES = {
     "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned); build cost on p00's line since r14",
     "s01_cosine_topk": "exact recall-calibration baseline over the FIXED 64-id query panel (r13): |Q|*N pairs, linear in corpus size; shared-persisted so s06 reuses it",
     "s06_ann_recall": "inherits s01's exact panel list by definition; approx legs run corpus-wide",
-    "d05_embedding_neardup": "sig-space saturation on uniform corpus; ng ratio x3.0. r14: verify-then-dedupe - the pre-verify distinct shuffled 15M candidate rows to save a xL dot recompute; dedup now runs on the 33k verified survivors (isolated sf1 23.5 -> 13.7 s)",
+    "d05_embedding_neardup": "sig-space saturation on uniform corpus; ng ratio x3.0. r14 A/B kept dedupe-BEFORE-verify: compact pair distinct (12.5 s) beats carrying xL duplicate candidates through the vector joins (13.5 s adj) - and wins harder at 100 TB where those joins shuffle",
     "d02_ngram_jaccard": "df-capped [2,20] inverted index; vacuous flag row on saturating corpora (r12)",
     "q66_pagerank": "Pregel-on-DataFrames, fixed-point integer; edges built once, per-superstep shuffle O(|V|) not O(|E|)",
     "q75_bfs_hops": "frontier propagation over the shared purchase graph",
