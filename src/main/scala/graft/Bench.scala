@@ -86,12 +86,15 @@ object Bench {
     // time-to-exception would deflate the headline total, making
     // totals across runs with differing error sets incomparable. The
     // failure itself stays visible in the errors map.
-    def timedPass(): Map[String, Double] = {
+    def timedPassTL(tick: () => Unit): Map[String, Double] = {
       spark.catalog.clearCache()
       selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        if (guarded(name, fn)) Some(name -> (System.nanoTime() - t0) / 1e9)
+        val r = if (guarded(name, fn))
+          Some(name -> (System.nanoTime() - t0) / 1e9)
         else None
+        tick() // timeline sampling happens OUTSIDE the timed window
+        r
       }.toMap
     }
     // HOST-SPEED CANARY (round-13 verdict #5): a fixed-size, corpus-
@@ -113,20 +116,87 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // CPU-BOUND CANARY (round-14 verdict #2): the shuffle canary above
+    // tracks exchange/codegen/sort speed but is blind to pure-CPU
+    // drift — r14's media family inflated +15-25% at a FLAT shuffle
+    // canary (PLANS_HISTORY r14 addendum), leaving decode-bound rows
+    // unadjudicable. This leg is a fixed, deterministic
+    // javax.imageio PNG encode→decode loop — the exact codec path
+    // MediaDecode's m-family runs per row — single-threaded on
+    // purpose: decode work in the m-family is per-row single-core, so
+    // single-core codec throughput is the right divisor for those
+    // rows (tools/audit_table.py --cpu-prev). ~0.4 s at reference
+    // speed; emitted as `canary_cpu_sec` (min of pre samples) +
+    // `canary_cpu_post_sec` + its own spread.
+    def canaryCpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 24) {
+        val img = new java.awt.image.BufferedImage(
+          256, 256, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var s = 0x9E3779B97F4A7C15L + i  // seeded LCG pixels: every
+        var y = 0                        // iteration encodes identical
+        while (y < 256) {                // entropy, so the work is fixed
+          var x = 0
+          while (x < 256) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            img.setRGB(x, y, (s >>> 40).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        require(back.getWidth == 256, "cpu canary decode corrupted")
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     // Min of THREE pre-run samples (r13 advice: one min-of-two ~1 s
     // sample propagates its noise 1:1 into the drift-adjusted
     // headline), plus two post-run samples so drift DURING the bench
-    // is visible; the artifact carries the pre-min (the cross-round
-    // comparable `canary_sec`, same semantics as r13), the post-min,
-    // and the total spread as the adjustment's error bar.
+    // is visible; the artifact carries the pre-min (`canary_sec` —
+    // NOTE r14→r15 advisory: r13 used min-of-TWO, so the r13→r14
+    // comparison carried a small one-time "host got faster" bias;
+    // `canary_pre2_sec` = min of the first two samples is emitted
+    // alongside as the r13-comparable value), the post-min, and the
+    // total spread as the adjustment's error bar.
     val canaryPre = Seq.fill(3)(canaryOnce())
     val canary = canaryPre.min
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // one untimed warmup: the first imageio call pays one-time codec
+    // registry + JIT cost (~2x), which would pollute the SPREAD metric
+    // (the error bar) even though the min absorbs it
+    canaryCpuOnce()
+    val canaryCpuPre = Seq.fill(3)(canaryCpuOnce())
+    val canaryCpu = canaryCpuPre.min
+    // MID-BENCH CANARY TIMELINE (round-14 verdict #8): the bracketing
+    // samples above/below cannot localize WHEN drift hit a run; one
+    // (shuffle, cpu) sample pair every TL_EVERY completed queries —
+    // recorded as [queries_completed, shuffle_sec, cpu_sec] triples
+    // across both timed passes — lets the audit discard a drifted
+    // WINDOW instead of the whole comparison. Samples run BETWEEN
+    // queries, so per-query timings are untouched; ~12 pairs × ~1 s
+    // on the sf0.1 run is wall overhead only, not measurement.
+    val TL_EVERY = 35
+    val timeline = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    var completed = 0
+    def timelineTick(): Unit = {
+      completed += 1
+      if (completed % TL_EVERY == 0)
+        timeline += ((completed, canaryOnce(), canaryCpuOnce()))
+    }
+    val p1 = timedPassTL(timelineTick)
+    val p2 = timedPassTL(timelineTick)
     val canaryPost = Seq.fill(2)(canaryOnce())
+    val canaryCpuPost = Seq.fill(2)(canaryCpuOnce())
     val canaryAll = canaryPre ++ canaryPost
     val canarySpreadPct =
       100.0 * (canaryAll.max - canaryAll.min) / canaryAll.min
+    val canaryCpuAll = canaryCpuPre ++ canaryCpuPost
+    val canaryCpuSpreadPct =
+      100.0 * (canaryCpuAll.max - canaryCpuAll.min) / canaryCpuAll.min
     val results = p1.flatMap { case (k, v) =>
       p2.get(k).map(v2 => k -> math.min(v, v2)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -152,7 +222,11 @@ object Bench {
       else errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("\"errors\":{", ",", "},")
-    val line = s"""{$note$errs"canary_sec":$canary,"canary_post_sec":${canaryPost.min},"canary_spread_pct":${math.round(canarySpreadPct * 10) / 10.0},"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
+    def r3(d: Double) = math.round(d * 1000) / 1000.0
+    val tl = timeline
+      .map { case (n, sh, cp) => s"[$n,${r3(sh)},${r3(cp)}]" }
+      .mkString("[", ",", "]")
+    val line = s"""{$note$errs"canary_sec":$canary,"canary_pre2_sec":${canaryPre.take(2).min},"canary_post_sec":${canaryPost.min},"canary_spread_pct":${math.round(canarySpreadPct * 10) / 10.0},"canary_cpu_sec":$canaryCpu,"canary_cpu_post_sec":${canaryCpuPost.min},"canary_cpu_spread_pct":${math.round(canaryCpuSpreadPct * 10) / 10.0},"canary_timeline":$tl,"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","top15":$top15,"value":$total}"""
     // Complete per-query artifact ON DISK (round-7 verdict: the
     // harness tail truncates ~2/3 of per-query numbers, making
     // cross-round diffs depend on regexing tails). Default lands in

@@ -1392,6 +1392,35 @@ object Similarity {
     Seq.fill(D05_L, D05_B)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
   }
 
+  /** d05's N-adaptive sub-bucket dial (round 15, the d09 pattern
+    * ported per the r14 verdict): beyond the fixed B=2 base bits,
+    * each table gains `nbits` EXTRA signed-hyperplane bits where
+    * nbits = #{b < MAX : CAP·2^b < N} — pure integer comparisons on a
+    * one-row corpus count, so both engines derive the identical dial
+    * (a float log2 could fork in the last ulp at a power-of-two
+    * boundary). Effective cells per (label, tbl) = 2^(B+nbits) grow
+    * linearly with N, so the per-cell population — and with it the
+    * candidate pair volume Σ|cell|² — stays bounded no matter how the
+    * corpus saturates the old 4-cell space (sf1 uniform: 500/cell →
+    * ~60/cell, 15.2M → ~1.9M raw pairs). Extra planes are seeded PER
+    * TABLE (shared planes would correlate the tables and compound the
+    * recall loss multiplicatively instead of independently). CAP=4096
+    * keeps nbits=0 through sf0.1 (N≤2000: bucketing byte-identical to
+    * r14) and gives nbits=3 at sf1 (N=20000). Recall trade at the
+    * dialed depth (5 bits/table, L=3): ≈0.96 for true near-identical
+    * pairs (cos ≥ 0.97), ≈0.84 at the cos≈0.9 fringe — lossy by
+    * contract like d02/d09; the oracle replays the identical bucketing
+    * so the hash gate certifies the traded output exactly. */
+  private[queries] val D05_CELL_CAP = 4096L
+  private[queries] val D05_EXTRA_MAX = 12
+  private[queries] val d05ExtraPlanes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new java.util.Random(15)
+    Seq.fill(D05_L, D05_EXTRA_MAX)(Seq.fill(EMB_DIM)(rnd.nextGaussian()))
+  }
+  /** Scala twin of the in-plan nbits derivation (for specs). */
+  private[queries] def d05NBits(n: Long): Int =
+    (0 until D05_EXTRA_MAX).count(b => (D05_CELL_CAP << b) < n)
+
   /** Embedding near-dup with BOUNDED blocks: candidates must share
     * (label, table, hyperplane-sig) for one of L=3 tables of B=2 sign
     * bits, then exact cosine verification at ≥ 0.35. Round-2 verdict:
@@ -1399,22 +1428,39 @@ object Similarity {
     * label at 100 TB is a quadratic straggler. Sub-bucketing splits
     * every label ~2^B ways per table (the s02 pattern), so the join
     * key is (label, tbl, sig), pair work drops ~4× per table, and no
-    * single bucket carries a whole hot label. The price is recall
-    * (≈ 1−(1−p^B)^L, p = 1−θ/π; ≈ 0.99+ for true near-dups at
-    * cos ≥ 0.9) — the standard LSH trade, made deterministic here so
-    * the DuckDB oracle hash-verifies the exact same output.
-    * SimilaritySpec pins the hot-label bound + planted-pair recall. */
+    * single bucket carries a whole hot label. Round 15 adds the
+    * [[d05NBits]] N-adaptive dial on top: when the corpus outgrows
+    * the fixed 2^B cell space (the r14 verdict's saturated-regime
+    * weak flag — ×17 sf0.1→sf1 on the uniform corpus), extra seeded
+    * bits keep cell population bounded and pair volume linear in N.
+    * The price is recall (base ≈ 1−(1−p^B)^L, p = 1−θ/π; ≈ 0.99+ for
+    * true near-dups at cos ≥ 0.9; at the sf1 dial of B+3 bits ≈ 0.96
+    * at cos ≥ 0.97) — the standard LSH trade, made deterministic here
+    * so the DuckDB oracle hash-verifies the exact same output.
+    * SimilaritySpec pins the hot-label bound + planted-pair recall +
+    * the adaptive split. */
   val d05 = QueryDef(
     "d05_embedding_neardup",
     (s, d) => {
       val e = docVectors(s, d)
-      val sigged = e.select(col("label"), col("vec_id"),
-        explode(array((0 until D05_L).map { t =>
-          struct(lit(t).as("tbl"),
-            (0 until D05_B).map(j =>
-              when(dot(col("v"), typedlit(d05Planes(t)(j))) > 0, lit(1 << j))
-                .otherwise(lit(0))).reduce(_ + _).as("sig"))
-        }: _*)).as("ts"))
+      val nrow = e.agg(count(lit(1)).as("nn"))
+      val nbits = (0 until D05_EXTRA_MAX)
+        .map(b => when(lit(D05_CELL_CAP << b) < col("nn"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigged = e.crossJoin(broadcast(nrow))
+        .withColumn("nbits", nbits)
+        .select(col("label"), col("vec_id"),
+          explode(array((0 until D05_L).map { t =>
+            struct(lit(t).as("tbl"),
+              ((0 until D05_B).map(j =>
+                when(dot(col("v"), typedlit(d05Planes(t)(j))) > 0, lit(1L << j))
+                  .otherwise(lit(0L))) ++
+                (0 until D05_EXTRA_MAX).map(b =>
+                  when(lit(b) < col("nbits") &&
+                    dot(col("v"), typedlit(d05ExtraPlanes(t)(b))) > 0,
+                    lit(1L << (D05_B + b))).otherwise(lit(0L))))
+                .reduce(_ + _).as("sig"))
+          }: _*)).as("ts"))
         .select(col("label"), col("vec_id"),
           col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
       val a = sigged.select(col("label"), col("tbl"), col("sig"), col("vec_id").as("vec_a"))
@@ -1448,13 +1494,19 @@ object Similarity {
     Some {
       def lst(p: Seq[Double]) = p.mkString("[", ",", "]")
       val sigSelects = (0 until D05_L).map { t =>
-        val bits = (0 until D05_B).map(j =>
-          s"(CASE WHEN list_dot_product(v, ${lst(d05Planes(t)(j))}) > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"SELECT label, vec_id, $t AS tbl, ($bits) AS sig FROM e"
+        val base = (0 until D05_B).map(j =>
+          s"(CASE WHEN list_dot_product(v, ${lst(d05Planes(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)")
+        val extra = (0 until D05_EXTRA_MAX).map(b =>
+          s"(CASE WHEN $b < nb.nbits AND list_dot_product(v, ${lst(d05ExtraPlanes(t)(b))}) > 0 THEN ${1L << (D05_B + b)} ELSE 0 END)")
+        val bits = (base ++ extra).mkString(" + ")
+        s"SELECT label, vec_id, $t AS tbl, ($bits) AS sig FROM e, nb"
       }.mkString(" UNION ALL ")
       s"""
       WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrow AS (SELECT count(*) AS nn FROM embeddings),
+      nb AS (SELECT (${(0 until D05_EXTRA_MAX).map(b =>
+        s"(CASE WHEN ${D05_CELL_CAP << b} < nn THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) AS nbits FROM nrow),
       sigged AS ($sigSelects),
       cand AS (
         SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b

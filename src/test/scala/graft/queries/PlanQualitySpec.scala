@@ -442,8 +442,21 @@ class PlanQualitySpec extends SparkSpec {
     // the probe-side cache scan (element_at over the scalar
     // subquery), never a cartesian.
     val p = plan("d12_substring_dedup")
+    // Live region = everything printed before the first cached-build
+    // subtree (InMemoryRelation prints the gram build below the scan
+    // that consumes it). That split is POSITIONAL (r14 advice), so
+    // guard it structurally: every load-bearing live node — the cache
+    // scan itself, the semi join residual, the pushed bloom bit-test,
+    // both gaps-and-islands windows, and the final ORDER BY range
+    // exchange — must sit INSIDE the region. If a future Spark
+    // explain-format change moves any of them below the first cache
+    // marker, these guards fail loudly instead of the exchange count
+    // silently drifting.
     val live = p.split("InMemoryRelation")(0)
+    assert(live.contains("InMemoryTableScan"), p.take(3000))
+    assert("Window".r.findAllIn(live).size === 2, p.take(3000))
     assert("Window".r.findAllIn(p).size === 2, p.take(3000))
+    assert(live.contains("Exchange range"), p.take(3000))
     assert("hashpartitioning\\(doc_id".r.findAllIn(live).size === 1, p.take(3000))
     assert("Exchange (hash|range)".r.findAllIn(live).size === 3, p.take(3000))
     assert(live.contains("LeftSemi"), p.take(3000))

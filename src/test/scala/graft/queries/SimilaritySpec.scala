@@ -74,6 +74,42 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.max < 110, s"a bucket holds ${sizes.max} of 110 vectors")
   }
 
+  test("d05 N-adaptive dial: nbits tracks corpus size; planted twins survive the dialed sig") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the integer dial itself
+    assert(Similarity.d05NBits(500) === 0,   "sf0.01 regime must stay at the r14 bucketing")
+    assert(Similarity.d05NBits(2000) === 0,  "sf0.1 regime must stay at the r14 bucketing")
+    assert(Similarity.d05NBits(20000) === 3, "sf1 regime should add 3 bits")
+    assert(Similarity.d05NBits(Similarity.D05_CELL_CAP) === 0)
+    assert(Similarity.d05NBits(Similarity.D05_CELL_CAP + 1) === 1)
+    // a corpus past the CAP: one hot label, N=5000 > 4096 ⇒ nbits=1 —
+    // the effective (tbl, sig) space doubles and planted near-identical
+    // twins still share every dialed bucket (perturbation ≈ 0.999 cos)
+    val rnd = new scala.util.Random(43)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 2490).map(i => (i.toLong, vec()))
+    val twins = (0 until 10).map { i =>
+      val (_, v) = base(i)
+      (5000L + i, v.map(x => x + 0.005f * rnd.nextGaussian().toFloat))
+    }
+    val rows = (base ++ base.map { case (id, v) => (id + 2500L, v.map(x => -x)) }
+      ++ twins).map { case (id, v) => Row(id, v.toSeq, 7) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dial").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.queries("d05_embedding_neardup")(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, 5000L + i)).toSet
+    assert((planted -- out).isEmpty,
+      s"planted near-dups missed under the dialed sig: ${(planted -- out).take(3)}")
+  }
+
   test("IVF ANN (s03) recall@5 vs exact baseline") {
     // s03 scans ~3/10 cells per query; on isotropic testdata recall is
     // bounded near the scanned fraction — assert it is at least that.

@@ -21,13 +21,13 @@ import sys
 # Shape / regime notes for queries whose scale story needs words.
 # Everything else is adequately described by its ratios.
 NOTES = {
-    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.21 of r13 (29.1 -> 6.1 s)",
-    "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join - sf1 wall 23.3 -> 10.0 s",
+    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.22 of r13 (29.1 -> 6.4 s in the committed r14 artifact)",
+    "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join - sf1 wall 23.3 -> 7.8 s (committed r14 artifact)",
     "p00_star_build": "the one-time shared star build (raw + 3 dims), charged to its own line since r14; p01-p05 run against the warm build",
     "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned); build cost on p00's line since r14",
     "s01_cosine_topk": "exact recall-calibration baseline over the FIXED 64-id query panel (r13): |Q|*N pairs, linear in corpus size; shared-persisted so s06 reuses it",
     "s06_ann_recall": "inherits s01's exact panel list by definition; approx legs run corpus-wide",
-    "d05_embedding_neardup": "sig-space saturation on uniform corpus; ng ratio x3.0. r14 A/B kept dedupe-BEFORE-verify: compact pair distinct (12.5 s) beats carrying xL duplicate candidates through the vector joins (13.5 s adj) - and wins harder at 100 TB where those joins shuffle",
+    "d05_embedding_neardup": "r15 retires the saturated-regime weak flag: d09-style N-adaptive extra sig bits (nbits = #{b: 4096*2^b < N}, per-table seeded planes) keep cell population linear in N - sf1 13.9 -> ~4.5 s, bucketing byte-identical through sf0.1 (nbits=0). Lossy-by-contract LSH recall trade (~0.96 at cos>=0.97 at the sf1 dial); oracle replays the dial verbatim. r14's dedupe-BEFORE-verify order kept",
     "d02_ngram_jaccard": "df-capped [2,20] inverted index; vacuous flag row on saturating corpora (r12)",
     "q66_pagerank": "Pregel-on-DataFrames, fixed-point integer; edges built once, per-superstep shuffle O(|V|) not O(|E|)",
     "q75_bfs_hops": "frontier propagation over the shared purchase graph",
@@ -49,7 +49,7 @@ NOTES = {
     "q67_bloom_lookup": "bloom build is the cost; probe is a scalar-subquery Filter",
     # round-13: one-line shape notes for every >4 s sf1 row (verdict #6)
     "m06_media_real_resize": "real javax.imageio decode->resize->re-encode per row (iterator mapPartitions); cost is linear decode work per row (x10.2 = row ratio)",
-    "q83_equidepth_histogram": "two fact passes: ONE fused octile percentile agg + broadcast bucket assignment; q93 (r13) gates the KLL-sketch boundary swap for petabyte N",
+    "q83_equidepth_histogram": "two fact passes: ONE fused octile percentile agg + broadcast bucket assignment; q93 (r13) gates the KLL-sketch boundary swap for petabyte N. ADJUDICATED TRADE (r14->r15): exactOctiles is sharedPersist-ed so q93 reuses it - a cold standalone q83 pays ~+0.26 s cache materialization at sf0.1 (0.73->0.99) and q93 gets -0.25 s back, suite-net-neutral and flat at sf1; kept because the 100 TB shape writes the boundary table once per corpus snapshot and feeds every histogram job from it",
     "p05_star_fact_player_match": "star fact build: broadcast dim joins + priority-window dedup, scale-honest (no global-id window)",
     "m03_media_framesample": "animated-GIF frame decode + deterministic frame sampling per row; linear decode cost",
     "s05_pq_encode": "one-Lloyd PQ train+encode: constant K*M codebook broadcast, per-row argmin fold (no N*K row explosion)",
@@ -122,18 +122,34 @@ def main():
     # --prev, each row also carries raw and canary-adjusted per-query
     # ratios so a host-speed swing never reads as a plan regression.
     # adjusted ratio = (now/prev) / (canary_now/canary_prev).
-    qp, mp, canary_ratio = {}, {}, None
+    qp, mp, canary_ratio, cpu_ratio = {}, {}, None, None
     if args.prev:
         qp, mp = qmap(args.prev)
         c_now, c_prev = m01.get("canary_sec"), mp.get("canary_sec")
         if c_now and c_prev:
             canary_ratio = c_now / c_prev
+        # r14 verdict #2: the shuffle canary is blind to pure-CPU
+        # drift, so decode-bound rows (the m-family: per-row
+        # single-core javax.imageio codec work) divide by the CPU
+        # canary ratio instead — when both artifacts carry one
+        # (canary_cpu_sec landed in r15; older prevs fall back to the
+        # shuffle divisor, labeled plain 'adj').
+        cc_now, cc_prev = m01.get("canary_cpu_sec"), mp.get("canary_cpu_sec")
+        if cc_now and cc_prev:
+            cpu_ratio = cc_now / cc_prev
+
+    # decode-bound family: per-row single-core codec work, adjusted by
+    # the CPU canary (no other query family shares the m- prefix)
+    def is_cpu_bound(n):
+        return n.startswith("m")
 
     def prev_cell(n):
         a, p = q01.get(n), qp.get(n)
         if not (a and p and p > 0):
             return "-"
         raw = a / p
+        if is_cpu_bound(n) and cpu_ratio:
+            return f"x{raw:.2f} raw / x{raw / cpu_ratio:.2f} cpu-adj"
         if canary_ratio:
             return f"x{raw:.2f} raw / x{raw / canary_ratio:.2f} adj"
         return f"x{raw:.2f} raw"
@@ -187,6 +203,13 @@ def main():
                          f"adjustment's error bar)")
         else:
             line += "; no canary in one artifact - raw delta only"
+        if cpu_ratio:
+            cpu_spread = m01.get("canary_cpu_spread_pct")
+            line += (f". CPU canary {mp['canary_cpu_sec']:.2f} s -> "
+                     f"{m01['canary_cpu_sec']:.2f} s"
+                     + (f" (spread +/-{cpu_spread:.0f}%)"
+                        if cpu_spread is not None else "")
+                     + " - the divisor for decode-bound (m-family) rows")
         drift_lines = [line, ""]
 
     # Queries whose count-mode number is known to let Catalyst prune a
@@ -231,7 +254,9 @@ def main():
         "skew A/B has been measured. Sorted by sf1 cost: the expensive tail is the audit's",
         "priority order." + (" 'vs prev' divides this round's sf0.1 seconds by the"
         " previous round's, raw and canary-drift-adjusted (raw / canary ratio):"
-        " adj ~x1.00 = host drift, not a plan change." if prev_col else ""),
+        " adj ~x1.00 = host drift, not a plan change. Decode-bound m-family"
+        " rows divide by the CPU canary instead ('cpu-adj') when both"
+        " artifacts carry canary_cpu_sec." if prev_col else ""),
         "",
         f"| query | sf0.1 s | sf1 s | x10x | skew |{prev_hdr} shape / regime |",
         f"|---|---|---|---|---|{prev_div}---|",

@@ -42,6 +42,7 @@ Distribution contract (measured from /root/testdata/sf0.1, seed 42):
                      uniform 0..9
 
 Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab-growth] [--skew]
+       [--hot-shingle]
        e.g. 1 /tmp/sf1
 
 Modes (round-9 verdict tasks 1 and 6):
@@ -61,6 +62,13 @@ Modes (round-9 verdict tasks 1 and 6):
       family stays non-vacuous. Measuring d02/d05/d11 at sf0.1 and
       sf1 on THIS corpus is the test of the PLANS.md claim that the
       plans are linear-class on realistic data.
+
+  --hot-shingle  (round 15) d11's adversarial corpus: 20% of docs are
+      4-word docs sharing ONE word-3-gram (plus a unique tail), so a
+      single near-universal trigram floods the prefix index with a
+      C(n/5, 2) candidate set on one h60 key while cross-pair Jaccard
+      stays 1/3 < 1/2 (the true pair set stays organic). Probes the
+      bitmap + positional residual and the single-key join skew path.
 
   --skew  One hot customer owns ~20% of orders AND one hot user owns
       ~20% of events (the rest uniform). Every sf1 scale measurement
@@ -111,6 +119,7 @@ def main():
     out = sys.argv[2]
     vocab_growth = "--vocab-growth" in sys.argv[3:]
     skew = "--skew" in sys.argv[3:]
+    hot_shingle = "--hot-shingle" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     k = sf / 0.1  # multiplier vs the reference sf0.1 row counts
@@ -252,6 +261,29 @@ def main():
         else:
             n_w = rng.integers(10, 101)
             texts.append(" ".join(draw_words(n_w)))
+    if hot_shingle:
+        # --hot-shingle (round-15 verdict #5): the adversarial corpus
+        # for d11's prefix index. Prefix filtering is self-defending
+        # for LONG docs — a token only enters a doc's (rarest-first)
+        # prefix when the doc's other tokens are even more common —
+        # so the worst case is SHORT docs: a 4-word doc has exactly
+        # TWO distinct word-3-grams and its prefix holds BOTH of them
+        # regardless of df. 20% of docs become "hotprefa hotprefb
+        # hotprefc uq<i>": one trigram shared by every hot doc (a
+        # prefix posting list of n_doc/5 — the near-universal prefix
+        # token) plus one globally-unique tail trigram. Cross pairs
+        # have J = 1/3 < 1/2 (share only the hot trigram), so the
+        # TRUE pair set stays the organic one — the probe measures
+        # purely whether the residual filters absorb the C(n/5, 2)
+        # candidate flood on a single h60 key.
+        n_hot = 0
+        for i in range(n_doc):
+            if i % 5 == 2:
+                texts[i] = f"hotprefa hotprefb hotprefc uq{i}"
+                n_hot += 1
+        print(f"  hot-shingle: {n_hot} docs ({n_hot / n_doc:.0%}) share "
+              f"one prefix trigram -> ~{n_hot * (n_hot - 1) // 2} "
+              f"candidate pairs on one key")
     write(out, "documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": texts,
