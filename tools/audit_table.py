@@ -21,7 +21,7 @@ import sys
 # Shape / regime notes for queries whose scale story needs words.
 # Everything else is adequately described by its ratios.
 NOTES = {
-    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.22 of r13 (29.1 -> 6.4 s in the committed r14 artifact)",
+    "d11_prefix_filter_join": "lossless PPJoin+; r14 adds the 256-bit token-bitmap residual (suffix-filter slot, Xiao 2008 s4) killing candidates before the pair shuffle AND the array verify - sf1 wall x0.22 of r13 (29.1 -> 6.4 s in the committed r14 artifact). r15 hot-shingle adversarial A/B (one near-universal prefix trigram, ~50M candidate pairs on ONE h60 key - gen_sf.py --hot-shingle): x1.21 raw / x1.41 canary-adj vs uniform, inside the x1.5 skew-residual bar; hash-green on the skew corpus (CORRECTNESS_d11skew_sf1_r15.json)",
     "d12_substring_dedup": "Lee et al. gram-hash spans; r14 caches the hashed gram table (the two branches each re-ran posexplode+md5) and bloom-guards the dup semi join - sf1 wall 23.3 -> 7.8 s (committed r14 artifact)",
     "p00_star_build": "the one-time shared star build (raw + 3 dims), charged to its own line since r14; p01-p05 run against the warm build",
     "p01_star_league_table": "scale-honest star pipeline: no global-id window, no SF-scaling broadcast (PlanQualitySpec-pinned); build cost on p00's line since r14",
