@@ -128,6 +128,10 @@ object Bench {
     // rows (tools/audit_table.py --cpu-prev). ~0.4 s at reference
     // speed; emitted as `canary_cpu_sec` (min of pre samples) +
     // `canary_cpu_post_sec` + its own spread.
+    // match MediaDecode's JVM-wide imageio configuration (no disk-
+    // backed stream cache) so the canary measures the same codec path
+    // the m-family runs, even when the selection excludes m-queries
+    javax.imageio.ImageIO.setUseCache(false)
     def canaryCpuOnce(): Double = {
       val t0 = System.nanoTime()
       var i = 0

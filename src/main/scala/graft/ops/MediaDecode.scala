@@ -21,6 +21,22 @@ package graft.ops
   */
 object MediaDecode {
 
+  /** `javax.imageio` defaults to DISK-backed stream caching: every
+    * `ImageIO.read(InputStream)` / `createImageInputStream` /
+    * `ImageIO.write(img, fmt, OutputStream)` call wraps the stream in
+    * a FileCache{Input,Output}Stream — one temp file created, written
+    * and deleted PER CALL. All payloads here are small in-memory byte
+    * arrays (≤ 63×63 px, ≤ a few KB), so the file cache is pure
+    * syscall overhead on the per-row hot path (m01–m07 each pay it
+    * 1–4× per row; measured r15: m-family sf1 block 41 s → see
+    * OPTIMIZATION_r15.md). `setUseCache(false)` switches the registry
+    * to MemoryCache streams — byte-identical codec output, no temp
+    * files (guide §1.2 "per-task work"). Object-init runs once per
+    * JVM before any decode (every caller goes through this object);
+    * Bench sets it too so the CPU canary measures the same
+    * configuration even when no m-query is selected. */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Bounded per-JVM memo for SYNTHESIZED payloads. Fabricating the
     * test input (encoding the deterministic PNG/GIF a doc_id maps to)
     * is not the operator under test — in production the bytes arrive
