@@ -1443,21 +1443,28 @@ object Similarity {
     "d05_embedding_neardup",
     (s, d) => {
       val e = docVectors(s, d)
-      val nrow = e.agg(count(lit(1)).as("nn"))
-      val nbits = (0 until D05_EXTRA_MAX)
-        .map(b => when(lit(D05_CELL_CAP << b) < col("nn"), 1).otherwise(0))
-        .reduce(_ + _)
-      val sigged = e.crossJoin(broadcast(nrow))
-        .withColumn("nbits", nbits)
+      // The dial's N comes from a driver-side scalar count (the q67
+      // bounded-collect class: one long, never row data) so `nbits`
+      // is a plan-time LITERAL and the unused extra-plane dot
+      // products are simply absent from the sig projection. The
+      // round-15 draft derived nbits IN-PLAN (broadcast one-row count
+      // + per-row `when(b < nbits, dot…)` gates): results identical,
+      // but every row carried 3×12 gated 64-dim dot expressions plus
+      // the count crossJoin even when the dial was closed — measured
+      // ×2.2 at sf0.1 (0.73 → 1.60 s bench min) where nbits=0 and the
+      // plan should be byte-identical to the fixed-B r14 shape. The
+      // oracle keeps its scalar-subquery derivation: same N, same
+      // integer dial, same buckets, hash-identical output.
+      val nbits = d05NBits(e.count())
+      val sigged = e
         .select(col("label"), col("vec_id"),
           explode(array((0 until D05_L).map { t =>
             struct(lit(t).as("tbl"),
               ((0 until D05_B).map(j =>
                 when(dot(col("v"), typedlit(d05Planes(t)(j))) > 0, lit(1L << j))
                   .otherwise(lit(0L))) ++
-                (0 until D05_EXTRA_MAX).map(b =>
-                  when(lit(b) < col("nbits") &&
-                    dot(col("v"), typedlit(d05ExtraPlanes(t)(b))) > 0,
+                (0 until nbits).map(b =>
+                  when(dot(col("v"), typedlit(d05ExtraPlanes(t)(b))) > 0,
                     lit(1L << (D05_B + b))).otherwise(lit(0L))))
                 .reduce(_ + _).as("sig"))
           }: _*)).as("ts"))
