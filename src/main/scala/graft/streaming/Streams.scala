@@ -50,11 +50,25 @@ object Streams {
     lastPlansMap.asScala.toMap
   }
 
+  /** Per-batch StreamingQueryProgress JSON of the last run per tag —
+    * dev-only observability (tools/StreamProbe) for attributing a
+    * replay's wall time to micro-batches and their durationMs phases
+    * (addBatch / getBatch / latestOffset / queryPlanning / walCommit /
+    * commitOffsets). Never read on a query path. */
+  private val lastProgressMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def lastProgress: Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    lastProgressMap.asScala.toMap
+  }
+
   /** Blocks until the AvailableNow replay finishes, then records the
     * last micro-batch's executed plan under `tag` for the plan gate. */
   private def awaitAndRecord(
       q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit = {
     q.awaitTermination()
+    lastProgressMap.put(tag, q.recentProgress.toSeq.map(_.json))
     q match {
       case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
         Option(w.streamingQuery.lastExecution)
@@ -117,8 +131,22 @@ object Streams {
   /** [[runStream]] without the events-specific `ets` derivation:
     * `build` receives the RAW file-replayed stream (so it can union,
     * re-key, or fabricate its own event time first). */
+  /** `noDataBatch = false` skips the trailing zero-row micro-batch of
+    * the AvailableNow replay (`spark.sql.streaming.noDataMicroBatches.
+    * enabled`). That batch exists to advance the watermark with no new
+    * input — which matters ONLY to operators that EMIT on watermark
+    * expiry (outer-join null verdicts, emit-on-window-close aggregates:
+    * st15/st16/st17 and the closed monitors keep it). For streams whose
+    * emission is ARRIVAL-TIME — dedup pass-through, inner/semi interval
+    * joins (a match emits when the row arrives), Update-mode keyed
+    * processors with no timers — the no-data batch provably emits
+    * nothing (state eviction only, and the replay's state is discarded
+    * at stop), yet costs a full addBatch + WAL round: measured 0.3 to
+    * 1.4 s per query at sf0.1, ~20-40% of those queries' wall. At any
+    * scale that batch is pure overhead for this emission class. */
   private def runRawStream(spark: SparkSession, dir: String,
-                           mode: OutputMode, tag: String)
+                           mode: OutputMode, tag: String,
+                           noDataBatch: Boolean = true)
                           (build: DataFrame => DataFrame)
                           (finish: DataFrame => DataFrame): DataFrame = {
     val s = spark.newSession()
@@ -126,6 +154,8 @@ object Streams {
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(dir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!noDataBatch)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = s.read.parquet(dir).schema
     val source = s.readStream.schema(schema).parquet(streamDir(dir))
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -152,10 +182,11 @@ object Streams {
     }
 
   private def runStream(spark: SparkSession, eventsDir: String,
-                        mode: OutputMode, tag: String)
+                        mode: OutputMode, tag: String,
+                        noDataBatch: Boolean = true)
                        (build: DataFrame => DataFrame)
                        (finish: DataFrame => DataFrame): DataFrame =
-    runRawStream(spark, eventsDir, mode, tag)(src => build(src
+    runRawStream(spark, eventsDir, mode, tag, noDataBatch)(src => build(src
       .withColumn("ets", etsCol(src.schema))))(finish)
 
   /** Streaming CORPUS INGEST — the online twin of the batch curation
@@ -172,7 +203,8 @@ object Streams {
     * fabricated deterministically from doc_id (testdata has no ingest
     * timestamp; production reads Kafka event time). */
   def corpusIngest(spark: SparkSession, docsDir: String): DataFrame =
-    runRawStream(spark, docsDir, OutputMode.Append(), "corpusIngest") { raw =>
+    runRawStream(spark, docsDir, OutputMode.Append(), "corpusIngest",
+      noDataBatch = false) { raw => // dedup pass-through: arrival-time emission
       val docs = raw.select(col("doc_id"), col("lang"), col("text"))
       val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
         col("lang"), col("text"))
@@ -329,7 +361,8 @@ object Streams {
     * watermark window, st09's discipline); the finite replay keeps
     * NoTimeout so the oracle can replay the full-history semantics. */
   def nearDupFilter(spark: SparkSession, docsDir: String): DataFrame =
-    runRawStream(spark, docsDir, OutputMode.Update(), "nearDupFilter") { raw =>
+    runRawStream(spark, docsDir, OutputMode.Update(), "nearDupFilter",
+      noDataBatch = false) { raw => // NoTimeout keyed state: arrival-time emission
       import raw.sparkSession.implicits._
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       val twins = raw.select((col("doc_id") + 1000000000L).as("doc_id"),
@@ -647,7 +680,8 @@ object Streams {
     * stream). AvailableNow over one file = one micro-batch, so the
     * replay dedups completely and batch-equals the DISTINCT oracle. */
   def distinctKeyDays(spark: SparkSession, eventsDir: String): DataFrame =
-    runStream(spark, eventsDir, OutputMode.Append(), "distinctKeyDays") { src =>
+    runStream(spark, eventsDir, OutputMode.Append(), "distinctKeyDays",
+      noDataBatch = false) { src => // dedup pass-through: arrival-time emission
       src.withWatermark("ets", "25 hours")
         .select(col("user_id"), col("event_type"),
           date_trunc("day", col("ets")).as("day"), col("ets"))
@@ -676,6 +710,9 @@ object Streams {
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Update-mode aggregate with no watermark-expiry emission: the
+    // trailing no-data batch emits zero changed rows (see runRawStream)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = s.read.parquet(eventsDir).schema
     val table = "agg_event_daily"
     val keys = Seq("day", "event_type")
@@ -691,9 +728,22 @@ object Streams {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (delta: DataFrame, _: Long) =>
-        graft.model.Pipeline.mergeSwap(s, warehouseDir, table,
-          delta.localCheckpoint(eager = true), // detach from the micro-batch plan
-          graft.ops.Upsert.updateWins(_, _, keys))
+        val d = delta.localCheckpoint(eager = true) // detach from the micro-batch plan
+        // AvailableNow's trailing no-data batch advances the watermark
+        // (state eviction) but emits zero changed aggregate rows in
+        // Update mode — mergeSwap would read and REWRITE the whole
+        // warehouse table to apply nothing (measured: 636 ms of the
+        // replay's 2.3 s at sf0.1). updateWins over an empty delta is
+        // the identity, so skipping it leaves table content identical;
+        // an idle micro-batch must not rewrite the warehouse. The
+        // first write is never skipped (a fully-empty source still
+        // materializes the empty table the read-back contract needs).
+        val exists = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$warehouseDir/$table"))
+        if (!exists || !d.isEmpty)
+          graft.model.Pipeline.mergeSwap(s, warehouseDir, table, d,
+            graft.ops.Upsert.updateWins(_, _, keys))
       }
       .start()
     awaitAndRecord(q, "incrementalLoad")
@@ -719,6 +769,9 @@ object Streams {
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // inner interval join: a pair emits when its purchase arrives with
+    // the click already in state — the no-data batch emits nothing
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = s.read.parquet(eventsDir).schema
     val srcDir = streamDir(eventsDir)
     def src() = s.readStream.schema(schema).parquet(srcDir)
@@ -767,6 +820,9 @@ object Streams {
       .foreach(s.conf.set("spark.sql.session.timeZone", _))
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // left-semi interval join: the click precedes its purchase, so the
+    // match emits on purchase arrival — the no-data batch emits nothing
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = s.read.parquet(eventsDir).schema
     val srcDir = streamDir(eventsDir)
     def src() = s.readStream.schema(schema).parquet(srcDir)
@@ -951,6 +1007,9 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.None keyed processor (no timers): arrival-time emission,
+    // the no-data batch calls nothing and emits nothing
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import s.implicits._
     val schema = s.read.parquet(eventsDir).schema
     val src = s.readStream.schema(schema).parquet(streamDir(eventsDir))
