@@ -1702,13 +1702,64 @@ object Scalars {
     * write the boundary table once per corpus snapshot, feed every
     * histogram job from it — is exactly what the unconditional
     * shared persist rehearses. Audit NOTE carries the numbers. */
-  private def exactOctiles(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** ROUND 15: the exact boundary pass is now a DISTRIBUTED SELECTION
+    * instead of the `percentile(x, array(...))` aggregate. That
+    * aggregate buffers every value: each map task builds a value map,
+    * and the final merge concatenates ALL N values into ONE reducer
+    * and sorts them single-threaded — the measured ×7.2 sf0.1→sf1
+    * wall ratio (1.0 → 7.3 s) was that reducer, and at petabyte N it
+    * is the exact-path bottleneck q93's KLL swap exists to dodge.
+    * Selection does what a distributed ORDER BY already knows how to
+    * do: range-partition + local sort (pinned by an eager
+    * localCheckpoint, the Pack discipline — both passes must observe
+    * identical partition boundaries), per-partition row counts to the
+    * driver (P longs, never rows — the Pack/q67 bounded-collect
+    * class), then ONE codegen filter pass picks the ≤14 rows whose
+    * global rank brackets an octile (row k of partition p is
+    * monotonically_increasing_id p·2³³+k under the pinned layout) and
+    * a one-row aggregate interpolates in-plan:
+    * b_i = round(vlo + (vhi − vlo)·frac, 2) with frac = p·(n−1) −
+    * ⌊p·(n−1)⌋ a plan literal — the same arithmetic DuckDB's
+    * quantile_cont applies to the same two order statistics, so the
+    * oracle (unchanged) certifies value equality. Every pass
+    * recomputes from parquet per invocation; nothing is memoized
+    * across runs. */
+  private def exactOctiles(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sorted = graft.Tables.orders(s, d).select(col("o_totalprice").as("x"))
+      .repartitionByRange(col("x")).sortWithinPartitions("x")
+      .localCheckpoint() // eager: pins partitioning + order for both passes
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, "exactOctiles: empty orders table")
+    // global 1-based rank → monotonically_increasing_id under the
+    // checkpointed layout (upper 31 bits partition id, lower 33 local)
+    def midFor(rank: Long): Long = {
+      var off = 0L; var res = -1L
+      counts.foreach { case (pid, c) =>
+        if (res < 0 && rank <= off + c) res = (pid.toLong << 33) | (rank - off - 1)
+        off += c
+      }
+      require(res >= 0, s"exactOctiles: rank $rank out of range (n=$n)")
+      res
+    }
+    val specs = (1 to 7).map { i =>
+      val idx = (i * 0.125) * (n - 1)
+      val lo = math.floor(idx).toLong
+      (midFor(lo + 1), midFor(math.min(lo + 2, n)), idx - lo)
+    }
+    val wanted = specs.flatMap { case (l, h, _) => Seq(l, h) }.distinct
+    val aggs = specs.zipWithIndex.map { case ((loMid, hiMid, frac), i) =>
+      val vlo = min(when(col("__mid") === loMid, col("x")))
+      val vhi = min(when(col("__mid") === hiMid, col("x")))
+      round(vlo + (vhi - vlo) * lit(frac), 2).as(s"b${i + 1}")
+    }
     Shingles.sharedPersist(
-      graft.Tables.orders(s, d).select(col("o_totalprice").as("x"))
-        .agg(expr("percentile(x, array(0.125, 0.25, 0.375, 0.5, " +
-          "0.625, 0.75, 0.875))").as("bs"))
-        .select((1 to 7).map(i =>
-          round(element_at(col("bs"), i), 2).as(s"b$i")): _*))
+      sorted.withColumn("__mid", monotonically_increasing_id())
+        .filter(col("__mid").isin(wanted: _*))
+        .groupBy().agg(aggs.head, aggs.tail: _*))
+  }
 
   val q83 = QueryDef(
     "q83_equidepth_histogram",
