@@ -588,11 +588,17 @@ object TextOps {
         .transform(Shingles.sharedPersist) // two consumers (cnt, pairs)
       val cnt = posting.select(explode(col("docs")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = posting.select(explode(expr(
-          """flatten(transform(docs, (a, i) ->
-             transform(slice(docs, i + 2, size(docs)),
-                       b -> named_struct('doc_a', a, 'doc_b', b))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+      // pair expansion as TWO CHAINED GENERATES (r15): the one-shot
+      // flatten(transform(..transform(slice..))) form materialized up
+      // to C(20,2) structs per posting row through INTERPRETED lambda
+      // evaluation — the same non-codegen HOF wall r14 removed from
+      // the shingle builder. posexplode + slice-explode emit the same
+      // (doc_a, doc_b) pairs (docs is sorted, so a < every element
+      // after it) through whole-stage codegen, no struct allocation.
+      val pairs = posting
+        .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+        .select(col("doc_a"),
+          explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
