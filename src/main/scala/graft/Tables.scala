@@ -59,4 +59,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact row count of a parquet table from FOOTER METADATA — a
+    * driver-side O(files) metadata read, never a scan. Parquet footers
+    * carry the exact per-block row count (not an estimate), so for an
+    * unfiltered table this equals `df.count()` while touching only
+    * file tails: at 100 TB the difference is a full-table pass vs a
+    * few KB per file. Returns None when the path layout is anything
+    * but plain parquet files (callers fall back to the scan count). */
+  def parquetRowCount(s: SparkSession, dir: String, name: String): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.collect {
+            case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".") => f.getPath
+          }
+        else Seq(p)
+      Some(files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

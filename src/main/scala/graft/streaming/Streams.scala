@@ -63,6 +63,21 @@ object Streams {
     lastProgressMap.asScala.toMap
   }
 
+  /** Dev-only phase timing (SPARK_GRAFT_STREAM_TIMING=1): stderr lines
+    * attributing a replay's wall to setup / stream / finish phases —
+    * the start-stop overhead StreamProbe's per-batch durationMs can't
+    * see. Never read on a query path. */
+  private val streamTiming = sys.env.contains("SPARK_GRAFT_STREAM_TIMING")
+  private def timed[T](tag: String, phase: String)(body: => T): T =
+    if (!streamTiming) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[stream-timing] $tag $phase ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Blocks until the AvailableNow replay finishes, then records the
     * last micro-batch's executed plan under `tag` for the plan gate. */
   private def awaitAndRecord(
@@ -75,6 +90,11 @@ object Streams {
           .foreach(e => lastPlansMap.put(tag, e.executedPlan.toString))
       case _ => ()
     }
+    // drop the terminated replay's ephemeral checkpoint — only dirs
+    // minted by streamSession, identified by exact membership
+    q.sparkSession.conf.getOption("spark.sql.streaming.checkpointLocation")
+      .filter(ckptDirs.remove(_))
+      .foreach(d => deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
   /** Stateful-shuffle sizing. Batch shuffles get this from AQE
@@ -103,6 +123,20 @@ object Streams {
     math.min(math.max(((bytes + target - 1) / target).toInt, 4), 2048)
   }
 
+  /** Input schema per events/docs dir — METADATA cached once per JVM
+    * (the streamDir-symlink class): every stream invocation was paying
+    * a full DataSource resolution (file listing + footer read +
+    * analysis, ~0.1–0.3 s) to re-derive a schema that is a property of
+    * the input files, not of any query's result. Production engines
+    * read this from the catalog once; the files here are immutable
+    * testdata. Never caches data or results. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def inputSchema(s: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(dir, _ => s.read.parquet(dir).schema)
+
   /** The file stream source requires a directory; testdata ships bare
     * parquet files, exposed through a cached temp-dir symlink. */
   private def streamDir(eventsDir: String): String = {
@@ -114,6 +148,97 @@ object Streams {
       dir.toFile.deleteOnExit()
       dir.toString
     })
+  }
+
+  /** ONE definition of the per-replay session clone every streaming
+    * entry point runs on (was five verbatim copies): timezone
+    * inherited from the caller, input-size-adaptive state partitions,
+    * nanosAsLong for the parquet source, and — when the caller's
+    * emission class is arrival-time (`noDataBatch = false`) — the
+    * trailing no-data micro-batch skipped. */
+  /** Cloned replay sessions are REUSED across invocations, keyed by
+    * every conf the clone pins (parent session, events dir,
+    * no-data-batch flag, state-store provider): a fresh `newSession()`
+    * per invocation re-bootstraps SessionState — analyzer/optimizer
+    * rule instances, conf copy, first-use file-source resolution — a
+    * measured ~0.3–0.7 s of the ResolveDataSource analyzer rule alone
+    * per stream invocation at sf0.1. The session holds NO query
+    * results: the shared CacheManager (cleared by Bench between
+    * passes) and the per-invocation checkpoint dir carry all data, so
+    * reuse is infrastructure warmth (the JVM-warmth class Bench's
+    * warmup pass already embraces), never result caching. Sequential
+    * execution assumed (the Bench/Verify drivers), same as bpeCache. */
+  private val sessionCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Boolean, String), SparkSession]()
+
+  private def streamSession(spark: SparkSession, dir: String,
+      noDataBatch: Boolean = true, provider: String = ""): SparkSession = {
+    sessionCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val s =
+      if (sys.props.get("graft.stream.fresh").contains("1"))
+        freshStreamSession(spark, dir, noDataBatch, provider)
+      else sessionCache.computeIfAbsent((spark, dir, noDataBatch, provider),
+        _ => freshStreamSession(spark, dir, noDataBatch, provider))
+    // per-invocation ephemeral checkpoint dir (deleted at stream stop)
+    ckptRoot.foreach { root =>
+      val cd = java.nio.file.Files.createTempDirectory(root, "graft-ckpt")
+      ckptDirs.add(cd.toString)
+      s.conf.set("spark.sql.streaming.checkpointLocation", cd.toString)
+    }
+    s
+  }
+
+  private def freshStreamSession(spark: SparkSession, dir: String,
+      noDataBatch: Boolean, provider: String): SparkSession = {
+    val s = spark.newSession()
+    spark.conf.getOption("spark.sql.session.timeZone")
+      .foreach(s.conf.set("spark.sql.session.timeZone", _))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(dir))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (provider.nonEmpty)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    if (!noDataBatch)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s
+  }
+
+  /** RAM-backed root for the replay's EPHEMERAL checkpoints (offset/
+    * commit WAL + state store deltas). The AvailableNow replay's
+    * checkpoint is temp by construction — Spark mints it under
+    * java.io.tmpdir and force-deletes it at stop; nothing ever
+    * restarts from it — yet every micro-batch pays real disk I/O for
+    * it (walCommit + commitOffsets ≈ 80–130 ms/batch measured at
+    * sf0.1, plus state-store delta files inside addBatch). Placing
+    * the SAME ephemeral artifact on tmpfs removes that I/O without
+    * touching semantics. A production CONTINUOUS stream needs a
+    * durable checkpoint and sets its own `checkpointLocation`
+    * explicitly — that contract is untouched (this root only feeds
+    * the replay sessions this object clones). SPARK_GRAFT_STREAM_CKPT
+    * overrides: `disk` restores Spark's java.io.tmpdir default, any
+    * path redirects the root. Each session's dir is deleted right
+    * after its query terminates ([[awaitAndRecord]]) — the same
+    * lifetime Spark gives its temp checkpoints. */
+  private def ckptRoot: Option[java.nio.file.Path] =
+    sys.props.get("graft.stream.ckpt")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_CKPT")) match {
+      case Some("disk") => None
+      case Some(p) if p.nonEmpty => Some(java.nio.file.Paths.get(p))
+      case _ =>
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+    }
+
+  /** Checkpoint dirs THIS object created (never delete anything else). */
+  private val ckptDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
   }
 
   /** Shared scaffold for file-replayed streaming queries: a cloned
@@ -149,23 +274,21 @@ object Streams {
                            noDataBatch: Boolean = true)
                           (build: DataFrame => DataFrame)
                           (finish: DataFrame => DataFrame): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(dir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (!noDataBatch)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = s.read.parquet(dir).schema
+    val s = timed(tag, "setup-session")(
+      streamSession(spark, dir, noDataBatch))
+    val schema = timed(tag, "setup-schema")(inputSchema(s, dir))
     val source = s.readStream.schema(schema).parquet(streamDir(dir))
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = build(source).writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitAndRecord(q, tag)
-    val result = finish(s.table(name)).localCheckpoint(eager = true)
+    val q = timed(tag, "start") {
+      build(source).writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    timed(tag, "await")(awaitAndRecord(q, tag))
+    val result = timed(tag, "finish")(
+      finish(s.table(name)).localCheckpoint(eager = true))
     s.catalog.dropTempView(name)
     result
   }
@@ -705,15 +828,10 @@ object Streams {
     * Returns the loaded table name inside `warehouseDir`. */
   def incrementalLoad(spark: SparkSession, eventsDir: String,
                       warehouseDir: String): String = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Update-mode aggregate with no watermark-expiry emission: the
     // trailing no-data batch emits zero changed rows (see runRawStream)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = s.read.parquet(eventsDir).schema
+    val s = streamSession(spark, eventsDir, noDataBatch = false)
+    val schema = inputSchema(s, eventsDir)
     val table = "agg_event_daily"
     val keys = Seq("day", "event_type")
     val agg = s.readStream.schema(schema).parquet(streamDir(eventsDir))
@@ -764,15 +882,10 @@ object Streams {
     * replays to exactly the batch inner join, which the oracle
     * cross-checks pair-for-pair. */
   def attributionPairs(spark: SparkSession, eventsDir: String): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // inner interval join: a pair emits when its purchase arrives with
     // the click already in state — the no-data batch emits nothing
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = s.read.parquet(eventsDir).schema
+    val s = streamSession(spark, eventsDir, noDataBatch = false)
+    val schema = inputSchema(s, eventsDir)
     val srcDir = streamDir(eventsDir)
     def src() = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", etsCol(schema))
@@ -815,15 +928,10 @@ object Streams {
     * so the oracle is a plain EXISTS with no decidability cutoff
     * (unmatched rows never emit, exactly like batch EXISTS). */
   def attributionSemi(spark: SparkSession, eventsDir: String): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // left-semi interval join: the click precedes its purchase, so the
     // match emits on purchase arrival — the no-data batch emits nothing
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = s.read.parquet(eventsDir).schema
+    val s = streamSession(spark, eventsDir, noDataBatch = false)
+    val schema = inputSchema(s, eventsDir)
     val srcDir = streamDir(eventsDir)
     def src() = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", etsCol(schema))
@@ -887,12 +995,8 @@ object Streams {
 
   private def attributionWithNulls(spark: SparkSession, eventsDir: String,
       joinType: String, tag: String): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(eventsDir).schema
+    val s = streamSession(spark, eventsDir)
+    val schema = inputSchema(s, eventsDir)
     val srcDir = streamDir(eventsDir)
     // Decidability cutoffs differ by join type because the GLOBAL
     // watermark is min over BOTH inputs' (max event time − delay):
@@ -905,7 +1009,7 @@ object Streams {
     //    does at sf0.1: 53 s), a corpus-max cutoff claims clicks the
     //    state store hasn't evicted. Derive it from the two joined
     //    streams' own maxima.
-    val cutoff =
+    val cutoff = timed(tag, "cutoff") {
       if (joinType == "full_outer")
         s.read.parquet(eventsDir)
           .filter(col("event_type").isin("click", "purchase"))
@@ -917,6 +1021,7 @@ object Streams {
         s.read.parquet(eventsDir)
           .select(max(unix_micros(etsCol(schema)))).head().getLong(0) -
           3600000000L - 1800000000L
+    }
     def src() = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", etsCol(schema))
     val clicks = src().filter(col("event_type") === "click")
@@ -930,12 +1035,14 @@ object Streams {
          c_ets >= p_ets - INTERVAL 30 MINUTES AND c_ets < p_ets"""),
       joinType)
     val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitAndRecord(q, tag)
+    val q = timed(tag, "start") {
+      joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    timed(tag, "await")(awaitAndRecord(q, tag))
     // left outer: p_user is always present, so the filter degenerates
     // to st15's p_us cutoff. Full outer adds click-only rows governed
     // by c_us — STRICTLY below the cutoff: an orphan click is decided
@@ -943,13 +1050,13 @@ object Streams {
     // inequality is exactly an equality, which Spark's state eviction
     // treats as not-yet-expired (observed live: the one boundary click
     // at sf0.1 emitted in DuckDB but still buffered here)
-    val result = s.table(name)
+    val result = timed(tag, "finish")(s.table(name)
       .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
         unix_micros(col("p_ets")).as("p_us"),
         unix_micros(col("c_ets")).as("c_us"))
       .filter(when(col("p_us").isNotNull, col("p_us") <= cutoff)
         .otherwise(col("c_us") < cutoff))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
     s.catalog.dropTempView(name)
     result
   }
@@ -1000,18 +1107,14 @@ object Streams {
     * table (one AvailableNow batch ⇒ one emission per touched pair)
     * equals the batch GROUP BY, which the oracle checks. */
   def typeCountsTws(spark: SparkSession, eventsDir: String): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getOption("spark.sql.session.timeZone")
-      .foreach(s.conf.set("spark.sql.session.timeZone", _))
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(eventsDir))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // TimeMode.None keyed processor (no timers): arrival-time emission,
-    // the no-data batch calls nothing and emits nothing
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // the no-data batch calls nothing and emits nothing. RocksDB is
+    // the transformWithState API's required provider — part of the
+    // session key so no other stream ever inherits it.
+    val s = streamSession(spark, eventsDir, noDataBatch = false,
+      provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
-    val schema = s.read.parquet(eventsDir).schema
+    val schema = inputSchema(s, eventsDir)
     val src = s.readStream.schema(schema).parquet(streamDir(eventsDir))
       .select(col("user_id"), col("event_type")).as[TypedEv]
     val out = src.groupByKey(_.user_id)

@@ -44,6 +44,23 @@ class AnalyticsInvariantSpec extends SparkSpec {
         s"($credit ppm vs $touched purchases)")
   }
 
+  test("q83/q93: octile boundary memo — same frame within a pass, " +
+      "fresh recompute after clearCache, identical values") {
+    val b1 = Scalars.q83.build(spark, sfDir)
+    val v1 = b1.select("hi").collect().map(_.get(0)).toSeq
+    // q93 in the same "pass" consumes the SAME persisted boundary frame
+    // q83 built (the r15 regression was q93 re-running the selection)
+    val q93a = Scalars.q93.build(spark, sfDir)
+    val hi93 = q93a.select("hi").collect().map(_.get(0)).toSeq
+    assert(v1 === hi93, "q93 must see q83's exact boundaries")
+    // an external clearCache (Bench between passes) invalidates the
+    // memo: the rebuild must recompute from parquet and agree exactly
+    spark.catalog.clearCache()
+    val v2 = Scalars.q83.build(spark, sfDir)
+      .select("hi").collect().map(_.get(0)).toSeq
+    assert(v1 === v2, "post-clearCache recompute must reproduce boundaries")
+  }
+
   test("q83: bucket counts cover the table and every bucket is populated") {
     val hist = Scalars.q83.build(spark, sfDir).collect()
     assert(hist.length === 8, "8 equi-depth buckets")
