@@ -1382,8 +1382,61 @@ object TextOps {
 
   /** One greedy left-to-right merge pass of (l, r) over a symbol array
     * — the single fold both training re-segmentation and held-out
-    * apply ([[t25]]) run, factored so the two cannot drift. */
+    * apply ([[t25]]) run, factored so the two cannot drift.
+    *
+    * ROUND 16 (guide §4: no interpreted expressions on the hot path):
+    * the `aggregate` HOF evaluated an interpreted lambda per SYMBOL per
+    * word per round — t23 re-folds the whole vocab every one of its K
+    * rounds, and t25/st19/st20 replay all K merges per OOV word. The
+    * fold is replaced by STRING replacement over the space-joined
+    * array: symbols can never contain whitespace (words are split on
+    * `\s+`, merged symbols are concatenations), so the join is
+    * lossless, and Java's regex engine scans left-to-right replacing
+    * non-overlapping matches — exactly the greedy fold's order (a
+    * merged symbol is strictly longer than its parts, so a replacement
+    * can never create a new (l, r) adjacency; the lookahead keeps the
+    * trailing separator for back-to-back pairs, and consuming the
+    * LEADING separator makes an overlapping l==r chain skip the middle
+    * occurrence just like the fold). l/r are regex-quoted, the
+    * replacement backslash/dollar-escaped. `when(size < 2)` keeps the
+    * degenerate arrays (empty, singleton) verbatim — `concat_ws`
+    * cannot round-trip them. BpeTrainSpec proves fold≡replace on
+    * adversarial inputs; every consumer is hash-gated. */
   private[graft] def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String)
+      : org.apache.spark.sql.Column = {
+    val pat = "(^| )" + java.util.regex.Pattern.quote(l) + " " +
+      java.util.regex.Pattern.quote(r) + "(?= |$)"
+    val rep = "$1" + java.util.regex.Matcher.quoteReplacement(l + r)
+    when(size(syms) < 2, syms)
+      .otherwise(split(regexp_replace(concat_ws(" ", syms), pat, rep), " "))
+  }
+
+  /** ALL K merge passes in one expression — the chained-replay shape
+    * t25/st19/st20 run per OOV word. Chaining [[mergeFold]] K deep
+    * nests its degenerate-array guard K times, each referencing its
+    * child THREE times (size probe + two branches): the expression
+    * tree grows 3^K and measured 6–39 s at sf0.1 for K=8. Here the
+    * array crosses to the string form ONCE, the K replacement passes
+    * run back-to-back on the string (a singleton or empty string
+    * contains no separator, so the patterns — which all require one —
+    * cannot fire: no per-level guard needed), and ONE final guard
+    * keeps the empty array verbatim (`split("")` would yield [""]).
+    * Equivalent to foldLeft(mergeFold) by construction; BpeTrainSpec
+    * proves it against the interpreted reference. */
+  private[graft] def mergeFoldAll(syms: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val replaced = merges.foldLeft(concat_ws(" ", syms)) { case (c, (l, r)) =>
+      val pat = "(^| )" + java.util.regex.Pattern.quote(l) + " " +
+        java.util.regex.Pattern.quote(r) + "(?= |$)"
+      regexp_replace(c, pat, "$1" + java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+    when(size(syms) === 0, syms).otherwise(split(replaced, " "))
+  }
+
+  /** The pre-round-16 interpreted-HOF fold, kept ONLY as the
+    * reference implementation BpeTrainSpec checks [[mergeFold]]
+    * against (never on a query path). */
+  private[graft] def mergeFoldHof(syms: org.apache.spark.sql.Column, l: String, r: String)
       : org.apache.spark.sql.Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&
@@ -1470,11 +1523,16 @@ object TextOps {
     // the merge table then legitimately stops short (the oracle's
     // empty b_k stages produce the same truncation)
     while (k <= BPE_ROUNDS && !exhausted) {
+      // adjacent pairs via a codegen Generate (the d02/r14 lesson —
+      // the transform(sequence…struct) lambda evaluated interpreted,
+      // once per symbol per word per round): explode the tail slice,
+      // read the left symbol by position (0-based bracket access) —
+      // identical (lhs, rhs) multiset, no struct allocation
       val pairs = vocab
         .filter(size(col("syms")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("pr"))
-        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .select(col("wc"), col("syms"),
+          posexplode(expr("slice(syms, 2, size(syms) - 1)")).as(Seq("i", "rhs")))
+        .groupBy(expr("syms[i]").as("lhs"), col("rhs"))
         .agg(sum(col("wc")).as("pair_count"))
       val best = pairs
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
@@ -1557,9 +1615,9 @@ object TextOps {
       val merges = bpeFrozen(s, d, trainSplitOnly = true)._1
       val valDocs = Tables.documents(s, d)
         .filter(docBucket >= 90 && docBucket < 95)
-      val seg = merges.foldLeft(
-        filter(split(col("word"), ""), x => x =!= "")) {
-        case (c, (_, l, r, _, _)) => mergeFold(c, l, r) }
+      val seg = mergeFoldAll(
+        filter(split(col("word"), ""), x => x =!= ""),
+        merges.map { case (_, l, r, _, _) => (l, r) })
       val segmented = valDocs.select(explode(tokens).as("word")).distinct()
         .select(col("word"), size(seg).as("n_syms"))
       valDocs.select(col("doc_id"), explode(tokens).as("word"))

@@ -370,10 +370,9 @@ object Streams {
     runRawStream(spark, docsDir, OutputMode.Complete(), "tokenBudget") { raw =>
       val words = split(lower(trim(col("text"))), "\\s+")
       def segLen(w: org.apache.spark.sql.Column) = size(
-        merges.foldLeft(filter(split(w, ""), x => x =!= "")) {
-          case (c, (_, l, r, _, _)) =>
-            graft.queries.TextOps.mergeFold(c, l, r)
-        })
+        graft.queries.TextOps.mergeFoldAll(
+          filter(split(w, ""), x => x =!= ""),
+          merges.map { case (_, l, r, _, _) => (l, r) }))
       // The segmentation CACHE — how production tokenizer workers
       // amortize merge replay: the frozen artifact already CONTAINS
       // each training word's final segmentation (t23's vocab table,
@@ -434,10 +433,9 @@ object Streams {
     runRawStream(spark, docsDir, OutputMode.Append(), "tokenBudgetClosed") { raw =>
       val words = split(lower(trim(col("text"))), "\\s+")
       def segLen(w: org.apache.spark.sql.Column) = size(
-        merges.foldLeft(filter(split(w, ""), x => x =!= "")) {
-          case (c, (_, l, r, _, _)) =>
-            graft.queries.TextOps.mergeFold(c, l, r)
-        })
+        graft.queries.TextOps.mergeFoldAll(
+          filter(split(w, ""), x => x =!= ""),
+          merges.map { case (_, l, r, _, _) => (l, r) }))
       val dim = vocab.select(col("word"),
         size(col("syms")).cast("long").as("n_syms"))
       raw.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))

@@ -176,4 +176,56 @@ class BpeTrainSpec extends SparkSpec {
       assert(got(1) === ((2, "aa", "a")), got.toString)
     } finally Shingles.release()
   }
+
+  test("mergeFold (regexp replace) ≡ mergeFoldHof (interpreted fold) " +
+      "on adversarial symbol arrays") {
+    import spark.implicits._
+    // regex metacharacters, $/\ in the replacement, l==r overlap runs
+    // (odd + even), back-to-back pair occurrences, multi-char symbols
+    // that CONTAIN the pair text (must not merge mid-symbol),
+    // singletons and empties
+    val arrays: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "a", "b"),
+      Seq("a", "a", "a"),
+      Seq("a", "a", "a", "a"),
+      Seq("x", "a", "b", "a", "b", "y"),
+      Seq("xa", "ab"), // string form contains "a ab" inside "xa ab"
+      Seq("$", "\\", "$\\"),
+      Seq(".", "*", ".*", "("),
+      Seq("a", "ab", "ab"),
+      Seq("aa", "a", "a", "aa"),
+      Seq("a"),
+      Seq.empty[String],
+      Seq("é", "漢", "é漢", "é"))
+    val pairs = Seq(
+      ("a", "b"), ("a", "a"), ("aa", "a"), ("a", "ab"), ("ab", "a"),
+      ("$", "\\"), (".", "*"), ("é", "漢"), ("xa", "ab"))
+    val df = arrays.toDF("syms")
+    for ((l, r) <- pairs) {
+      val got = df.select(
+        TextOps.mergeFold(col("syms"), l, r).as("fast"),
+        TextOps.mergeFoldHof(col("syms"), l, r).as("ref"))
+        .collect()
+      got.zip(arrays).foreach { case (row, in) =>
+        assert(row.getSeq[String](0) === row.getSeq[String](1),
+          s"fold mismatch for input $in with pair ($l, $r): " +
+            s"fast=${row.getSeq[String](0)} ref=${row.getSeq[String](1)}")
+      }
+    }
+    // chained merges (the t25 replay shape): fold K merges sequentially
+    // through both implementations and compare the final arrays
+    val merges = Seq(("a", "a"), ("aa", "a"), ("a", "b"), ("aa", "ab"))
+    val chained = df.select(
+      merges.foldLeft(col("syms")) { case (c, (l, r)) =>
+        TextOps.mergeFold(c, l, r) }.as("fast"),
+      TextOps.mergeFoldAll(col("syms"), merges).as("all"),
+      merges.foldLeft(col("syms")) { case (c, (l, r)) =>
+        TextOps.mergeFoldHof(c, l, r) }.as("ref")).collect()
+    chained.zip(arrays).foreach { case (row, in) =>
+      assert(row.getSeq[String](0) === row.getSeq[String](2),
+        s"chained fold mismatch for input $in")
+      assert(row.getSeq[String](1) === row.getSeq[String](2),
+        s"mergeFoldAll mismatch for input $in")
+    }
+  }
 }
