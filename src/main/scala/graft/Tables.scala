@@ -60,6 +60,49 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Exact MAX of an int64-physical column from parquet FOOTER
+    * statistics — the same metadata-read-vs-full-scan trade as
+    * [[parquetRowCount]]: every row group's chunk statistics carry the
+    * exact (not estimated) min/max, so the table max is the max over
+    * chunk maxima. Returns None — callers fall back to the scan —
+    * unless EVERY chunk of every file has non-null int64 statistics
+    * for the column (a single stats-less chunk could hide the true
+    * max). NULL handling matches the SQL aggregate: parquet max
+    * statistics ignore nulls, as does max(col). */
+  def parquetColumnMaxLong(s: SparkSession, dir: String, name: String,
+      column: String): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.collect {
+            case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".") => f.getPath
+          }
+        else Seq(p)
+      val maxes = files.flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .map(_.getStatistics) match {
+            case Some(st: org.apache.parquet.column.statistics.LongStatistics)
+              if st != null && !st.isEmpty && st.hasNonNullValue =>
+              Some(st.genericGetMax.longValue())
+            case _ => None
+          }
+        }.toSeq
+        finally r.close()
+      }
+      if (maxes.nonEmpty && maxes.forall(_.isDefined)) Some(maxes.flatten.max)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Exact row count of a parquet table from FOOTER METADATA — a
     * driver-side O(files) metadata read, never a scan. Parquet footers
     * carry the exact per-block row count (not an estimate), so for an

@@ -48,6 +48,13 @@ object Graph {
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
       val sym = cs0.unionByName(
         cs0.select(col("dst").as("src"), col("src").as("dst")))
+      // ROUND 16 attempt, reverted with evidence: degree via
+      // partition-local aggregate + broadcast join-back (killing the
+      // window's |E|-row sort) re-ran the dedup agg once per branch
+      // above the ReusedExchange and measured the build SLOWER
+      // (1.7-2.25 -> 2.5-3.35 s, GraphFamilyProbe pass2, same |E|).
+      // The one sort the window pays is cheaper than a second 1.17M-row
+      // hash dedup; kept as-is.
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
       val edges = Shingles.sharedPersist(
         sym.repartition(col("src"))

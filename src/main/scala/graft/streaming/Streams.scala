@@ -304,6 +304,28 @@ object Streams {
       case _ => col("ts").cast("timestamp")
     }
 
+  /** Exact `max(unix_micros(ets))` over the events table, preferring
+    * parquet footer statistics (metadata read) over a full scan —
+    * semantics identical under either physical ts layout because the
+    * µs conversion is monotone in the stored int64. */
+  private def maxEventMicros(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val dirPath = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+    val (parent, name) =
+      (dirPath.getParent.toString,
+        dirPath.getFileName.toString.stripSuffix(".parquet"))
+    val fromFooter = graft.Tables.parquetColumnMaxLong(s, parent, name, "ts")
+      .map { m =>
+        schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => Math.floorDiv(m, 1000L)
+          case _ => m // TIMESTAMP micros stored as int64 µs
+        }
+      }
+    fromFooter.getOrElse(
+      s.read.parquet(eventsDir)
+        .select(max(unix_micros(etsCol(schema)))).head().getLong(0))
+  }
+
   private def runStream(spark: SparkSession, eventsDir: String,
                         mode: OutputMode, tag: String,
                         noDataBatch: Boolean = true)
@@ -1009,6 +1031,8 @@ object Streams {
     //    streams' own maxima.
     val cutoff = timed(tag, "cutoff") {
       if (joinType == "full_outer")
+        // per-event_type maxima: NOT answerable from footer column
+        // stats (they are per-chunk, not per-group) — scan stays
         s.read.parquet(eventsDir)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -1016,9 +1040,12 @@ object Streams {
           .agg(min(col("m"))).head().getLong(0) -
           3600000000L - 1800000000L
       else
-        s.read.parquet(eventsDir)
-          .select(max(unix_micros(etsCol(schema)))).head().getLong(0) -
-          3600000000L - 1800000000L
+        // global max(ts): exact from parquet footer statistics (the
+        // d05 dial precedent) — unix_micros(ets) is monotone in the
+        // physical int64 (nanos under nanosAsLong: floor-div by 1000;
+        // micros: identity), so max commutes through the conversion.
+        // Scan fallback when any chunk lacks stats.
+        maxEventMicros(s, eventsDir, schema) - 3600000000L - 1800000000L
     }
     def src() = s.readStream.schema(schema).parquet(srcDir)
       .withColumn("ets", etsCol(schema))

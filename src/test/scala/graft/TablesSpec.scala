@@ -28,4 +28,24 @@ class TablesSpec extends SparkSpec {
     assert(lo > 946684800L * 1000000000L, s"ts_ns lo=$lo before year 2000 — unit bug")
     assert(hi < 4102444800L * 1000000000L, s"ts_ns hi=$hi after year 2100 — unit bug")
   }
+
+  test("parquet footer metadata equals the scan: row count and max(ts)") {
+    import org.apache.spark.sql.functions._
+    for (name <- Seq("events", "embeddings")) {
+      val scanned = Tables.load(spark, sfDir, name).count()
+      assert(Tables.parquetRowCount(spark, sfDir, name) === Some(scanned),
+        s"$name footer row count must equal the scan count")
+    }
+    val footerMax = Tables.parquetColumnMaxLong(spark, sfDir, "events", "ts")
+    assert(footerMax.isDefined, "events.ts chunks must carry statistics")
+    val scanMaxNs = Tables.events(spark, sfDir)
+      .agg(max(col("ts_ns"))).head().getLong(0)
+    // the footer max is in the PHYSICAL unit (ns for TIMESTAMP(NANOS)
+    // under nanosAsLong, µs for native micros); normalize via schema
+    val physIsNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val footerNs = if (physIsNanos) footerMax.get else footerMax.get * 1000L
+    assert(footerNs === scanMaxNs,
+      "footer max(ts) must equal the scanned max exactly")
+  }
 }

@@ -11,6 +11,25 @@ import graft.SparkSpec
   */
 class GraphFamilyProbe extends SparkSpec {
   if (sys.props.contains("graftGraphProbe")) {
+    test("q66 build-vs-superstep attribution") {
+      val dir = sys.props.getOrElse("graftProbeDir", "/root/testdata/sf0.1")
+      Registry.queries("q66_pagerank")(spark, dir).count() // warmup
+      for (pass <- 1 to 2) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val (edges, nodes) = Graph.purchaseGraph(spark, dir)
+        val e = edges.count(); val n = nodes.count()
+        val t1 = System.nanoTime()
+        Registry.queries("q66_pagerank")(spark, dir).count()
+        val t2 = System.nanoTime()
+        Registry.queries("q75_bfs_hops")(spark, dir).count()
+        val t3 = System.nanoTime()
+        info(f"pass$pass build(|E|=$e |V|=$n): ${(t1 - t0) / 1e9}%.2f s, " +
+          f"q66 post-build: ${(t2 - t1) / 1e9}%.2f s, " +
+          f"q75 post-build: ${(t3 - t2) / 1e9}%.2f s")
+      }
+    }
+
     test("graph family bench-pass timing") {
       val dir = sys.props.getOrElse("graftProbeDir", "/root/testdata/sf0.1")
       val names = Seq("q66_pagerank", "q75_bfs_hops", "q81_triangle_count")
