@@ -69,6 +69,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<double>` columns — the
+  * PQ/ADC scoring primitive ([[graft.queries.Similarity]] s05/s07/s08
+  * run it per (vector, candidate) pair). The higher-order spelling —
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0d, _+_)` —
+  * interprets TWO lambdas per element on the hot path. Summation
+  * order and arithmetic DAG are identical (left-to-right IEEE fold of
+  * the per-lane squared difference, starting from 0.0), so results
+  * are bit-equal to the HOF form and to DuckDB's
+  * `list_reduce(list_transform(...))` oracle replay. */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sqdist requires array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column API for the graft native functions. */
 object GraftFunctions {
 
@@ -82,6 +144,7 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "graft_sqdist" -> { exprs => SqDist(exprs(0), exprs(1)) },
     "graft_text_quality" -> { exprs => TextQuality(exprs(0)) },
     "graft_cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
     "graft_zorder" -> { exprs => ZOrderKey(exprs(0), exprs(1)) },
@@ -123,6 +186,7 @@ object GraftFunctions {
     * must name the actual expression class, not a shared one. */
   private val implClass: Map[String, String] = Map(
     "graft_dot" -> classOf[DotProduct].getName,
+    "graft_sqdist" -> classOf[SqDist].getName,
     "graft_text_quality" -> classOf[TextQuality].getName,
     "graft_cms_estimate" -> classOf[CmsEstimate].getName,
     "graft_zorder" -> classOf[ZOrderKey].getName,
@@ -150,6 +214,11 @@ object GraftFunctions {
     * to array<double> here (the expression itself is strict). */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Column-API entry: `sqdist(a, b)` after [[register]]. */
+  def sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_sqdist",
       a.cast("array<double>"), b.cast("array<double>"))
 }
 

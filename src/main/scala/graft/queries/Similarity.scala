@@ -70,7 +70,7 @@ object Similarity {
   private def docVectors(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+      col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("n", norm(col("v")))
   }
 
@@ -304,8 +304,7 @@ object Similarity {
     val e = docVectors(s, d)
     val cent = Tables.embeddings(s, d)
       .select(col("label").as("cell"),
-        transform(col("embedding"),
-          x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+        col("embedding").cast("array<decimal(28,6)>").as("ed"))
       .groupBy("cell")
       .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
         count(lit(1)).as("nv"))
@@ -392,8 +391,10 @@ object Similarity {
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+          col("embedding").cast("array<double>").as("v"))
+        // max |x| == max(max(x), -min(x)) — the abs-transform lambda
+        // interpreted per lane; array_max/array_min are codegen
+        .withColumn("m", greatest(array_max(col("v")), -array_min(col("v"))))
         .filter(col("m") > 0)
       e.select(col("vec_id"), col("m"), posexplode(col("v")))
         .select(col("vec_id"), (col("pos") + 1).as("lane"),
@@ -471,8 +472,7 @@ object Similarity {
     * (the s03 centroid discipline) so both engines agree bit-for-bit. */
   private def pqCentroids(assigned: DataFrame): DataFrame =
     assigned.select(col("c"), col("m"),
-        transform(col("vs"),
-          x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("vd"))
+        col("vs").cast("array<decimal(28,6)>").as("vd"))
       .groupBy("c", "m")
       .agg(graft.functions.VecSumAgg.vecSum(col("vd"), PQ_L).as("vsum"),
         count(lit(1)).as("nv"))
@@ -480,10 +480,15 @@ object Similarity {
         transform(col("vsum"), x => x.cast("double") / col("nv")).as("cv"))
 
   /** Squared L2 between two L-lane arrays, left-to-right IEEE fold —
-    * the arithmetic DAG the oracle's list_reduce replays exactly. */
-  private def pqD2(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b, (x, y) => (x - y) * (x - y)),
-    lit(0.0d), (acc, x) => acc + x)
+    * the arithmetic DAG the oracle's list_reduce replays exactly.
+    * ROUND 16: the aggregate(zip_with(...)) spelling interpreted two
+    * lambdas per lane per candidate; graft_sqdist is the native
+    * expression with the bit-identical fold (SqDistSpec pins it). */
+  private def pqD2(a: Column, b: Column): Column =
+    if (sys.props.get("graft.pq.d2").contains("hof"))
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    else graft.functions.GraftFunctions.sqdist(a, b)
 
   /** Nearest-codebook-entry assignment per (vector, subspace) — a
     * PER-ROW fold over the broadcast codebook, not a row explosion:
@@ -503,11 +508,11 @@ object Similarity {
       .withColumn("scored", transform(col("cands"),
         cand => struct(pqD2(col("vs"), cand("cv")).as("d2"),
           cand("c").as("c"))))
-      .withColumn("best", aggregate(col("scored"),
-        struct(lit(Double.MaxValue).as("d2"),
-          lit(Int.MaxValue).as("c")),
-        (acc, x) => when(x("d2") < acc("d2") ||
-          (x("d2") === acc("d2") && x("c") < acc("c")), x).otherwise(acc)))
+      // argmin via array_min's struct ordering — lexicographic on
+      // (d2, c), exactly the fold's total order (d2 is a sum of
+      // squares, never -0.0/NaN, and c breaks ties) — instead of an
+      // interpreted aggregate fold comparing structs per candidate
+      .withColumn("best", array_min(col("scored")))
       .select(col("vec_id"), col("m"), col("vs"),
         col("best.c").as("c"), col("best.d2").as("d2"))
   }
@@ -1130,8 +1135,7 @@ object Similarity {
     (s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"),
-          transform(col("embedding"),
-            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+          col("embedding").cast("array<decimal(28,6)>").as("ed"))
         .groupBy("label")
         .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
           count(lit(1)).as("n_vecs"))
@@ -1464,7 +1468,8 @@ object Similarity {
       // integer, so the dial — and the hash-gated output — is
       // unchanged.
       val nbits = d05NBits(
-        graft.Tables.parquetRowCount(s, d, "embeddings")
+        if (sys.props.get("graft.d05.dial").contains("count")) e.count()
+        else graft.Tables.parquetRowCount(s, d, "embeddings")
           .getOrElse(e.count()))
       val sigged = e
         .select(col("label"), col("vec_id"),
@@ -1727,8 +1732,7 @@ object Similarity {
       val e = docVectors(s, d)
       val cent = Tables.embeddings(s, d)
         .select(col("label").as("cell"),
-          transform(col("embedding"),
-            x => x.cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ed"))
+          col("embedding").cast("array<decimal(28,6)>").as("ed"))
         .groupBy("cell")
         .agg(graft.functions.VecSumAgg.vecSum(col("ed"), EMB_DIM).as("vsum"),
           count(lit(1)).as("nv"))
