@@ -58,6 +58,14 @@ object StreamProbe {
         }
       }
     }
+    // SPARK_GRAFT_PROBE_PLAN=1: dump the recorded last-micro-batch
+    // executed plans (the streaming analog of DumpPlan — where the
+    // in-stream expression shapes are visible)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PLAN"))
+      graft.streaming.Streams.lastPlans.foreach { case (tag, plan) =>
+        println(s"=== EXECUTED (last micro-batch) $tag ===")
+        println(plan.take(60000))
+      }
     // SPARK_GRAFT_PROBE_RULES=1: dump Catalyst rule-executor timings
     // accumulated over the probe (attributes per-batch queryPlanning
     // to individual analyzer/optimizer rules)
