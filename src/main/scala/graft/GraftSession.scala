@@ -34,6 +34,16 @@ object GraftSession {
     val b = SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
+      // Scan-parallelism FLOOR (guide §6): file splits follow BYTES
+      // (maxPartitionBytes), so a table that is small on disk but
+      // expensive per row — the media family's real-codec decodes —
+      // lands in ONE split and runs single-core at any core count
+      // (measured: m06 at sf1 took 5.1 s on 32 cores and 5.3 s on 8 —
+      // no scaling, because there was nothing to schedule). A floor of
+      // `cores` splits small scans across the session's slots and is
+      // scale-adaptive by construction: at 100 TB every scan already
+      // has thousands of byte-sized splits and the floor is inert.
+      .config("spark.sql.files.minPartitionNum", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // eager aggregation (Yan & Larson) in cost-gated AUTO mode: the
